@@ -1,0 +1,102 @@
+"""CLI surface mirroring the reference (E1/E2/S3/S7, main.rs:18-137).
+
+Usage:
+    python -m tabular_to_parquet_spark.cli <file.csv>
+    cat file.csv | python -m tabular_to_parquet_spark.cli -
+
+Output path: ``<dir>/<stem>.parquet`` next to the input
+(main.rs:122-137); stdin → ``stdin.parquet`` in the CWD (main.rs:51).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import tempfile
+
+
+def derive_output_path(input_path: str) -> str:
+    """construire_chemin_sortie_parquet (main.rs:122-137)."""
+    p = pathlib.Path(input_path)
+    return str((p.parent if p.parent != pathlib.Path("") else pathlib.Path(".")) / f"{p.stem}.parquet")
+
+
+def spool_stdin_to_tempfile() -> str:
+    """ecrire_stdin_dans_fichier_temporaire (main.rs:102-120):
+    drain stdin to a kept temp file; empty stdin is an error."""
+    data = sys.stdin.buffer.read()
+    if not data:
+        raise SystemExit("error: empty stdin")
+    fh = tempfile.NamedTemporaryFile(prefix="tabular_stdin_", delete=False)
+    fh.write(data)
+    fh.close()
+    return fh.name
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tabular_to_parquet_spark",
+        description="Convert a delimited tabular file (CSV/TSV/…) to Parquet",
+    )
+    ap.add_argument("input", nargs="?", help="input file, or '-' for stdin")
+    ap.add_argument(
+        "--infer-full-schema",
+        action="store_true",
+        help="infer types from the whole file instead of the first 1000 rows "
+        "(reference --inferer-schema-complet, main.rs:25-26)",
+    )
+    ap.add_argument(
+        "--single-file",
+        action="store_true",
+        help="write ONE parquet file (reference parity); default is a "
+        "standard Spark parquet directory",
+    )
+    ap.add_argument(
+        "--preserve-order",
+        action="store_true",
+        help="preserve input row order in the output (reference parity, "
+        "conversion.rs:177-189)",
+    )
+    ap.add_argument("--output", help="override the derived output path")
+    args = ap.parse_args(argv)
+
+    if not args.input:
+        ap.print_help()
+        print("\nerror: no input provided", file=sys.stderr)
+        return 1
+
+    if args.input == "-":
+        if sys.stdin.isatty():
+            ap.print_help()
+            print("\nerror: stdin requested ('-') but nothing is piped", file=sys.stderr)
+            return 1
+        input_path = spool_stdin_to_tempfile()
+        output_path = args.output or "stdin.parquet"
+    else:
+        input_path = args.input
+        output_path = args.output or derive_output_path(args.input)
+
+    from tabular_to_parquet_spark.operators.convert import convert_delimited_to_parquet
+    from tabular_to_parquet_spark.session import get_spark
+
+    spark = get_spark("tabular_to_parquet_cli")
+    res = convert_delimited_to_parquet(
+        spark,
+        input_path,
+        output_path,
+        infer_full=args.infer_full_schema,
+        preserve_order=args.preserve_order,
+        single_file=args.single_file,
+    )
+    schema_desc = ", ".join(
+        f"{n}:{t.kind}{'[' + t.unit + ']' if t.unit else ''}"
+        for n, t in zip(res.columns, res.types)
+    )
+    print(f"schema: {schema_desc}", file=sys.stderr)
+    print(f"conversion done in {res.seconds:.2f}s: {res.output_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

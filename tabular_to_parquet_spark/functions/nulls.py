@@ -1,0 +1,44 @@
+"""Null-token normalization (operator P1, SURVEY.md §2.2).
+
+Reference semantics (reference src/utils.rs:48-57, `est_null_texte`):
+trim the value; empty → null; case-insensitive membership in
+{null, none, nan, n/a, na} → null. Every cast builder applies this
+before attempting a parse.
+
+All builders are pure ``Column -> Column`` functions over built-in
+expressions — JVM-side, whole-stage-codegen friendly; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: case-insensitive null tokens after trimming (utils.rs:53-56)
+NULL_TOKENS = ("null", "none", "nan", "n/a", "na")
+
+# Java regex \s ≈ Rust str::trim's whitespace for the ASCII range
+# (space, \t, \n, \x0B, \f, \r) — delimited-text values cannot carry
+# raw \n/\r anyway, so this matches the reference for CSV data.
+_TRIM_RE = r"^\s+|\s+$"
+
+
+def trimmed(c: Column) -> Column:
+    """Whitespace-trim (utils.rs:49 `v.trim()`)."""
+    return F.regexp_replace(c, _TRIM_RE, "")
+
+
+def is_null_token(c: Column) -> Column:
+    """Boolean: value is a null token (utils.rs:48-57)."""
+    t = trimmed(c)
+    return c.isNull() | (t == "") | F.lower(t).isin(*NULL_TOKENS)
+
+
+def normalize_nulls(c: Column) -> Column:
+    """Null-token → NULL, else the original (untrimmed) string.
+
+    Matches the reference converter, which stores the raw (untrimmed)
+    string for string-typed columns (analyse.rs:252-274) but parses the
+    trimmed text for every typed column.
+    """
+    return F.when(is_null_token(c), F.lit(None)).otherwise(c)

@@ -1,0 +1,148 @@
+"""The conversion pipeline (reference src/conversion.rs:28-120, re-planned
+for Spark — SURVEY.md §3.4).
+
+Lifecycle: driver sniffs the delimiter (S4) → driver (or Spark, for
+full-scan) infers logical types (I1-I5) → Spark reads the file as one
+string-typed DataFrame (S1/S2) → a single ``select()`` of lenient-cast
+expressions (P1-P12) → zstd parquet sink (S6).
+
+The reference's producer/worker/writer thread pipeline collapses into
+Spark partition parallelism; the cast projection is one whole-stage
+codegen over the scan — no shuffle anywhere in this plan (verified via
+``explain``: Scan csv → Project → WriteFiles).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.functions import parsers
+from tabular_to_parquet_spark.plans.inference import (
+    infer_schema,
+    infer_schema_distributed,
+)
+from tabular_to_parquet_spark.plans.logical_types import LogicalType
+from tabular_to_parquet_spark.sources.sniff import detect_delimiter
+from tabular_to_parquet_spark.sources.text import (
+    read_delimited_as_strings,
+    read_header,
+    sanitize_names,
+)
+
+
+def cast_expr(c: Column, lt: LogicalType) -> Column:
+    """Dispatch a logical type to its lenient-cast builder (the Spark
+    equivalent of the analyse.rs:108-315 builder match)."""
+    if lt.kind == "bool":
+        return parsers.parse_bool(c)
+    if lt.kind == "int64":
+        return parsers.parse_int64(c)
+    if lt.kind == "uint64":
+        return parsers.parse_uint64(c, as_decimal=lt.uint_exceeds_i64)
+    if lt.kind == "float64":
+        return parsers.parse_float64(c)
+    if lt.kind == "date":
+        return parsers.parse_date(c)
+    if lt.kind == "timestamp":
+        return parsers.parse_timestamp(c, lt.unit or "ms")
+    if lt.kind == "binary":
+        return parsers.parse_binary(c)
+    return parsers.parse_string(c)
+
+
+def typed_frame(
+    raw: DataFrame, types: list[LogicalType], preserve_order: bool = False
+) -> DataFrame:
+    """String-typed frame → typed frame via one cast projection."""
+    cols = [
+        cast_expr(F.col(name), lt).alias(name)
+        for name, lt in zip(raw.columns, types)
+    ]
+    if preserve_order:
+        # ids are monotonic within and across input partitions, so a
+        # sort restores file order (SURVEY.md §4.3 option b)
+        idx = F.monotonically_increasing_id().alias("__row_idx")
+        return raw.select(*cols, idx)
+    return raw.select(*cols)
+
+
+@dataclass
+class ConvertResult:
+    output_path: str
+    columns: list[str]
+    types: list[LogicalType]
+    delimiter: str
+    seconds: float
+
+
+def convert_delimited_to_parquet(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    infer_full: bool = False,
+    preserve_order: bool = False,
+    single_file: bool = False,
+    delimiter: str | None = None,
+) -> ConvertResult:
+    """End-to-end conversion (the product surface, main.rs:39-83).
+
+    ``preserve_order`` reproduces the reference's input-order guarantee
+    (conversion.rs:177-189); ``single_file`` additionally coalesces to
+    one part-file and renames it to ``output_path`` itself. Defaults
+    keep Spark's parallel many-part layout — the right shape at scale.
+    """
+    t0 = time.monotonic()
+    delim = delimiter or detect_delimiter(input_path)
+    names = sanitize_names(read_header(input_path, delim))
+
+    if infer_full:
+        raw0 = read_delimited_as_strings(spark, input_path, delim, names)
+        types = infer_schema_distributed(raw0)
+    else:
+        names, types = infer_schema(input_path, delim)
+
+    raw = read_delimited_as_strings(spark, input_path, delim, names)
+    typed = typed_frame(raw, types, preserve_order=preserve_order)
+
+    if preserve_order:
+        typed = typed.sort("__row_idx").drop("__row_idx")
+    if single_file:
+        typed = typed.coalesce(1)
+
+    writer = typed.write.mode("overwrite").option("compression", "zstd")
+    if single_file:
+        tmp = output_path + "._spark_tmp"
+        writer.parquet(tmp)
+        _promote_single_file(tmp, output_path)
+    else:
+        writer.parquet(output_path)
+
+    return ConvertResult(
+        output_path=output_path,
+        columns=names,
+        types=types,
+        delimiter=delim,
+        seconds=time.monotonic() - t0,
+    )
+
+
+def _promote_single_file(tmp_dir: str, dest: str) -> None:
+    """Move the single part-file out of Spark's output directory so the
+    CLI matches the reference's one-file contract (S7, main.rs:122-137)."""
+    import glob
+    import os
+    import shutil
+
+    parts = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+    if len(parts) != 1:  # pragma: no cover
+        raise RuntimeError(f"expected 1 part file in {tmp_dir}, found {len(parts)}")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)
+    shutil.move(parts[0], dest)
+    shutil.rmtree(tmp_dir)

@@ -1,0 +1,59 @@
+"""SparkSession factory with engine defaults.
+
+Defaults chosen for the engine's workloads:
+- UTC session timezone so TIMESTAMP / TIMESTAMP_NTZ arithmetic is
+  deterministic and oracle-comparable (DuckDB timestamps are UTC-naive).
+- zstd parquet compression (reference uses ZSTD level 5,
+  reference src/conversion.rs:168).
+- AQE on: runtime coalescing + skew-join handling matter at 100 TB.
+- Arrow enabled for the Pandas-UDF slow paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tabular_to_parquet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be sized to cores × a small factor;
+    locally we default to the CPU count so tiny data isn't
+    over-parallelized (AQE coalesces further at runtime).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # reference pins ZSTD level 5 (src/conversion.rs:168)
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "5")
+        # read parquet TIMESTAMP (isAdjustedToUTC=false) back as NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,118 @@
+"""End-to-end conversion tests (the SURVEY.md §7.2 minimum slice and
+beyond): CSV → inferred schema → typed parquet, verified with DuckDB."""
+
+from __future__ import annotations
+
+import datetime
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+from tabular_to_parquet_spark.operators.convert import convert_delimited_to_parquet
+
+MIXTE = "a,b,c\ntrue,2024-01-01,3.14\nfalse,2024-01-02,2.71\n"
+
+
+def test_minimum_slice_fixture_mixte(spark, tmp_path):
+    src = tmp_path / "mixte.csv"
+    src.write_text(MIXTE)
+    out = tmp_path / "mixte.parquet"
+    res = convert_delimited_to_parquet(spark, str(src), str(out), single_file=True,
+                                       preserve_order=True)
+    assert [t.kind for t in res.types] == ["bool", "date", "float64"]
+    assert res.delimiter == ","
+
+    rows = duckdb.sql(f"SELECT * FROM '{out}' ORDER BY b").fetchall()
+    assert rows == [
+        (True, datetime.date(2024, 1, 1), 3.14),
+        (False, datetime.date(2024, 1, 2), 2.71),
+    ]
+    # DuckDB sees the expected physical types
+    types = {r[0]: r[1] for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{out}'").fetchall()}
+    assert types == {"a": "BOOLEAN", "b": "DATE", "c": "DOUBLE"}
+
+
+def test_dirty_data_null_tokens_and_ragged_rows(spark, tmp_path):
+    src = tmp_path / "dirty.csv"
+    clean = [f"{100 + i},{i}.5,row{i}" for i in range(200)]  # keep ratios ≥ 0.98
+    src.write_text(
+        "i,f,s\n"
+        "1,1.5,hello\n"
+        "NA,null,NONE\n"        # null tokens (P1)
+        "2,2.5\n"               # ragged: missing field → null (P13)
+        "3,3.5,world,EXTRA\n"   # ragged: extra field dropped (P13)
+        "notint,notfloat,ok\n"  # parse failures → null, row kept
+        + "\n".join(clean) + "\n"
+    )
+    out = tmp_path / "dirty.parquet"
+    res = convert_delimited_to_parquet(spark, str(src), str(out), single_file=True,
+                                       preserve_order=True)
+    assert [t.kind for t in res.types] == ["uint64", "float64", "string"]
+    rows = duckdb.sql(f"SELECT * FROM '{out}' LIMIT 5").fetchall()
+    assert rows == [
+        (1, 1.5, "hello"),
+        (None, None, None),
+        (2, 2.5, None),
+        (3, 3.5, "world"),
+        (None, None, "ok"),
+    ]
+
+
+def test_tsv_with_timestamps_and_order(spark, tmp_path):
+    src = tmp_path / "t.tsv"
+    lines = ["id\tts"]
+    for i in range(500):
+        lines.append(f"{i}\t2024-01-01 00:00:{i % 60:02d}.{i % 1000:03d}")
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "t.parquet"
+    res = convert_delimited_to_parquet(spark, str(src), str(out), single_file=True,
+                                       preserve_order=True)
+    assert res.delimiter == "\t"
+    assert [t.kind for t in res.types] == ["uint64", "timestamp"]
+    assert res.types[1].unit == "ms"
+    # order preserved: id strictly increasing in file order
+    ids = [r[0] for r in duckdb.sql(f"SELECT id FROM '{out}'").fetchall()]
+    assert ids == list(range(500))
+    # NTZ timestamp round-trips
+    t0 = duckdb.sql(f"SELECT ts FROM '{out}' WHERE id = 1").fetchone()[0]
+    assert t0 == datetime.datetime(2024, 1, 1, 0, 0, 1, 1000)
+
+
+def test_quoted_fields_with_delimiters(spark, tmp_path):
+    src = tmp_path / "q.csv"
+    src.write_text('s,i\n"a,b",1\n"say ""hi""",2\n')
+    out = tmp_path / "q.parquet"
+    convert_delimited_to_parquet(spark, str(src), str(out), single_file=True,
+                                 preserve_order=True)
+    rows = duckdb.sql(f"SELECT * FROM '{out}'").fetchall()
+    assert rows == [("a,b", 1), ('say "hi"', 2)]
+
+
+def test_full_scan_inference_changes_decision(spark, tmp_path):
+    # first 1000 rows are ints; a late float flips the column under full scan
+    src = tmp_path / "late.csv"
+    lines = ["x"] + [str(i) for i in range(1200)]
+    lines[1100] = "99.5"
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "late.parquet"
+    res = convert_delimited_to_parquet(spark, str(src), str(out))
+    assert res.types[0].kind == "uint64"  # sample: all ints
+    res_full = convert_delimited_to_parquet(spark, str(src), str(out), infer_full=True)
+    assert res_full.types[0].kind == "float64"
+
+
+def test_cli_end_to_end(tmp_path):
+    src = tmp_path / "cli.csv"
+    src.write_text(MIXTE)
+    proc = subprocess.run(
+        [sys.executable, "-m", "tabular_to_parquet_spark.cli", str(src),
+         "--single-file"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = tmp_path / "cli.parquet"
+    assert out.exists()
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+    assert n == 2
