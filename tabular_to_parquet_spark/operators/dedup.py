@@ -1,0 +1,341 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7.4).
+
+Five families, each with an explicit 100 TB story:
+
+- **exact**      — md5-of-normalized-text groupBy. One shuffle on the
+                   fingerprint; map-side partial agg keeps it small.
+- **minhash**    — signatures computed per-row inside a projection
+                   (``transform`` + ``array_min`` — NO explode, NO
+                   shuffle); LSH banding turns the quadratic pair
+                   search into an equi-join on (band, band_key). This
+                   is THE scale path for near-dup at 100 TB.
+- **simhash**    — 32-bit signature per row (pure projection); banded
+                   self-join + hamming filter for candidate pairs.
+- **n-gram Jaccard** — exact pairwise similarity inside blocking
+                   groups; quadratic per block, so use only behind
+                   blocking or as a verifier of LSH candidates.
+- **embedding**  — cosine near-dup over `array<float>` columns; exact
+                   within blocks (the ANN operators in similarity.py
+                   are the scale path).
+
+Hashing is md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces every signature bit-for-bit; swap ``fast=True`` paths to
+xxhash64 on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.functions.hashing import md5_i64
+from tabular_to_parquet_spark.operators.text_analysis import (
+    normalized_text,
+    word_shingles,
+)
+
+# minhash configuration (shared with the DuckDB oracle in __spark_entry__)
+MINHASH_K = 16       #: signature length
+MINHASH_BANDS = 4    #: LSH bands (rows per band = K // BANDS)
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4    #: 8-bit bands; hamming ≤ 3 ⇒ ≥1 identical band
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups: fingerprint → (keeper = min id, member count).
+
+    The canonical exact-dedup plan: one hash-shuffle on the
+    fingerprint, partial-aggregated map-side.
+    """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (the min-id row) per distinct content."""
+    keepers = exact_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    # broadcast-free semi join on the id — Catalyst picks SMJ/shuffled-hash
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+
+def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
+    """k-component MinHash signature of the text's word shingles.
+
+    Entirely inside one projection: ``array_min(transform(shingles,
+    h_j))`` per component — no explode, no shuffle, linear scan.
+    Empty shingle set → component = NULL (never collides with real
+    hashes because band keys include NULL-ness via md5 of the concat).
+    """
+    sh = word_shingles(text)
+
+    # NB: one-arg lambdas only — PySpark binds extra lambda params to the
+    # array index, so `lambda s, j=j:` silently breaks. Closure factory:
+    def hasher(j: int):
+        return lambda s: md5_i64(s, seed=f"mh{j}")
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(j))) for j in range(k)]
+    )
+
+
+def minhash_bands(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> Column:
+    """Band keys: md5 of the '|'-joined signature slice per band."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), minhash_signature(F.col(text_col)).alias("sig")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, scored by signature
+    agreement (estimated Jaccard).
+
+    Plan shape (the part that must survive 100×): signatures are a
+    projection; ``explode`` only over BANDS (4) rows per doc; the pair
+    generation is an equi-join on (band index, band key) — a plain
+    shuffle join on a short key, skew-safe under AQE. No all-pairs
+    product anywhere.
+    """
+    sigs = minhash_frame(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(minhash_bands(F.col("sig"))).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x.eqNullSafe(y)),
+            lambda m: m,
+        )
+    )
+    est = n_eq.cast("double") / F.lit(float(MINHASH_K))
+    return (
+        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Frequency-weighted SimHash over whitespace tokens, as one
+    projection: hash every token once, then fold ±1 per bit.
+
+    Integer folds only — order-insensitive and exactly reproducible by
+    the SQL oracle.
+    """
+    from tabular_to_parquet_spark.operators.text_analysis import tokens
+
+    hashes = F.transform(tokens(text), lambda t: md5_i64(t, seed="sh"))
+
+    def bit_merger(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_merger(i))
+        out = out + F.when(bit_sum > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ 3 via 8-bit band join.
+
+    Pigeonhole: ≤3 differing bits across 4 bands ⇒ at least one band
+    identical, so the band equi-join finds every qualifying pair —
+    exact result, LSH-join cost.
+    """
+    sims = simhash_frame(df, text_col, id_col)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(
+                        F.lit((1 << band_width) - 1)
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (blocked)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs within blocking groups.
+
+    Quadratic per block — use behind a real blocking key or as the
+    verifier stage after minhash_pairs. (At 100 TB the candidate
+    generator is minhash_pairs; this computes true Jaccard on its
+    output or within small blocks.)
+    """
+    docs = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — bit-identical to DuckDB's
+    ``list_sum(list_transform(list_zip(a,b), ...))``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (
+        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs, exact within blocks.
+
+    ``block_col=None`` does the full quadratic join — correctness/
+    verification mode only. The ANN operators (operators/similarity.py)
+    are the 100 TB path.
+    """
+    cols = [F.col(id_col), F.col(vec_col).alias("v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    docs = df.select(*cols)
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (SURVEY.md §7.4).
+
+- ``knn_bruteforce`` — exact top-k cosine neighbors: queries ×
+  corpus join, windowed top-k. The correctness baseline; cost is
+  |Q|·|C| dots, so keep |Q| bounded (it broadcasts the query side).
+
+- ``knn_lsh`` — the scale path: 16-bit random-hyperplane signatures
+  computed per-row in a projection, banded into 4×4-bit keys; the
+  candidate set is an equi-join on (band, key) instead of the full
+  cross product. Recall is tunable via bits/bands; plan shape is
+  scan → project → shuffle-on-short-key → window, which survives
+  100× data.
+
+Hyperplane components are md5-derived rationals generated in Python
+(``lsh_planes``) and embedded as literals, so Spark and the DuckDB
+oracle share the exact same planes; dot products use the sequential
+fold of operators/dedup.py — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from tabular_to_parquet_spark.operators.dedup import cosine, dot_product
+
+LSH_BITS = 16
+LSH_BANDS = 4
+LSH_BAND_WIDTH = LSH_BITS // LSH_BANDS
+EMBED_DIM = 64
+
+
+def _md5_int(s: str) -> int:
+    """Python twin of functions/hashing.md5_i64 (same 60-bit value)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def lsh_planes(bits: int = LSH_BITS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    plane[b][d] = (md5_int('plane{b}_{d}') mod 2001 - 1000) / 1000 —
+    any engine (or oracle author) can regenerate these exactly.
+    """
+    return [
+        [((_md5_int(f"plane{b}_{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in plane])
+
+
+def lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-of-dot signature packed into a BIGINT (one projection)."""
+    planes = planes or lsh_planes()
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        bit = F.when(dot_product(vec, _plane_lit(plane)) >= 0, F.lit(2**b)).otherwise(
+            F.lit(0)
+        )
+        sig = sig + bit.cast("long")
+    return sig
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is small by contract), so the
+    corpus scan never shuffles; the only shuffle is the windowed
+    top-k on query_id — bounded by |Q|·|C| rows pre-filtered to
+    k per query by the rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_frame(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col)).alias("lsh_sig"),
+    )
+
+
+def knn_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band with the query.
+
+    Plan: both sides get signatures in a projection; band explode is
+    ×4; the join key (band, band_val) is short and hash-distributed.
+    Recall < 1 by design — verify with knn_bruteforce on samples.
+    """
+    def banded(frame: DataFrame, prefix: str) -> DataFrame:
+        sigs = lsh_frame(frame, vec_col, id_col)
+        return sigs.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_v"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("lsh_sig"), b * LSH_BAND_WIDTH).bitwiseAND(
+                            F.lit((1 << LSH_BAND_WIDTH) - 1)
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("band", "band_val"),
+        )
+
+    q = banded(queries, "q")
+    c = banded(df, "c")
+    cands = (
+        q.join(c, ["band", "band_val"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "q_v", "c_v")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cands.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7.4).
+
+All hot-path logic is built-in Spark SQL expressions (codegen'd,
+shuffle-free per-row transforms); the only aggregations are standard
+hash-aggregates with map-side partial combine. Every operator here is
+a pure projection or aggregation — at 100 TB they scale linearly with
+input splits and never shuffle except for the explicit groupBys.
+
+Float determinism note: scores avoid multi-term double sums —
+ratios are single divisions of exact integers, so the DuckDB oracle
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.functions.hashing import md5_i64
+
+# small deterministic stopword sets for the n-gram language heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les", "des", "que", "est"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "von"),
+    "es": ("el", "la", "de", "y", "un", "una", "los", "las", "que", "es"),
+}
+#: language priority on tie (first wins)
+LANG_ORDER = ("en", "fr", "de", "es")
+
+#: English stopwords used by the quality score
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens, empties removed (deterministic; matches
+    DuckDB ``list_filter(regexp_split_to_array(trim(x),'\\s+'),...)``)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def word_shingles(c: Column, w: int = 3) -> Column:
+    """Distinct w-word shingles as strings (basis for Jaccard/MinHash).
+
+    1-based ``element_at`` indexing so the DuckDB oracle (1-based list
+    indexing) is a literal transcription.
+    """
+    toks = tokens(c)
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(w)]
+    )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (w - 1), F.lit(0))),
+            shingle,
+        )
+    )
+
+
+def punct_ratio(c: Column) -> Column:
+    """punctuation chars / total chars (single exact division)."""
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(0.0)
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(c))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """The quality-scoring feature set; ``is_good`` applies the usual
+    web-corpus filters (length band, punctuation cap, stopword floor)."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0)
+    p_ratio = punct_ratio(text)
+    s_ratio = stopword_ratio(text)
+    is_good = (
+        n_tok.between(5, 100_000)
+        & (p_ratio < 0.3)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 20.0)
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": mean_word_len,
+        "punct_ratio": p_ratio,
+        "stopword_ratio": s_ratio,
+        "is_good": is_good,
+    }
+
+
+def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    cols = quality_columns(F.col(text_col))
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties resolve by LANG_ORDER;
+    zero hits everywhere → 'und' (undetermined)."""
+    hits = {lang: lang_hits(text, lang) for lang in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # build the CASE back-to-front so earlier languages win ties
+    for lang in reversed(LANG_ORDER):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), lang_id_col(F.col(text_col)).alias("lang_pred")
+    )
+
+
+def normalized_text(c: Column) -> Column:
+    """Fingerprint normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint (P-hash of normalized text): md5 hex plus a
+    60-bit integer form for compact joins."""
+    norm = normalized_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        md5_i64(norm).alias("fp_i64"),
+    )
+
+
+def source_stats(df: DataFrame) -> DataFrame:
+    """Per-source corpus stats (hash-agg with map-side combine; the
+    deterministic aggregate set — counts and exact-int sums only)."""
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

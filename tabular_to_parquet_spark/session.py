@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.hadoop.parquet.compression.codec.zstd.level", "5")
         # read parquet TIMESTAMP (isAdjustedToUTC=false) back as NTZ
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (e.g. the events table) is illegal for
+        # Spark's vectorized reader; read as raw ns longs and convert in
+        # sources/tables.py (exact integer DIV, no precision loss)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,55 @@
+"""Canonical loaders for the testdata star schema.
+
+One quirk handled here once: ``events.ts`` is parquet TIMESTAMP(NANOS),
+which Spark's parquet reader rejects. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
+column arrives as a raw ns BIGINT; we convert to TIMESTAMP (µs, UTC
+session — watermarks require TIMESTAMP, not NTZ) with exact integer
+division (``DIV`` — a double division would lose precision above
+2^53 ns). DuckDB truncates ns→µs the same
+way on CAST, so oracle comparisons line up.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")),
+        )
+    return df
+
+
+def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming variant of the events loader (same ns→µs conversion).
+
+    Spark's file stream source requires a *directory*; a single-file
+    path is exposed through a temp directory symlink.
+    """
+    static = spark.read.parquet(path)
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    df = spark.readStream.schema(static.schema).parquet(path)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")),
+        )
+    return df

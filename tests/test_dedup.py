@@ -1,0 +1,117 @@
+"""Dedup operator tests (exact, minhash-LSH, simhash, Jaccard, embedding)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_groups_and_dedup(spark, docs):
+    groups = dedup.exact_groups(docs)
+    n_distinct = groups.count()
+    total = groups.agg(F.sum("n_members")).collect()[0][0]
+    assert total == 500
+    deduped = dedup.dedup_exact(docs)
+    assert deduped.count() == n_distinct
+    # keeper is the min doc_id of its group
+    assert deduped.count() <= 500
+
+
+def test_exact_dedup_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT "), (3, "different")],
+        "doc_id long, text string",
+    )
+    # normalization: case + whitespace collapse → 1 and 2 are the same
+    out = dedup.dedup_exact(df).collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]
+
+
+def test_minhash_identical_docs_full_agreement(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally unrelated words here now friend")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_pairs(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_minhash_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely different content with other words")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in
+             dedup.minhash_pairs(df, threshold=0.2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [(1, "shared words one two three four five six seven"),
+         (2, "shared words one two three four five six seven"),  # identical
+         (3, "zz yy xx ww vv uu tt ss rr qq")],
+        "doc_id long, text string",
+    )
+    sims = {r.doc_id: r.simhash for r in dedup.simhash_frame(df).collect()}
+    assert all(0 <= v < 2**32 for v in sims.values())
+    assert sims[1] == sims[2] and sims[1] != sims[3]
+    # identical input → identical hash (run twice)
+    sims2 = {r.doc_id: r.simhash for r in dedup.simhash_frame(df).collect()}
+    assert sims == sims2
+    # banding guarantee: any pair within hamming ≤ 3 IS found
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((1, 2)) == 0
+    assert (1, 3) not in found
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d e f g h"),
+         (2, "en", "a b c d e f g x"),
+         (3, "en", "p q r s t u v w"),
+         (4, "fr", "a b c d e f g h")],  # other block: never paired with 1
+        "doc_id long, lang string, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.jaccard_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in pairs and 0.4 < pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+    assert (1, 3) not in pairs
+
+
+def test_embedding_dup_pairs(spark, embeddings):
+    pairs = dedup.embedding_dup_pairs(embeddings, threshold=0.99).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.99
+    # sanity: a vector duplicated exactly must appear at cosine ~1
+    two = embeddings.limit(1).collect()[0]
+    df = embeddings.sparkSession.createDataFrame(
+        [(9001, two.embedding, two.label), (9002, two.embedding, two.label)],
+        embeddings.schema,
+    )
+    got = dedup.embedding_dup_pairs(df, threshold=0.999).collect()
+    assert len(got) == 1 and abs(got[0].cosine - 1.0) < 1e-12

@@ -1,0 +1,57 @@
+"""Similarity-search tests: brute-force exactness, LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.filter(F.col("vec_id") % 100 == 0)
+
+
+def test_bruteforce_topk(embeddings, queries):
+    out = sim.knn_bruteforce(embeddings, queries, k=5).collect()
+    n_queries = queries.count()
+    assert len(out) == 5 * n_queries
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_planes_deterministic():
+    p1 = sim.lsh_planes()
+    p2 = sim.lsh_planes()
+    assert p1 == p2
+    assert len(p1) == sim.LSH_BITS and len(p1[0]) == sim.EMBED_DIM
+    assert all(-1.0 <= v <= 1.0 for row in p1 for v in row)
+
+
+def test_lsh_recall_vs_bruteforce(embeddings, queries):
+    exact = sim.knn_bruteforce(embeddings, queries, k=5).collect()
+    approx = sim.knn_lsh(embeddings, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 16-bit/4-band LSH on 500 random vectors: recall is imperfect by
+    # design but must be well above chance (5/500 = 1%)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # every returned neighbor must carry a correct exact cosine
+    for r in approx[:20]:
+        assert -1.0 <= r.cosine <= 1.0

@@ -1,0 +1,47 @@
+"""Structured Streaming tests: streaming conversion + windowed stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.plans.inference import infer_schema
+from tabular_to_parquet_spark.streaming import (
+    stream_convert_directory,
+    windowed_event_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_convert_directory(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.csv").write_text("i,f\n1,1.5\n2,2.5\n")
+    (in_dir / "b.csv").write_text("i,f\n3,3.5\nNA,null\n")
+
+    names, types = infer_schema(str(in_dir / "a.csv"), ",")
+    q = stream_convert_directory(
+        spark, str(in_dir), names, types,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = sorted([tuple(r) for r in out.collect()], key=lambda t: (t[0] is None, t[0]))
+    assert rows == [(1, 1.5), (2, 2.5), (3, 3.5), (None, None)]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "double"]
+
+
+def test_windowed_event_stats_matches_batch(spark):
+    stream_out = windowed_event_stats(spark, f"{SF}/events.parquet",
+                                      query_name="wstats_test")
+    from tabular_to_parquet_spark.sources.tables import load_table
+    from tabular_to_parquet_spark.streaming.streams import windowed_event_stats_frame
+
+    batch = windowed_event_stats_frame(load_table(spark, SF, "events"))
+    s = {(r.window_start, r.event_type): (r.n_events, r.value_cents)
+         for r in stream_out.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, r.value_cents)
+         for r in batch.collect()}
+    assert s == b
+    assert sum(v[0] for v in s.values()) == 1000  # every event in a window

@@ -1,0 +1,68 @@
+"""Text-analysis operator tests over the sf0.001 documents table."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import text_analysis as ta
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([(" a  b c ",), ("", ), ("one",)], "text string")
+    out = df.select(ta.token_count(F.col("text")).alias("n")).collect()
+    assert [r.n for r in out] == [3, 0, 1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(ta.word_shingles(F.col("text")).alias("s")).collect()[0].s
+    assert out == ["a b c", "b c d"]
+    # repeated shingles are deduped
+    df = spark.createDataFrame([("x y x y x y",)], "text string")
+    out = df.select(ta.word_shingles(F.col("text")).alias("s")).collect()[0].s
+    assert sorted(out) == ["x y x", "y x y"]
+
+
+def test_quality_on_documents(docs):
+    q = ta.quality(docs).collect()
+    assert len(q) == 500
+    for r in q[:50]:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a hat"),
+         (2, "le chat est sur la table et il est un chat"),
+         (3, "der hund ist nicht mit der katze und das haus"),
+         (4, "zzz qqq www")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in ta.lang_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_matches_hashlib(spark):
+    df = spark.createDataFrame([(1, "  Hello   World  ")], "doc_id long, text string")
+    r = ta.fingerprint(df).collect()[0]
+    want_md5 = hashlib.md5(b"hello world").hexdigest()
+    assert r.fp_md5 == want_md5
+    assert r.fp_i64 == int(want_md5[:15], 16)
+
+
+def test_source_stats(docs):
+    out = ta.source_stats(docs).collect()
+    assert sum(r.n_docs for r in out) == 500
+    assert all(r.total_tokens > 0 for r in out)
