@@ -92,11 +92,15 @@ def parse_uint64(c: Column, as_decimal: bool = False) -> Column:
     UINT(64).
     """
     d = _decimal38(c)
-    in_range = (d >= 0) & (d <= F.lit(Decimal(U64_MAX)))
     if as_decimal:
+        in_range = (d >= 0) & (d <= F.lit(Decimal(U64_MAX)))
         out = F.when(in_range, d.cast(T.DecimalType(20, 0)))
     else:
-        out = F.when(in_range, d.cast("long"))
+        # LongType lowering cannot represent (i64::MAX, u64::MAX]; such
+        # values (absent from the inference sample by construction) become
+        # NULL instead of overflowing — documented divergence from the
+        # reference, which stores them in a true UInt64 column.
+        out = F.when(d.between(0, I64_MAX), d.cast("long"))
     return F.when(~is_null_token(c), out)
 
 
@@ -171,6 +175,9 @@ def parse_timestamp_ms(c: Column) -> Column:
     base3 = F.try_to_timestamp(t, F.lit("yyyy/M/d H:m:s"))
 
     # --- 3. integer epoch windows ------------------------------------------
+    # try_cast on the final narrowing: ANSI mode is on, and an unguarded
+    # cast would *throw* on pathological ns-epochs beyond i64 ms range
+    # (the reference wrap-casts those to garbage; we null them instead)
     d = _decimal38(c)
     ms_epoch = (
         F.when(d.between(1_000_000_000, 3_999_999_999), (d * 1000).cast("long"))
@@ -179,7 +186,7 @@ def parse_timestamp_ms(c: Column) -> Column:
             d.between(1_000_000_000_000_000, 3_999_999_999_999_999),
             F.floor(d / 1000).cast("long"),
         )
-        .when(d >= 1_000_000_000_000_000_000, F.floor(d / 1_000_000).cast("long"))
+        .when(d >= 1_000_000_000_000_000_000, F.floor(d / 1_000_000).try_cast("long"))
     )
 
     out = F.coalesce(
@@ -205,9 +212,9 @@ def parse_timestamp(c: Column, unit: str = "ms") -> Column:
     if unit == "s":
         # Rust i64 `/` truncates toward zero; double-division + cast('long')
         # reproduces that (values ≪ 2^53 so the division is exact enough)
-        us = (ms / 1000).cast("long") * 1_000_000
+        us = F.try_multiply((ms / 1000).try_cast("long"), F.lit(1_000_000))
     elif unit in ("ms", "us", "ns"):
-        us = ms * 1000
+        us = F.try_multiply(ms, F.lit(1000))
     else:  # pragma: no cover
         raise ValueError(f"unknown timestamp unit: {unit}")
     return F.timestamp_micros(us).cast(T.TimestampNTZType())

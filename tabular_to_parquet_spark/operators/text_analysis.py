@@ -52,12 +52,14 @@ def word_shingles(c: Column, w: int = 3) -> Column:
     shingle = lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(w)]
     )
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (w - 1), F.lit(0))),
-            shingle,
-        )
-    )
+    # guard: sequence(1, 0) would be DESCENDING in Spark — short docs
+    # (< w tokens) get an empty shingle set instead
+    return F.when(
+        F.size(toks) >= w,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (w - 1)), shingle)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(c: Column) -> Column:

@@ -57,9 +57,11 @@ def test_int64(spark):
 
 
 def test_uint64_long(spark):
-    vals = ["0", "7", "-1", "9223372036854775807", "1.0", ""]
+    # long-mode lowering: values above i64::MAX null out (documented
+    # divergence; the decimal lowering below keeps full u64 range)
+    vals = ["0", "7", "-1", "9223372036854775807", "9223372036854775808", "1.0", ""]
     got = run_parser(spark, parse_uint64, vals)
-    assert got == [0, 7, None, 2**63 - 1, None, None]
+    assert got == [0, 7, None, 2**63 - 1, None, None, None]
 
 
 def test_uint64_decimal(spark):
@@ -157,3 +159,14 @@ def test_string_passthrough(spark):
 def test_binary(spark):
     got = run_parser(spark, parse_binary, ["abc", "NULL"])
     assert got == [bytearray(b"abc"), None]
+
+
+def test_pathological_epochs_null_not_crash(spark):
+    # ANSI mode is on: these must NULL, never throw (overflow guards)
+    vals = ["9" * 30, "9" * 38, "1" + "0" * 37, "99999999999999999999999"]
+    got_ms = run_parser(spark, parse_timestamp_ms, vals)
+    # the 23-digit value: /1e6 → 1e17 ms fits i64 (reference-identical);
+    # the rest exceed i64 ms and null out instead of crashing
+    assert got_ms == [None, None, None, 99999999999999999]
+    got_ts = run_parser(spark, parse_timestamp, vals, unit="ns")
+    assert got_ts == [None, None, None, None]  # µs overflow → NULL

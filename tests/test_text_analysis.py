@@ -66,3 +66,9 @@ def test_source_stats(docs):
     out = ta.source_stats(docs).collect()
     assert sum(r.n_docs for r in out) == 500
     assert all(r.total_tokens > 0 for r in out)
+
+
+def test_word_shingles_short_docs(spark):
+    df = spark.createDataFrame([("a b",), ("a",), ("",)], "text string")
+    out = df.select(ta.word_shingles(F.col("text")).alias("s")).collect()
+    assert [r.s for r in out] == [[], [], []]
