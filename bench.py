@@ -1,0 +1,170 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line on stdout:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the reference's whole product (delimited text -> inference
+-> lenient-cast projection -> zstd parquet, BASELINE.md ~1e4 lines/s)
+plus the scale-path extension operators. Timings exclude one-time
+session startup (same timer placement as the reference,
+src/conversion.rs:33,98) and force full execution via the noop sink
+(no driver collect in the measured path).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tabular_to_parquet_spark.operators import dedup, multimodal, similarity
+from tabular_to_parquet_spark.operators import text_analysis as ta
+from tabular_to_parquet_spark.operators.convert import convert_delimited_to_parquet
+from tabular_to_parquet_spark.plans.inference import infer_schema_distributed
+from tabular_to_parquet_spark.session import get_spark
+from tabular_to_parquet_spark.sources.tables import load_table
+from tabular_to_parquet_spark.sources.text import (
+    read_delimited_as_strings,
+    read_header,
+    sanitize_names,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf() -> float:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:  # pragma: no cover
+        return 0.1
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    work = tempfile.mkdtemp(prefix="bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        return deco
+
+    # -- setup (untimed): materialize lineitem as a CSV file ----------------
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_lines = li.count()
+    csv_dir = os.path.join(work, "lineitem_csv")
+    (
+        li.coalesce(1)
+        .write.option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .csv(csv_dir)
+    )
+    csv_file = glob.glob(os.path.join(csv_dir, "part-*.csv"))[0]
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    events = load_table(spark, SF_DIR, "events")
+    queries = emb.filter(F.expr("vec_id % 50 = 0"))
+
+    # -- the product: full conversion pipeline (sniff+infer+cast+write) ----
+    @timed("convert_csv_to_parquet")
+    def _():
+        convert_delimited_to_parquet(
+            spark, csv_file, os.path.join(work, "lineitem.parquet")
+        )
+
+    # -- distributed full-file inference (one counters agg pass) -----------
+    @timed("infer_schema_full")
+    def _():
+        names = sanitize_names(read_header(csv_file, ","))
+        raw = read_delimited_as_strings(spark, csv_file, ",", names)
+        infer_schema_distributed(raw)
+
+    # -- dedup family -------------------------------------------------------
+    @timed("dedup_exact")
+    def _():
+        _noop(dedup.dedup_exact(docs))
+
+    @timed("minhash_pairs")
+    def _():
+        _noop(dedup.minhash_pairs(docs, threshold=0.5))
+
+    @timed("simhash_pairs")
+    def _():
+        _noop(dedup.simhash_pairs(docs, max_hamming=3))
+
+    # -- similarity search --------------------------------------------------
+    @timed("knn_bruteforce")
+    def _():
+        _noop(similarity.knn_bruteforce(emb, queries, k=5))
+
+    @timed("knn_lsh")
+    def _():
+        _noop(similarity.knn_lsh(emb, queries, k=5))
+
+    # -- text analysis ------------------------------------------------------
+    @timed("text_quality_lang")
+    def _():
+        q = ta.quality(docs)
+        l = ta.lang_id(docs)
+        _noop(q.join(l, "doc_id"))
+
+    # -- event-time windowed aggregation ------------------------------------
+    @timed("event_window_stats")
+    def _():
+        _noop(
+            events.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )
+
+    # -- multimodal plumbing (Arrow-batched mapInPandas) --------------------
+    @timed("media_features")
+    def _():
+        _noop(multimodal.extract_features(multimodal.attach_payload(docs)))
+
+    total = round(sum(timings.values()), 3)
+    conv = timings["convert_csv_to_parquet"]
+    print(
+        f"[bench] {n_lines} lines converted in {conv:.2f}s "
+        f"({n_lines / conv:,.0f} lines/s; reference ~1e4 lines/s)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf(),
+                "lines": n_lines,
+                "convert_lines_per_sec": round(n_lines / conv),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,527 @@
+"""Extension-operator parity catalog (SURVEY.md §7.4).
+
+Registers the training-data-pipeline operators — dedup, similarity
+search, text analysis, multimodal, event windows — into the shared
+``CATALOG`` with DuckDB oracles that re-derive every value
+independently (same md5-derived hashes, same sequential float folds,
+same integer math — see functions/hashing.py and operators/dedup.py
+for the cross-engine determinism rules).
+
+Only scalar output columns (no arrays) so the driver's
+pandas-level compare is type-stable; every count/rank is cast to
+BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.functions.hashing import HEX_CHARS
+from tabular_to_parquet_spark.operators import dedup, multimodal, similarity
+from tabular_to_parquet_spark.operators import text_analysis as ta
+from tabular_to_parquet_spark.parity.catalog import register
+from tabular_to_parquet_spark.sources.tables import load_table
+from tabular_to_parquet_spark.streaming.streams import (
+    windowed_event_stats,
+)
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments — literal transcriptions of the Spark builders
+
+#: whitespace tokens of trim(text), empties removed  (ta.tokens)
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+#: lowercased variant (ta.tokens(F.lower(c)))
+_TOKS_LC = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+#: fingerprint normalization (ta.normalized_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _md5i(expr: str, seed: str | None = None) -> str:
+    if seed is not None:
+        expr = f"('{seed}#' || {expr})"
+    return f"(('0x' || substr(md5({expr}), 1, {HEX_CHARS}))::BIGINT)"
+
+
+def _shingles(toks: str, w: int = 3) -> str:
+    """Distinct w-word shingles of a token list (ta.word_shingles)."""
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(w))
+    return (
+        f"(CASE WHEN len({toks}) >= {w} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {w - 2}), i -> {parts})) "
+        f"ELSE [] END)"
+    )
+
+
+def _dot(a: str, b: str, dim: int = 64) -> str:
+    """Sequential left-to-right double fold == dedup.dot_product."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _cosine(a: str, b: str, dim: int = 64) -> str:
+    return f"({_dot(a, b, dim)} / (sqrt({_dot(a, a, dim)}) * sqrt({_dot(b, b, dim)})))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def _q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", ta.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+register("x01_token_count", f"""
+SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+""")(_q_token_count)
+
+
+def _q_fingerprint(spark, sf_dir):
+    return ta.fingerprint(_docs(spark, sf_dir))
+
+
+register("x02_fingerprint", f"""
+SELECT doc_id, md5({_NORM}) AS fp_md5, {_md5i(_NORM)} AS fp_i64 FROM documents
+""")(_q_fingerprint)
+
+
+def _q_quality(spark, sf_dir):
+    q = ta.quality(_docs(spark, sf_dir))
+    return q.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+_PUNCT_RE = "'[.,;:!?''\"()\\[\\]{}-]'"
+_EN_STOP = ", ".join(f"'{w}'" for w in ta.STOPWORDS["en"])
+
+register("x03_quality", f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CASE WHEN n_tok > 0 THEN n_chars::DOUBLE / n_tok ELSE 0.0 END AS mean_word_len,
+       CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tok_lc > 0 THEN n_stop::DOUBLE / n_tok_lc ELSE 0.0 END AS stopword_ratio,
+       (n_tok BETWEEN 5 AND 100000
+        AND (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) < 0.3
+        AND (CASE WHEN n_tok > 0 THEN n_chars::DOUBLE / n_tok ELSE 0.0 END) >= 2.0
+        AND (CASE WHEN n_tok > 0 THEN n_chars::DOUBLE / n_tok ELSE 0.0 END) <= 20.0)
+           AS is_good
+FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS}) AS n_tok,
+           len({_TOKS_LC}) AS n_tok_lc,
+           length(text) - length(regexp_replace(text, {_PUNCT_RE}, '', 'g')) AS n_punct,
+           len(list_filter({_TOKS_LC}, t -> list_contains([{_EN_STOP}], t))) AS n_stop
+    FROM documents
+)
+""")(_q_quality)
+
+
+def _q_lang_id(spark, sf_dir):
+    return ta.lang_id(_docs(spark, sf_dir))
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in words)}], t)))"
+        for lang, words in ta.STOPWORDS.items()
+    }
+    hit_cols = ", ".join(f"{e} AS h_{lang}" for lang, e in hits.items())
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in ta.LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = {best} THEN '{lang}'"
+        for lang in ta.LANG_ORDER
+    )
+    return f"""
+SELECT doc_id, (CASE {whens} ELSE 'und' END) AS lang_pred
+FROM (SELECT doc_id, {hit_cols}
+      FROM (SELECT doc_id, {_TOKS_LC} AS toks FROM documents))
+"""
+
+
+register("x04_lang_id", _lang_oracle())(_q_lang_id)
+
+
+def _q_source_stats(spark, sf_dir):
+    return ta.source_stats(_docs(spark, sf_dir))
+
+
+register("x05_source_stats", f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY source
+""")(_q_source_stats)
+
+
+# ---------------------------------------------------------------------------
+# dedup — exact
+
+
+def _q_exact_groups(spark, sf_dir):
+    return dedup.exact_groups(_docs(spark, sf_dir))
+
+
+register("d01_exact_groups", f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM documents GROUP BY fp
+""")(_q_exact_groups)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+register("d02_dedup_exact", f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    GROUP BY md5(norm))
+""")(_q_dedup_exact)
+
+
+# ---------------------------------------------------------------------------
+# dedup — MinHash + LSH
+
+_K = dedup.MINHASH_K
+_BANDS = dedup.MINHASH_BANDS
+_ROWS = dedup.MINHASH_ROWS
+
+_MH_COMPONENTS = ", ".join(
+    f"list_min(list_transform(sh, s -> {_md5i('s', f'mh{j}')})) AS mh_{j}"
+    for j in range(_K)
+)
+_SIG_CTE = f"""
+sigs AS (
+    SELECT doc_id, {_MH_COMPONENTS}
+    FROM (SELECT doc_id, {_shingles(_TOKS)} AS sh FROM documents)
+)"""
+_SIG_MD5 = "md5(concat_ws('|', " + ", ".join(f"mh_{j}::VARCHAR" for j in range(_K)) + "))"
+
+
+def _q_minhash_sig(spark, sf_dir):
+    sigs = dedup.minhash_frame(_docs(spark, sf_dir))
+    sig = F.col("sig")
+    return sigs.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("mh_first"),
+        F.element_at(sig, _K).alias("mh_last"),
+        F.md5(
+            F.concat_ws("|", *[F.element_at(sig, j + 1).cast("string") for j in range(_K)])
+        ).alias("sig_md5"),
+    )
+
+
+register("d03_minhash_signature", f"""
+WITH {_SIG_CTE}
+SELECT doc_id, mh_0 AS mh_first, mh_{_K - 1} AS mh_last, {_SIG_MD5} AS sig_md5
+FROM sigs
+""")(_q_minhash_sig)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _mh_band_key(b: int) -> str:
+    cols = ", ".join(f"mh_{b * _ROWS + r}::VARCHAR" for r in range(_ROWS))
+    return f"md5(concat_ws('|', {cols}))"
+
+
+_MH_EQ = " + ".join(
+    f"(CASE WHEN a.mh_{j} IS NOT DISTINCT FROM b.mh_{j} THEN 1 ELSE 0 END)"
+    for j in range(_K)
+)
+
+register("d04_minhash_pairs", f"""
+WITH {_SIG_CTE},
+banded AS (
+    SELECT sigs.*, band,
+           (CASE band {' '.join(f'WHEN {b} THEN {_mh_band_key(b)}' for b in range(_BANDS))} END) AS band_key
+    FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, (({_MH_EQ})::DOUBLE / {float(_K)}) AS est_jaccard
+FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b
+WHERE (({_MH_EQ})::DOUBLE / {float(_K)}) >= 0.5
+""")(_q_minhash_pairs)
+
+
+# ---------------------------------------------------------------------------
+# dedup — SimHash
+
+_SH_BITS = dedup.SIMHASH_BITS
+_SH_BANDS = dedup.SIMHASH_BANDS
+_SH_WIDTH = _SH_BITS // _SH_BANDS
+
+_SIMHASH_EXPR = f"""
+CAST(COALESCE(list_sum(list_transform(range(0, {_SH_BITS}), i ->
+    CASE WHEN COALESCE(list_sum(list_transform(hashes, h ->
+            CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT)"""
+
+_SIMHASH_CTE = f"""
+sims AS (
+    SELECT doc_id, {_SIMHASH_EXPR} AS simhash
+    FROM (SELECT doc_id, list_transform({_TOKS}, t -> {_md5i('t', 'sh')}) AS hashes
+          FROM documents)
+)"""
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash_frame(_docs(spark, sf_dir))
+
+
+register("d05_simhash", f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims")(
+    _q_simhash
+)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+register("d06_simhash_pairs", f"""
+WITH {_SIMHASH_CTE},
+banded AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> (band * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS band_val
+    FROM sims, (SELECT unnest(range(0, {_SH_BANDS})) AS band)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")(_q_simhash_pairs)
+
+
+# ---------------------------------------------------------------------------
+# dedup — exact n-gram Jaccard within lang blocks
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+register("d07_jaccard_pairs", f"""
+WITH docs AS (SELECT doc_id, lang, {_shingles(_TOKS)} AS sh FROM documents),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+    FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       (CASE WHEN un > 0 THEN inter::DOUBLE / un ELSE 0.0 END) AS jaccard
+FROM pairs
+WHERE (CASE WHEN un > 0 THEN inter::DOUBLE / un ELSE 0.0 END) >= 0.5
+""")(_q_jaccard_pairs)
+
+
+# ---------------------------------------------------------------------------
+# dedup — embedding cosine near-dup (label-blocked exact)
+
+
+def _q_embedding_pairs(spark, sf_dir):
+    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
+
+
+register("d08_embedding_dup_pairs", f"""
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+""")(_q_embedding_pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search — brute-force and LSH top-k
+# query set: every 50th vector (deterministic, scale-proportional)
+
+_QFILTER = "vec_id % 50 = 0"
+
+
+def _queries_frame(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.expr(_QFILTER))
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_bruteforce(emb, _queries_frame(emb), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+register("s01_knn_bruteforce", f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_cosine('q.embedding', 'c.embedding')} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.{_QFILTER}
+),
+ranked AS (
+    SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""")(_q_knn_bruteforce)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_lsh(emb, _queries_frame(emb), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_oracle() -> str:
+    planes = similarity.lsh_planes()
+    sig_terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        sig_terms.append(
+            f"(CASE WHEN {_dot('embedding', lit)} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        )
+    sig = " + ".join(sig_terms)
+    w = similarity.LSH_BAND_WIDTH
+    mask = (1 << w) - 1
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, ({sig}) AS lsh_sig FROM embeddings),
+qb AS (
+    SELECT vec_id AS q_id, band, (lsh_sig >> (band * {w})) & {mask} AS band_val
+    FROM sig, (SELECT unnest(range(0, {similarity.LSH_BANDS})) AS band)
+    WHERE {_QFILTER}
+),
+cb AS (
+    SELECT vec_id AS c_id, band, (lsh_sig >> (band * {w})) & {mask} AS band_val
+    FROM sig, (SELECT unnest(range(0, {similarity.LSH_BANDS})) AS band)
+),
+cand AS (
+    SELECT DISTINCT q_id, c_id FROM qb JOIN cb
+      ON qb.band = cb.band AND qb.band_val = cb.band_val AND q_id != c_id
+),
+scored AS (
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           {_cosine('eq.embedding', 'ec.embedding')} AS cosine
+    FROM cand JOIN embeddings eq ON eq.vec_id = q_id
+              JOIN embeddings ec ON ec.vec_id = c_id
+),
+ranked AS (
+    SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+register("s02_knn_lsh", _lsh_oracle())(_q_knn_lsh)
+
+
+# ---------------------------------------------------------------------------
+# event-time windowed aggregation (batch twin of the streaming operator)
+
+
+def _q_event_windows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+            "n_users",
+        )
+    )
+
+
+register("ev01_event_window_stats", """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""")(_q_event_windows)
+
+
+def _q_event_windows_streaming(spark, sf_dir):
+    """True Structured Streaming run (state store, watermark, event-time
+    windows) drained to completion on the static events table.
+    Rows-only check: approx_count_distinct is engine-specific."""
+    return windowed_event_stats(
+        spark, f"{sf_dir}/events.parquet", query_name="ev02_stream"
+    )
+
+
+register("ev02_event_window_stats_streaming", None)(_q_event_windows_streaming)
+
+
+# ---------------------------------------------------------------------------
+# multimodal — binary payload plumbing (text bytes stand in for media)
+
+
+def _q_media_features(spark, sf_dir):
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+register("m01_media_features", """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       lower(hex(substr(text, 1, 4))) AS header_hex,
+       false AS decoded
+FROM documents
+""")(_q_media_features)
+
+
+def _q_media_frames(spark, sf_dir):
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+    )
+
+
+register("m02_media_sample_frames", """
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
+       lower(hex(substr(text, i * 64 + 1, 64))) AS frame_hex
+FROM documents,
+     LATERAL (SELECT unnest(range(0, least(8, greatest(1, length(text) // 64)))) AS i)
+""")(_q_media_frames)
