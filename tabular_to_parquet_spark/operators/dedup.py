@@ -73,24 +73,58 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 # minhash + LSH
 
+#: affine-permutation modulus (Mersenne prime 2^61-1) and base split mask.
+#: h_j(s) = (a_j·lo(s) + b_j·hi(s) + c_j) mod P61 over the 60-bit md5 base
+#: split into two 30-bit halves — every term stays < 2^62, so the math is
+#: exact i64 in Spark AND DuckDB (no overflow, no ANSI throw).
+MINHASH_P61 = (1 << 61) - 1
+MINHASH_LO_MASK = (1 << 30) - 1
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) per permutation, md5-derived so any
+    engine (or oracle author) regenerates them exactly."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (
+            h(f"mh{j}a") % (1 << 30) | 1,
+            h(f"mh{j}b") % (1 << 30) | 1,
+            h(f"mh{j}c") % MINHASH_P61,
+        )
+        for j in range(k)
+    ]
+
+
+def _affine(h: Column, a: int, b: int, c: int) -> Column:
+    lo = h.bitwiseAND(F.lit(MINHASH_LO_MASK))
+    hi = F.shiftright(h, 30)
+    return (F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % F.lit(MINHASH_P61)
+
 
 def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
-    """k-component MinHash signature of the text's word shingles.
+    """k-component MinHash signature as a single projection (Column
+    API twin of :func:`minhash_frame` — identical values).
 
-    Entirely inside one projection: ``array_min(transform(shingles,
-    h_j))`` per component — no explode, no shuffle, linear scan.
+    One md5 base hash per shingle, k cheap affine permutations.
     Empty shingle set → component = NULL (never collides with real
     hashes because band keys include NULL-ness via md5 of the concat).
     """
-    sh = word_shingles(text)
-
     # NB: one-arg lambdas only — PySpark binds extra lambda params to the
     # array index, so `lambda s, j=j:` silently breaks. Closure factory:
-    def hasher(j: int):
-        return lambda s: md5_i64(s, seed=f"mh{j}")
+    bases = F.transform(word_shingles(text), lambda s: md5_i64(s))
+
+    def perm(a: int, b: int, c: int):
+        return lambda h: _affine(h, a, b, c)
 
     return F.array(
-        *[F.array_min(F.transform(sh, hasher(j))) for j in range(k)]
+        *[
+            F.array_min(F.transform(bases, perm(a, b, c)))
+            for a, b, c in minhash_params(k)
+        ]
     )
 
 
@@ -113,8 +147,30 @@ def minhash_bands(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_R
 
 
 def minhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(
-        F.col(id_col), minhash_signature(F.col(text_col)).alias("sig")
+    """Per-doc MinHash signatures via explode + hash-aggregate.
+
+    The scale path: higher-order-function lambdas are interpreted (not
+    codegen'd) in Spark, so instead of per-row array folds this
+    explodes shingles, hashes each ONCE (md5 base), and computes the k
+    permutation minima as plain MIN aggregates — whole-stage codegen
+    end to end. The groupBy shuffle is tiny: map-side partial agg
+    reduces each doc to one k-component row per partition.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col))).alias("_shingle"),
+    )
+    hashed = exploded.select(
+        F.col(id_col), md5_i64(F.col("_shingle")).alias("_h")
+    )
+    aggs = [
+        F.min(_affine(F.col("_h"), a, b, c)).alias(f"_mh{j}")
+        for j, (a, b, c) in enumerate(minhash_params())
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh{j}") for j in range(MINHASH_K)]).alias("sig"),
     )
 
 
@@ -138,7 +194,7 @@ def minhash_pairs(
         F.col(id_col),
         "sig",
         F.posexplode(minhash_bands(F.col("sig"))).alias("band", "band_key"),
-    )
+    ).persist()  # both sides of the self-join reuse the signatures
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -196,7 +252,33 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    """Per-doc SimHash via explode + hash-aggregate (same rationale as
+    :func:`minhash_frame`: codegen'd SUM aggregates instead of
+    interpreted array folds; identical values to :func:`simhash_col`)."""
+    from tabular_to_parquet_spark.operators.text_analysis import tokens
+
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
+    )
+    hashed = exploded.select(
+        F.col(id_col), md5_i64(F.col("_t"), seed="sh").alias("_h")
+    )
+    h = F.col("_h")
+    aggs = [
+        F.sum(
+            F.when(h.isNull(), 0)
+            .when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bits.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -211,7 +293,7 @@ def simhash_pairs(
     identical, so the band equi-join finds every qualifying pair —
     exact result, LSH-join cost.
     """
-    sims = simhash_frame(df, text_col, id_col)
+    sims = simhash_frame(df, text_col, id_col).persist()
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sims.select(
         F.col(id_col),

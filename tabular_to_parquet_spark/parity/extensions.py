@@ -205,14 +205,18 @@ _K = dedup.MINHASH_K
 _BANDS = dedup.MINHASH_BANDS
 _ROWS = dedup.MINHASH_ROWS
 
+#: affine permutations over the 60-bit md5 base (dedup.minhash_params)
 _MH_COMPONENTS = ", ".join(
-    f"list_min(list_transform(sh, s -> {_md5i('s', f'mh{j}')})) AS mh_{j}"
-    for j in range(_K)
+    f"list_min(list_transform(bases, h -> "
+    f"({a} * (h & {dedup.MINHASH_LO_MASK}) + {b} * (h >> 30) + {c}) "
+    f"% {dedup.MINHASH_P61})) AS mh_{j}"
+    for j, (a, b, c) in enumerate(dedup.minhash_params())
 )
 _SIG_CTE = f"""
 sigs AS (
     SELECT doc_id, {_MH_COMPONENTS}
-    FROM (SELECT doc_id, {_shingles(_TOKS)} AS sh FROM documents)
+    FROM (SELECT doc_id, list_transform({_shingles(_TOKS)}, s -> {_md5i('s')}) AS bases
+          FROM documents)
 )"""
 _SIG_MD5 = "md5(concat_ws('|', " + ", ".join(f"mh_{j}::VARCHAR" for j in range(_K)) + "))"
 
