@@ -196,7 +196,16 @@ def minhash_pairs(
         F.posexplode(minhash_bands(F.col("sig"))).alias("band", "band_key"),
     ).persist()  # both sides of the self-join reuse the signatures
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("a.sig", "b.sig", lambda x, y: x.eqNullSafe(y)),
+            lambda m: m,
+        )
+    )
+    est = n_eq.cast("double") / F.lit(float(MINHASH_K))
+    # est is computed BEFORE the pair-dedup so the dedup shuffle carries
+    # (long, long, double) rows, not two 16-component signature arrays
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -206,21 +215,10 @@ def minhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    n_eq = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x.eqNullSafe(y)),
-            lambda m: m,
-        )
-    )
-    est = n_eq.cast("double") / F.lit(float(MINHASH_K))
-    return (
-        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

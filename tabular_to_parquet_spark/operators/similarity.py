@@ -142,16 +142,17 @@ def knn_lsh(
 
     q = banded(queries, "q")
     c = banded(df, "c")
-    cands = (
+    # cosine computed BEFORE the candidate-dedup: the dedup shuffle then
+    # carries (long, long, double) instead of two dim-sized vectors
+    scored = (
         q.join(c, ["band", "band_val"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", "q_v", "c_v")
-        .dropDuplicates(["q_id", "c_id"])
-    )
-    scored = cands.select(
-        F.col("q_id").alias("query_id"),
-        F.col("c_id").alias("neighbor_id"),
-        cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

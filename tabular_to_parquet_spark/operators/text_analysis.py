@@ -42,6 +42,22 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+#: GPT-style pre-tokenizer shape, restricted to the Java-regex ∩ RE2
+#: subset (no lookahead): contraction suffixes, letter runs, digit runs,
+#: punctuation runs. Leftmost-first alternation in both engines.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def bpe_tokens(c: Column) -> Column:
+    """BPE-ish subword pre-tokens (idx=0: whole match; the pattern has
+    no capturing groups)."""
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(c: Column) -> Column:
+    return F.size(bpe_tokens(c))
+
+
 def word_shingles(c: Column, w: int = 3) -> Column:
     """Distinct w-word shingles as strings (basis for Jaccard/MinHash).
 

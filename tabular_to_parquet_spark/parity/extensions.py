@@ -88,6 +88,23 @@ SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
 """)(_q_token_count)
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", ta.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+# SQL single-quote doubling for the literal apostrophe in the pattern
+_BPE_RE_SQL = ta.BPE_TOKEN_RE.replace("'", "''")
+
+register("x06_bpe_token_count", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}', 0)) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+""")(_q_bpe_token_count)
+
+
 def _q_fingerprint(spark, sf_dir):
     return ta.fingerprint(_docs(spark, sf_dir))
 
@@ -492,6 +509,69 @@ def _q_event_windows_streaming(spark, sf_dir):
 
 
 register("ev02_event_window_stats_streaming", None)(_q_event_windows_streaming)
+
+
+# ---------------------------------------------------------------------------
+# P13 — ragged-row repair through the full conversion pipeline: a CSV
+# derived from lineitem with every 7th row missing its last field
+# (→ null) and every other 11th row carrying an extra field (→ dropped);
+# reference analyse.rs:63-105. The oracle computes expected typed values
+# by construction, independent of any CSV machinery.
+
+
+def _q_ragged_conversion(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.operators.convert import (
+        convert_delimited_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.expr("l_orderkey * 10 + l_linenumber")
+    line = (
+        F.when(
+            rid % 7 == 0,
+            F.concat_ws(",", rid.cast("string"), F.col("l_quantity").cast("string")),
+        )
+        .when(
+            rid % 11 == 0,
+            F.concat_ws(
+                ",",
+                rid.cast("string"),
+                F.col("l_quantity").cast("string"),
+                F.col("l_returnflag"),
+                F.lit("EXTRA"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                rid.cast("string"),
+                F.col("l_quantity").cast("string"),
+                F.col("l_returnflag"),
+            )
+        )
+    )
+    lines = li.select(rid.alias("ord"), line.alias("value"))
+    header = spark.createDataFrame([(-1, "row_id,v_num,v_str")], "ord long, value string")
+    tmp = tempfile.mkdtemp(prefix="p13_ragged_")
+    txt_dir = os.path.join(tmp, "csv")
+    header.unionByName(lines).sort("ord").coalesce(1).select("value").write.text(txt_dir)
+    csv_file = glob.glob(os.path.join(txt_dir, "part-*.txt"))[0]
+    out = os.path.join(tmp, "ragged.parquet")
+    convert_delimited_to_parquet(spark, csv_file, out)
+    return spark.read.parquet(out)
+
+
+register("p13_ragged_row_repair", """
+SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS row_id,
+       l_quantity AS v_num,
+       CASE WHEN (l_orderkey * 10 + l_linenumber) % 7 = 0 THEN NULL
+            ELSE l_returnflag END AS v_str
+FROM lineitem
+""")(_q_ragged_conversion)
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,18 @@ def test_word_shingles_short_docs(spark):
     df = spark.createDataFrame([("a b",), ("a",), ("",)], "text string")
     out = df.select(ta.word_shingles(F.col("text")).alias("s")).collect()
     assert [r.s for r in out] == [[], [], []]
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop, it's 42 now!!"), (2, ""), (3, "hello")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.toks, r.n) for r in df.select(
+        "doc_id",
+        ta.bpe_tokens(F.col("text")).alias("toks"),
+        ta.bpe_token_count(F.col("text")).alias("n"),
+    ).collect()}
+    assert out[1] == (["don", "'t", "stop", ",", "it", "'s", "42", "now", "!!"], 9)
+    assert out[2] == ([], 0)
+    assert out[3] == (["hello"], 1)
