@@ -94,7 +94,18 @@ def main(argv: list[str] | None = None) -> int:
         for n, t in zip(res.columns, res.types)
     )
     print(f"schema: {schema_desc}", file=sys.stderr)
-    print(f"conversion done in {res.seconds:.2f}s: {res.output_path}", file=sys.stderr)
+    # exit banner (reference conversion.rs:101-117): rows, throughput,
+    # and per-column parse-error accounting (O5)
+    n_err = sum(res.parse_errors.values())
+    if n_err:
+        worst = {k: v for k, v in res.parse_errors.items() if v}
+        print(f"parse errors (value → NULL): {n_err} across {worst}", file=sys.stderr)
+    rate = res.rows / res.seconds if res.seconds > 0 else 0.0
+    print(
+        f"conversion done: {res.rows} rows in {res.seconds:.2f}s "
+        f"({rate:,.0f} lines/s): {res.output_path}",
+        file=sys.stderr,
+    )
     return 0
 
 

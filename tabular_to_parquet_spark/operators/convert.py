@@ -70,6 +70,41 @@ def typed_frame(
     return raw.select(*cols)
 
 
+def observed_typed_frame(
+    raw: DataFrame, types: list[LogicalType], preserve_order: bool = False
+):
+    """Typed frame + parse-error accounting (O5, reference
+    analyse.rs:15-23 / conversion.rs:101-109).
+
+    The reference counts cast failures in global atomics; the Spark
+    equivalent is ``observe()``: metric aggregates ride the SAME job
+    as the write (no second pass). A cast failure is a value that is
+    not a null-token but came out NULL. Each cast is computed once —
+    the metric reads the aliased output column, not a re-evaluation.
+    """
+    from pyspark.sql import Observation
+
+    from tabular_to_parquet_spark.functions.nulls import is_null_token
+
+    names = list(raw.columns)
+    cols = [cast_expr(F.col(n), lt).alias(n) for n, lt in zip(names, types)]
+    passthrough = [F.col(n).alias(f"__raw_{i}") for i, n in enumerate(names)]
+    extra = [F.monotonically_increasing_id().alias("__row_idx")] if preserve_order else []
+    staged = raw.select(*cols, *passthrough, *extra)
+
+    # index-based metric aliases: immune to collisions with user columns
+    obs = Observation("parse_errors")
+    metrics = [F.count(F.lit(1)).alias("__rows")] + [
+        F.sum(
+            (~is_null_token(F.col(f"__raw_{i}")) & F.col(n).isNull()).cast("long")
+        ).alias(f"__err_{i}")
+        for i, n in enumerate(names)
+    ]
+    staged = staged.observe(obs, *metrics)
+    typed = staged.select(*names, *(["__row_idx"] if preserve_order else []))
+    return typed, obs
+
+
 @dataclass
 class ConvertResult:
     output_path: str
@@ -77,6 +112,9 @@ class ConvertResult:
     types: list[LogicalType]
     delimiter: str
     seconds: float
+    rows: int = 0
+    #: per-column count of non-null input values that cast to NULL (O5)
+    parse_errors: dict[str, int] = None  # type: ignore[assignment]
 
 
 def convert_delimited_to_parquet(
@@ -106,7 +144,7 @@ def convert_delimited_to_parquet(
         names, types = infer_schema(input_path, delim)
 
     raw = read_delimited_as_strings(spark, input_path, delim, names)
-    typed = typed_frame(raw, types, preserve_order=preserve_order)
+    typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)
 
     if preserve_order:
         typed = typed.sort("__row_idx").drop("__row_idx")
@@ -121,12 +159,15 @@ def convert_delimited_to_parquet(
     else:
         writer.parquet(output_path)
 
+    got = obs.get
     return ConvertResult(
         output_path=output_path,
         columns=names,
         types=types,
         delimiter=delim,
         seconds=time.monotonic() - t0,
+        rows=got["__rows"],
+        parse_errors={n: got[f"__err_{i}"] or 0 for i, n in enumerate(names)},
     )
 
 

@@ -116,3 +116,17 @@ def test_cli_end_to_end(tmp_path):
     assert out.exists()
     n = duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
     assert n == 2
+
+
+def test_parse_error_accounting(spark, tmp_path):
+    # O5: non-null-token values that cast to NULL are counted per column
+    src = tmp_path / "errs.csv"
+    clean = [f"{i},{i}.5" for i in range(200)]
+    src.write_text(
+        "i,f\n" + "\n".join(clean) + "\nnotint,notfloat\nbad,4.5\nNA,\n"
+    )
+    out = tmp_path / "errs.parquet"
+    res = convert_delimited_to_parquet(spark, str(src), str(out))
+    assert res.rows == 203
+    # null tokens (NA, empty) are NOT errors; bad casts are
+    assert res.parse_errors == {"i": 2, "f": 1}
