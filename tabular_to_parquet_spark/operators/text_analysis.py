@@ -142,6 +142,59 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+#: winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): char
+#: k-grams of the normalized text, window of w consecutive hashes
+WINNOW_K = 8
+WINNOW_W = 16
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing: hash every
+    char k-gram, slide a w-hash window, keep each window's minimum;
+    the distinct minima are the doc's fingerprint set.
+
+    Plan shape: explode char positions (linear, partition-parallel) →
+    one md5 per k-gram → windowed MIN over (doc, pos) → distinct.
+    The only shuffle is the per-doc sort for the window frame; at
+    100 TB pre-partition the corpus by doc so the sort is local.
+    Guarantee: any shared substring of length ≥ w+k-1 between two docs
+    yields at least one shared fingerprint.
+    """
+    from pyspark.sql import Window as W
+
+    norm = normalized_text(F.col(text_col))
+    base = df.select(F.col(id_col), norm.alias("_norm")).filter(
+        F.length("_norm") >= WINNOW_K
+    )
+    pos = base.select(
+        F.col(id_col),
+        F.col("_norm"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("_norm") - (WINNOW_K - 1))
+        ).alias("_pos"),
+    )
+    hashed = pos.select(
+        F.col(id_col),
+        F.col("_pos"),
+        md5_i64(F.expr(f"substring(_norm, _pos, {WINNOW_K})")).alias("_h"),
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    mins = hashed.select(
+        F.col(id_col),
+        F.min("_h").over(w).alias("fingerprint"),
+        F.col("_pos"),
+        F.max("_pos").over(W.partitionBy(id_col)).alias("_max_pos"),
+    )
+    # keep full windows only: positions past (n_grams - w + 1) would
+    # emit partial-window minima
+    full = mins.filter(F.col("_pos") <= F.col("_max_pos") - (WINNOW_W - 1))
+    return full.select(id_col, "fingerprint").distinct()
+
+
 def normalized_text(c: Column) -> Column:
     """Fingerprint normalization: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

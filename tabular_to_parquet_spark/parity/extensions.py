@@ -23,6 +23,8 @@ from tabular_to_parquet_spark.operators import text_analysis as ta
 from tabular_to_parquet_spark.parity.catalog import register
 from tabular_to_parquet_spark.sources.tables import load_table
 from tabular_to_parquet_spark.streaming.streams import (
+    sessionize_frame,
+    sessionize_stream,
     windowed_event_stats,
 )
 
@@ -169,6 +171,32 @@ FROM (SELECT doc_id, {hit_cols}
 
 
 register("x04_lang_id", _lang_oracle())(_q_lang_id)
+
+
+def _q_winnow(spark, sf_dir):
+    return ta.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+register("x07_winnow_fingerprints", f"""
+WITH grams AS (
+    SELECT doc_id, i AS pos,
+           {_md5i(f'substr(norm, i, {ta.WINNOW_K})')} AS h
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents),
+         LATERAL (SELECT unnest(range(1, length(norm) - {ta.WINNOW_K - 2})) AS i)
+    WHERE length(norm) >= {ta.WINNOW_K}
+),
+mins AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {ta.WINNOW_W - 1} FOLLOWING)
+               AS fingerprint,
+           pos,
+           max(pos) OVER (PARTITION BY doc_id) AS max_pos
+    FROM grams
+)
+SELECT DISTINCT doc_id, fingerprint
+FROM mins WHERE pos <= max_pos - {ta.WINNOW_W - 1}
+""")(_q_winnow)
 
 
 def _q_source_stats(spark, sf_dir):
@@ -509,6 +537,44 @@ def _q_event_windows_streaming(spark, sf_dir):
 
 
 register("ev02_event_window_stats_streaming", None)(_q_event_windows_streaming)
+
+
+def _q_sessionize(spark, sf_dir):
+    return sessionize_frame(load_table(spark, sf_dir, "events"), gap_minutes=240)
+
+
+register("ev03_sessionize", """
+WITH tagged AS (
+    SELECT user_id, ts, value,
+           SUM(CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us > 14400000000 THEN 1
+                    ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM (SELECT *, lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_us
+          FROM events)
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM tagged GROUP BY user_id, session_no
+""")(_q_sessionize)
+
+
+def _q_sessionize_streaming(spark, sf_dir):
+    """Stateful-streaming sessionization (applyInPandasWithState with
+    per-user state + event-time timeout). Rows-only: the bounded test
+    stream ends with the last session per user still open in state."""
+    return sessionize_stream(
+        spark, f"{sf_dir}/events.parquet", gap_minutes=240, query_name="ev04_stream"
+    )
+
+
+register("ev04_sessionize_streaming", None)(_q_sessionize_streaming)
 
 
 # ---------------------------------------------------------------------------

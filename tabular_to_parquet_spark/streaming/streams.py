@@ -86,6 +86,143 @@ def windowed_event_stats_frame(events: DataFrame, window: str = "5 minutes") -> 
     )
 
 
+def sessionize_frame(events: DataFrame, gap_minutes: int = 240) -> DataFrame:
+    """Batch sessionization: per-user sessions split on event-time gaps
+    larger than ``gap_minutes``.
+
+    lag + running-sum window over (user_id, ts) — the classic
+    sessionize plan: ONE shuffle on user_id serves both window passes
+    and the final per-session aggregate (all three are partitioned by
+    user_id, Catalyst reuses the exchange). Gap math is exact integer
+    microseconds; the value sum is integer cents — fully
+    oracle-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    gap_us = gap_minutes * 60_000_000
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess_no = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    tagged = events.select(
+        "user_id", "ts", "value", "event_id", sess_no.alias("session_no")
+    )
+    return (
+        tagged.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+        )
+    )
+
+
+#: output/state schemas for the stateful streaming sessionizer
+_SESSION_OUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_cents long"
+)
+_SESSION_STATE = "start_us long, end_us long, n long, cents long"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 240,
+    watermark: str = "10 minutes",
+    query_name: str = "sessionize_stream",
+) -> DataFrame:
+    """True stateful-streaming sessionization via
+    ``applyInPandasWithState`` (custom per-key state, event-time
+    timeout): sessions CLOSED by a later event are emitted as they
+    close; the final still-open session per user stays in state when
+    the bounded test stream ends (documented streaming/batch delta —
+    on an unbounded stream the event-time timeout flushes it).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tabular_to_parquet_spark.sources.tables import load_events_stream
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        evs = []
+        for pdf in pdf_iter:
+            evs.append(pdf[["ts", "value"]])
+        if evs:
+            ev = pd.concat(evs).sort_values("ts")
+            times = (ev["ts"].astype("datetime64[us]").astype("int64")).tolist()
+            cents = [math.floor(v * 100) for v in ev["value"]]
+            if state.exists:
+                start, end, n, c = state.get
+            else:
+                start = end = None
+                n = c = 0
+            for t_us, cent in zip(times, cents):
+                if start is None:
+                    start, end, n, c = t_us, t_us, 1, cent
+                elif t_us - end > gap_us:
+                    rows.append((user_id, start, end, n, c))
+                    start, end, n, c = t_us, t_us, 1, cent
+                else:
+                    end, n, c = t_us, n + 1, c + cent
+            # a session whose close time is already behind the watermark
+            # can never be extended (later events would be dropped as
+            # late) — emit it now; otherwise keep it in state with an
+            # event-time timeout at close time
+            close_ms = end // 1000 + gap_us // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if close_ms < wm_ms:
+                rows.append((user_id, start, end, n, c))
+                state.remove()
+            else:
+                state.update((start, end, n, c))
+                state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
+        elif state.hasTimedOut and state.exists:
+            start, end, n, c = state.get
+            rows.append((user_id, start, end, n, c))
+            state.remove()
+        out = pd.DataFrame(
+            rows, columns=["user_id", "start_us", "end_us", "n_events", "value_cents"]
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                "n_events": out["n_events"],
+                "value_cents": out["value_cents"],
+            }
+        )
+
+    stream = load_events_stream(spark, events_path).withWatermark("ts", watermark)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
 def windowed_event_stats(
     spark: SparkSession,
     events_path: str,

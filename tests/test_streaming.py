@@ -45,3 +45,24 @@ def test_windowed_event_stats_matches_batch(spark):
          for r in batch.collect()}
     assert s == b
     assert sum(v[0] for v in s.values()) == 1000  # every event in a window
+
+
+def test_sessionize_stream_subset_of_batch(spark):
+    from tabular_to_parquet_spark.sources.tables import load_table
+    from tabular_to_parquet_spark.streaming.streams import (
+        sessionize_frame,
+        sessionize_stream,
+    )
+
+    batch = sessionize_frame(load_table(spark, SF, "events"), gap_minutes=240)
+    b = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.value_cents)
+         for r in batch.collect()}
+    stream_out = sessionize_stream(spark, f"{SF}/events.parquet", gap_minutes=240,
+                                   query_name="sess_test")
+    s = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.value_cents)
+         for r in stream_out.collect()}
+    # every closed streaming session matches the batch result exactly;
+    # only final still-open sessions (≤ one per user) may be missing
+    assert s.items() <= b.items()
+    assert len(b) - len(s) <= batch.select("user_id").distinct().count()
+    assert len(s) > 0

@@ -87,3 +87,22 @@ def test_bpe_token_count(spark):
     assert out[1] == (["don", "'t", "stop", ",", "it", "'s", "42", "now", "!!"], 9)
     assert out[2] == ([], 0)
     assert out[3] == (["hello"], 1)
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    shared = "the winnowing guarantee holds for long shared substrings"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix two"),
+         (3, "entirely different content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    fps = ta.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # len(shared) = 56 >= w + k - 1 = 23 → docs 1 and 2 must share one
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # deterministic across runs
+    fps2 = ta.winnow_fingerprints(df).collect()
+    assert {(r.doc_id, r.fingerprint) for r in fps} == {(r.doc_id, r.fingerprint) for r in fps2}
