@@ -130,3 +130,22 @@ def test_parse_error_accounting(spark, tmp_path):
     assert res.rows == 203
     # null tokens (NA, empty) are NOT errors; bad casts are
     assert res.parse_errors == {"i": 2, "f": 1}
+
+
+def test_unparseable_row_divergence_p14(spark, tmp_path):
+    """P14 pin: the reference DROPS rows its CSV parser rejects
+    (analyse.rs:42-61, e.g. unclosed quotes); Spark's PERMISSIVE reader
+    instead repairs them (quote consumed to end of line, missing fields
+    null). Documented divergence — row COUNT differs from the
+    reference for such rows, value semantics for parseable rows do not.
+    """
+    src = tmp_path / "bad.csv"
+    clean = [f"{i},ok{i}" for i in range(200)]
+    src.write_text("i,s\n" + "\n".join(clean) + '\n998,"unclosed\n999,fine\n')
+    out = tmp_path / "bad.parquet"
+    res = convert_delimited_to_parquet(spark, str(src), str(out))
+    got = duckdb.sql(f"SELECT * FROM '{out}/*.parquet' WHERE i >= 998 ORDER BY i").fetchall()
+    # the unclosed-quote row survives (repaired), unlike the reference
+    assert (998, "unclosed") in got or any(r[0] == 998 for r in got)
+    assert (999, "fine") in got
+    assert res.rows == 202
