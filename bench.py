@@ -127,6 +127,18 @@ def main() -> None:
         l = ta.lang_id(docs)
         _noop(q.join(l, "doc_id"))
 
+    # -- winnowing fingerprints (rolling hash + window-min) ------------------
+    @timed("winnow_fingerprints")
+    def _():
+        _noop(ta.winnow_fingerprints(docs))
+
+    # -- per-user sessionization (lag + running-sum windows) -----------------
+    @timed("sessionize")
+    def _():
+        from tabular_to_parquet_spark.streaming.streams import sessionize_frame
+
+        _noop(sessionize_frame(events, gap_minutes=240))
+
     # -- event-time windowed aggregation ------------------------------------
     @timed("event_window_stats")
     def _():

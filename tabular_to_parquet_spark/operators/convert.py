@@ -136,6 +136,10 @@ def convert_delimited_to_parquet(
     t0 = time.monotonic()
     delim = delimiter or detect_delimiter(input_path)
     names = sanitize_names(read_header(input_path, delim))
+    # width-adaptive output chunking (O1/S6, conversion.rs:52-58,169):
+    # the reference couples block size = parquet row-group size to the
+    # column count; the Spark analogue caps rows per output file
+    block_rows = 250_000 if len(names) <= 20 else 150_000 if len(names) <= 50 else 5_000
 
     if infer_full:
         raw0 = read_delimited_as_strings(spark, input_path, delim, names)
@@ -152,6 +156,8 @@ def convert_delimited_to_parquet(
         typed = typed.coalesce(1)
 
     writer = typed.write.mode("overwrite").option("compression", "zstd")
+    if not single_file:  # single-file contract must yield exactly one part
+        writer = writer.option("maxRecordsPerFile", block_rows)
     if single_file:
         tmp = output_path + "._spark_tmp"
         writer.parquet(tmp)
