@@ -120,6 +120,10 @@ def main() -> None:
     def _():
         _noop(similarity.knn_lsh(emb, queries, k=5))
 
+    @timed("knn_ivf")
+    def _():
+        _noop(similarity.knn_ivf(emb, queries, k=5))
+
     # -- text analysis ------------------------------------------------------
     @timed("text_quality_lang")
     def _():

@@ -110,6 +110,98 @@ def lsh_frame(
     )
 
 
+IVF_CELLS = 16
+IVF_PROBES = 4
+
+
+def ivf_anchors(cells: int = IVF_CELLS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random anchor vectors (md5-derived, same
+    scheme as :func:`lsh_planes`) standing in for k-means centroids.
+    On a real cluster, train centroids with ``pyspark.ml`` KMeans and
+    broadcast them — the search plan below does not change.
+    """
+    return [
+        [((_md5_int(f"ivf{c}_{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for c in range(cells)
+    ]
+
+
+def _cell_scores(vec: Column, anchors: list[list[float]]) -> list[Column]:
+    return [dot_product(vec, _plane_lit(a)) for a in anchors]
+
+
+def ivf_cell(vec: Column, anchors: list[list[float]] | None = None) -> Column:
+    """Index of the best-scoring anchor (argmax dot, lowest index wins
+    ties) — the IVF cell assignment, computed in one projection."""
+    anchors = anchors or ivf_anchors()
+    scores = _cell_scores(vec, anchors)
+    best = F.greatest(*scores)
+    out = F.lit(0)
+    for c in range(len(anchors) - 1, -1, -1):
+        out = F.when(scores[c] == best, F.lit(c)).otherwise(out)
+    return out
+
+
+def ivf_probe_cells(vec: Column, probes: int = IVF_PROBES,
+                    anchors: list[list[float]] | None = None) -> Column:
+    """The ``probes`` best cells for a query vector (array of cell ids,
+    rank order by descending score, index tiebreak)."""
+    anchors = anchors or ivf_anchors()
+    scores = _cell_scores(vec, anchors)
+    # sort by (-score, cell): descending score, ascending cell on ties
+    pairs = F.array(
+        *[F.struct((-s).alias("negscore"), F.lit(c).alias("cell")) for c, s in enumerate(scores)]
+    )
+    ranked = F.array_sort(pairs)
+    return F.transform(F.slice(ranked, 1, probes), lambda p: p["cell"])
+
+
+def knn_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is bucketed by nearest
+    anchor (one projection); each query probes its IVF_PROBES best
+    cells; candidates = equi-join on the cell id.
+
+    Scale story: cell assignment is a projection (no shuffle); the
+    join key is a small int with ~|C|/cells rows per bucket — at
+    100 TB, raise IVF_CELLS so buckets stay executor-sized, or
+    pre-partition/bucket the corpus table BY cell so the probe join
+    is co-located. Recall tunes with IVF_PROBES.
+    """
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    # no pair-dedup needed: each corpus vector lives in exactly one cell,
+    # so a (query, neighbor) pair matches at most once
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     queries: DataFrame,

@@ -495,6 +495,61 @@ FROM ranked WHERE rank <= 5
 register("s02_knn_lsh", _lsh_oracle())(_q_knn_lsh)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_ivf(emb, _queries_frame(emb), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_oracle() -> str:
+    anchors = similarity.ivf_anchors()
+    dots = [
+        _dot("embedding", "[" + ", ".join(repr(v) for v in a) + "]")
+        for a in anchors
+    ]
+    score_cols = ", ".join(f"{d} AS s_{c}" for c, d in enumerate(dots))
+    best = "greatest(" + ", ".join(f"s_{c}" for c in range(len(anchors))) + ")"
+    cell_case = " ".join(
+        f"WHEN s_{c} = {best} THEN {c}" for c in range(len(anchors))
+    )
+    # probe list: rank cells by (score DESC, cell ASC), keep top IVF_PROBES
+    probe_structs = ", ".join(
+        f"{{'negscore': -s_{c}, 'cell': {c}}}" for c in range(len(anchors))
+    )
+    return f"""
+WITH scored_vecs AS (
+    SELECT vec_id, embedding, {score_cols} FROM embeddings
+),
+cells AS (
+    SELECT vec_id, embedding, (CASE {cell_case} END) AS cell FROM scored_vecs
+),
+probes AS (
+    SELECT vec_id AS query_id, p['cell'] AS cell
+    FROM scored_vecs,
+         LATERAL (SELECT unnest(list_slice(list_sort([{probe_structs}]), 1,
+                         {similarity.IVF_PROBES})) AS p)
+    WHERE {_QFILTER}
+),
+cand AS (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           {_cosine('eq.embedding', 'c.embedding')} AS cosine
+    FROM probes JOIN cells c USING (cell)
+                JOIN embeddings eq ON eq.vec_id = query_id
+    WHERE query_id != c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+register("s03_knn_ivf", _ivf_oracle())(_q_knn_ivf)
+
+
 # ---------------------------------------------------------------------------
 # event-time windowed aggregation (batch twin of the streaming operator)
 

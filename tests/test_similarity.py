@@ -55,3 +55,24 @@ def test_lsh_recall_vs_bruteforce(embeddings, queries):
     # every returned neighbor must carry a correct exact cosine
     for r in approx[:20]:
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_ivf_recall_vs_bruteforce(embeddings, queries):
+    exact = sim.knn_bruteforce(embeddings, queries, k=5).collect()
+    approx = sim.knn_ivf(embeddings, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 16 cells / 4 probes = a quarter of the corpus scanned per query
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # each corpus vector belongs to exactly one cell → no duplicate pairs
+    assert len(approx_set) == len(approx)
+
+
+def test_ivf_cell_assignment_total(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    cells = embeddings.select(sim.ivf_cell(F.col("embedding")).alias("cell"))
+    got = {r.cell for r in cells.distinct().collect()}
+    assert got <= set(range(sim.IVF_CELLS))
+    assert len(got) > 1  # anchors actually partition the space
