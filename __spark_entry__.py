@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tabular_to_parquet_spark.sources.tables import _ensure_session_confs
+
+        _ensure_session_confs(spark)  # driver sessions: UTC + ns-parquet
         df = fn(spark, sf_dir)
         return df.orderBy(*[df[c] for c in df.columns])
 

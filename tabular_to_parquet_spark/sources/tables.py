@@ -25,7 +25,19 @@ TABLE_NAMES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make a caller-provided session (e.g. the driver harness's) safe
+    for these tables: ns-parquet read path and UTC timestamp rendering.
+    Both confs are runtime-settable; idempotent."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - never settable-failure in 4.x
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(
@@ -41,6 +53,7 @@ def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
     Spark's file stream source requires a *directory*; a single-file
     path is exposed through a temp directory symlink.
     """
+    _ensure_session_confs(spark)
     static = spark.read.parquet(path)
     if os.path.isfile(path):
         d = tempfile.mkdtemp(prefix="events_stream_")
