@@ -112,6 +112,59 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_TARGET_BYTES = 256
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("target_w", T.IntegerType(), True),
+        T.StructField("target_h", T.IntegerType(), True),
+        T.StructField("resized_n_bytes", T.LongType(), True),
+        T.StructField("resized_md5", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """'Resize' via Arrow-batched mapInPandas.
+
+    STUB decode (no codec in this container): the deterministic fake
+    stride-samples the payload bytes down to ~RESIZE_TARGET_BYTES —
+    the same one-row-in/one-row-out batch shape a real
+    decode→resize→re-encode takes, so schema, batching, and
+    partitioning are fully exercised; at deployment only the
+    per-payload function body changes (PIL resize between decode and
+    md5)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            decode_image(b"")
+            decoded = True  # pragma: no cover
+        except NotImplementedError:
+            decoded = False
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, target_w, target_h, 0, None, decoded))
+                    continue
+                data = bytes(payload)
+                stride = max(1, len(data) // RESIZE_TARGET_BYTES)
+                resized = data[::stride]
+                rows.append(
+                    (mid, target_w, target_h, len(resized),
+                     hashlib.md5(resized).hexdigest(), decoded)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "target_w", "target_h",
+                         "resized_n_bytes", "resized_md5", "decoded"],
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -724,6 +724,31 @@ def _q_media_frames(spark, sf_dir):
     )
 
 
+def _q_media_resize(spark, sf_dir):
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    out = multimodal.resize_media(media, target_w=64, target_h=64)
+    return out.withColumn("target_w", F.col("target_w").cast("long")).withColumn(
+        "target_h", F.col("target_h").cast("long")
+    )
+
+
+register("m03_media_resize", f"""
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS target_w, CAST(64 AS BIGINT) AS target_h,
+       CAST(length(resized) AS BIGINT) AS resized_n_bytes,
+       md5(resized) AS resized_md5,
+       false AS decoded
+FROM (
+    SELECT doc_id,
+           (SELECT string_agg(substr(text, i, 1), '' ORDER BY i)
+            FROM unnest(range(1, length(text) + 1,
+                              greatest(1, length(text) // {multimodal.RESIZE_TARGET_BYTES}))) t(i))
+               AS resized
+    FROM documents
+)
+""")(_q_media_resize)
+
+
 register("m02_media_sample_frames", """
 SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
        lower(hex(substr(text, i * 64 + 1, 64))) AS frame_hex

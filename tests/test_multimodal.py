@@ -53,3 +53,22 @@ def test_sample_frames_bounded(media):
     for frames_nos in per_doc.values():
         assert frames_nos == sorted(frames_nos)
         assert len(frames_nos) <= 4
+
+
+def test_resize_media_stub(spark):
+    import hashlib
+
+    from tabular_to_parquet_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "short")], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in
+           mm.resize_media(mm.attach_payload(df)).collect()}
+    # stride = 1000 // 256 = 3 → ceil(1000/3) = 334 sampled bytes
+    assert out[1].resized_n_bytes == 334
+    assert out[1].resized_md5 == hashlib.md5((b"x" * 1000)[::3]).hexdigest()
+    assert not out[1].decoded  # codec stub: fake path taken
+    # payloads below the target pass through whole (stride 1)
+    assert out[2].resized_n_bytes == 5
+    assert out[2].resized_md5 == hashlib.md5(b"short").hexdigest()
