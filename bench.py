@@ -177,6 +177,7 @@ def main() -> None:
                 "sf": _sf(),
                 "lines": n_lines,
                 "convert_lines_per_sec": round(n_lines / conv),
+                "baseline_ref_lines_per_sec": 10_000,  # BASELINE.md, README.md:127
             }
         )
     )

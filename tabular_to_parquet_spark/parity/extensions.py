@@ -696,6 +696,54 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# S4 — delimiter sniffing through the full pipeline: a TAB-delimited
+# file converted WITHOUT passing a delimiter; the sniffer
+# (sources/sniff.py, reference utils.rs:121-137) must pick '\t' for
+# the end-to-end values to match.
+
+
+def _q_sniff_tsv_conversion(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.operators.convert import (
+        convert_delimited_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.expr("l_orderkey * 10 + l_linenumber")
+    lines = li.select(
+        rid.alias("ord"),
+        F.concat_ws(
+            "\t",
+            rid.cast("string"),
+            F.col("l_extendedprice").cast("string"),
+            F.col("l_linestatus"),
+        ).alias("value"),
+    )
+    header = spark.createDataFrame(
+        [(-1, "row_id\tprice\tstatus")], "ord long, value string"
+    )
+    tmp = tempfile.mkdtemp(prefix="s4_tsv_")
+    txt_dir = os.path.join(tmp, "tsv")
+    header.unionByName(lines).sort("ord").coalesce(1).select("value").write.text(txt_dir)
+    tsv_file = glob.glob(os.path.join(txt_dir, "part-*.txt"))[0]
+    out = os.path.join(tmp, "sniffed.parquet")
+    res = convert_delimited_to_parquet(spark, tsv_file, out)  # no delimiter arg
+    assert res.delimiter == "\t", f"sniffer picked {res.delimiter!r}"
+    return spark.read.parquet(out)
+
+
+register("s4_delimiter_sniff_tsv", """
+SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS row_id,
+       l_extendedprice AS price,
+       l_linestatus AS status
+FROM lineitem
+""")(_q_sniff_tsv_conversion)
+
+
+# ---------------------------------------------------------------------------
 # multimodal — binary payload plumbing (text bytes stand in for media)
 
 
