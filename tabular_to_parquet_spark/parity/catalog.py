@@ -365,15 +365,14 @@ _I1_SHIP_DUCK = "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%g')"
 
 
 def _q_i1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tabular_to_parquet_spark.plans.inference import _counter_exprs
+    from tabular_to_parquet_spark.plans.inference import counters_frame
 
     li = load_table(spark, sf_dir, "lineitem")
     frames = []
     for label, snippet in _I1_COLS.items():
         snippet = snippet or _I1_SHIP_SPARK
         src = li.select(F.expr(snippet).alias("v"))
-        exprs = _counter_exprs("v", 0)
-        agg = src.agg(*exprs).select(
+        agg = counters_frame(src).select(
             F.lit(label).alias("col_label"),
             F.col("nonnull_0").alias("nonnull"),
             F.col("bool_0").alias("bool_ok"),

@@ -298,15 +298,17 @@ _SLASH_YMD_SPARK = r"^\d{4}/\d{1,2}/\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}$"
 _EPOCH_SPARK = r"^[+-]?[0-9]+$"
 
 
-def _counter_exprs(col_name: str, i: int) -> list:
-    """The 14 counters for one column as aggregate expressions (I1)."""
+def _value_exprs(col_name: str, i: int) -> list:
+    """Per-row intermediates for one column (the expensive regex /
+    try_to_timestamp logic), as projection columns. Splitting these out
+    of the aggregate keeps the Aggregate's codegen tiny — the giant
+    expression tree compiles once in a Project stage instead of being
+    replicated into 14 aggregate functions (first-run Janino compile
+    drops severalfold)."""
     c = F.col(col_name)
     nn = ~is_null_token(c)
     t = trimmed(c)
     low = F.lower(t)
-
-    def cnt(pred):
-        return F.sum(F.when(nn & pred, 1).otherwise(0))
 
     bool_ok = low.isin(*(BOOL_TRUE_TOKENS + BOOL_FALSE_TOKENS))
     date_ok = F.coalesce(
@@ -354,21 +356,56 @@ def _counter_exprs(col_name: str, i: int) -> list:
     i128_ok = d38.isNotNull()
 
     return [
+        nn.alias(f"_nn_{i}"),
+        bool_ok.alias(f"_bool_{i}"),
+        date_ok.alias(f"_date_{i}"),
+        ts_unit.alias(f"_unit_{i}"),
+        f64_ok.alias(f"_f64_{i}"),
+        i128_ok.alias(f"_i128_{i}"),
+        (i128_ok & (d38 < 0)).alias(f"_neg_{i}"),
+        (f64_ok & t.rlike(r"[.eE]")).alias(f"_fsyn_{i}"),
+        d38.alias(f"_d38_{i}"),
+        F.length(t).alias(f"_len_{i}"),
+    ]
+
+
+def _agg_exprs(i: int) -> list:
+    """The 14 counters for one column, aggregating the `_value_exprs`
+    intermediates (trivial sums/min/max — tiny codegen)."""
+    nn = F.col(f"_nn_{i}")
+    unit = F.col(f"_unit_{i}")
+    d38 = F.col(f"_d38_{i}")
+
+    def cnt(pred):
+        return F.sum(F.when(nn & pred, 1).otherwise(0))
+
+    return [
         cnt(F.lit(True)).alias(f"nonnull_{i}"),
-        cnt(bool_ok).alias(f"bool_{i}"),
-        cnt(date_ok).alias(f"date_{i}"),
-        cnt(ts_unit == "s").alias(f"ts_s_{i}"),
-        cnt(ts_unit == "ms").alias(f"ts_ms_{i}"),
-        cnt(ts_unit == "us").alias(f"ts_us_{i}"),
-        cnt(ts_unit == "ns").alias(f"ts_ns_{i}"),
-        cnt(f64_ok).alias(f"f64_{i}"),
-        cnt(i128_ok).alias(f"i128_{i}"),
-        cnt(i128_ok & (d38 < 0)).alias(f"neg_{i}"),
-        cnt(f64_ok & t.rlike(r"[.eE]")).alias(f"fsyn_{i}"),
+        cnt(F.col(f"_bool_{i}")).alias(f"bool_{i}"),
+        cnt(F.col(f"_date_{i}")).alias(f"date_{i}"),
+        cnt(unit == "s").alias(f"ts_s_{i}"),
+        cnt(unit == "ms").alias(f"ts_ms_{i}"),
+        cnt(unit == "us").alias(f"ts_us_{i}"),
+        cnt(unit == "ns").alias(f"ts_ns_{i}"),
+        cnt(F.col(f"_f64_{i}")).alias(f"f64_{i}"),
+        cnt(F.col(f"_i128_{i}")).alias(f"i128_{i}"),
+        cnt(F.col(f"_neg_{i}")).alias(f"neg_{i}"),
+        cnt(F.col(f"_fsyn_{i}")).alias(f"fsyn_{i}"),
         F.min(F.when(nn, d38)).alias(f"min_{i}"),
         F.max(F.when(nn, d38)).alias(f"max_{i}"),
-        F.max(F.when(nn, F.length(t))).alias(f"len_{i}"),
+        F.max(F.when(nn, F.col(f"_len_{i}"))).alias(f"len_{i}"),
     ]
+
+
+def counters_frame(df: DataFrame) -> DataFrame:
+    """I1 as one Project (per-value logic) + one Aggregate (counters)
+    over all columns of a string-typed DataFrame."""
+    proj = df.select(
+        *[e for i, n in enumerate(df.columns) for e in _value_exprs(n, i)]
+    )
+    return proj.agg(
+        *[e for i in range(len(df.columns)) for e in _agg_exprs(i)]
+    )
 
 
 def infer_schema_distributed(df: DataFrame) -> list[LogicalType]:
@@ -377,10 +414,7 @@ def infer_schema_distributed(df: DataFrame) -> list[LogicalType]:
     exactly one small row reaches the driver, where the shared decision
     function runs (I2/I3).
     """
-    exprs: list = []
-    for i, name in enumerate(df.columns):
-        exprs.extend(_counter_exprs(name, i))
-    row = df.agg(*exprs).collect()[0].asDict()
+    row = counters_frame(df).collect()[0].asDict()
 
     out: list[LogicalType] = []
     for i in range(len(df.columns)):
