@@ -147,6 +147,17 @@ def convert_delimited_to_parquet(
     else:
         names, types = infer_schema(input_path, delim)
 
+    # split sizing: a lone multi-MB CSV must still fan out across all
+    # cores (default 128 MB splits leave a 60 MB file on ONE task).
+    # Target ~2 splits per core, floor 4 MB, never above the default.
+    import os as _os
+
+    size = _os.path.getsize(input_path)
+    par = spark.sparkContext.defaultParallelism
+    split = min(128 << 20, max(4 << 20, size // max(1, par * 2)))
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
     raw = read_delimited_as_strings(spark, input_path, delim, names)
     typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)
 
@@ -164,6 +175,11 @@ def convert_delimited_to_parquet(
         _promote_single_file(tmp, output_path)
     else:
         writer.parquet(output_path)
+
+    if old_split is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+    else:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     got = obs.get
     return ConvertResult(
