@@ -261,3 +261,44 @@ def test_date_differential(spark, vals):
 @given(vals=VALUES)
 def test_timestamp_ms_differential(spark, vals):
     _diff(vals, _spark_parse(spark, parsers.parse_timestamp_ms, vals), py_ts_ms)
+
+
+@settings(**_SETTINGS)
+@given(
+    cols=st.lists(
+        st.lists(
+            st.one_of(_null_tokens, _int_like, _float_like, _date_like,
+                      _ts_like, _bool_like, _garbage),
+            min_size=20, max_size=60,
+        ),
+        min_size=1, max_size=3,
+    )
+)
+def test_inference_driver_vs_distributed(spark, cols, tmp_path_factory):
+    """I1-I5 coherence: the driver-side sample reader and the
+    distributed counters agg must infer IDENTICAL logical types
+    whenever the file fits inside the sample cap."""
+    import csv as _csv
+
+    from tabular_to_parquet_spark.plans.inference import (
+        infer_schema,
+        infer_schema_distributed,
+    )
+    from tabular_to_parquet_spark.sources.text import read_delimited_as_strings
+
+    n_rows = max(len(c) for c in cols)
+    rows = [
+        [c[i] if i < len(c) else "" for c in cols] for i in range(n_rows)
+    ]
+    p = tmp_path_factory.mktemp("fuzz") / "f.csv"
+    with open(p, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow([f"c{i}" for i in range(len(cols))])
+        w.writerows(rows)
+
+    names, driver_types = infer_schema(str(p), ",")
+    raw = read_delimited_as_strings(spark, str(p), ",", names)
+    dist_types = infer_schema_distributed(raw)
+    assert [
+        (t.kind, t.unit, t.uint_exceeds_i64) for t in driver_types
+    ] == [(t.kind, t.unit, t.uint_exceeds_i64) for t in dist_types]
