@@ -66,6 +66,34 @@ def lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Colum
     return sig
 
 
+def cosine_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched Pandas-UDF cosine — the wide-vector path.
+
+    The ``zip_with`` fold (operators/dedup.py) is interpreted
+    per-element; for high-dim embeddings (≥~1024) a vectorized numpy
+    batch wins. NOT bit-identical to the sequential fold (numpy may
+    reorder the sum), so parity queries keep the fold; pipelines that
+    only threshold/rank can use either.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: `from __future__ import annotations` stringifies hints; they
+    # must still resolve for pandas_udf, hence the local binding below
+    def _cos_impl(xs, ys):
+        xa = np.stack(xs.to_numpy()).astype("float64")
+        ya = np.stack(ys.to_numpy()).astype("float64")
+        num = (xa * ya).sum(axis=1)
+        den = np.sqrt((xa * xa).sum(axis=1)) * np.sqrt((ya * ya).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return pd.Series(num / den)
+
+    _cos_impl.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    _cos = pandas_udf("double")(_cos_impl)
+    return _cos(a, b)
+
+
 def knn_bruteforce(
     df: DataFrame,
     queries: DataFrame,

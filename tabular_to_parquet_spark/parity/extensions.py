@@ -696,6 +696,43 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# J1 — JSON-lines source (format extension): lineitem → ndjson → the
+# SAME inference + cast pipeline → parquet. Oracle derives expected
+# typed values straight from lineitem.
+
+
+def _q_json_roundtrip(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.json_lines import convert_json_to_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="j1_json_")
+    json_dir = os.path.join(tmp, "json")
+    (
+        li.coalesce(1)
+        .write.option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .json(json_dir)
+    )
+    json_file = glob.glob(os.path.join(json_dir, "part-*.json"))[0]
+    out = os.path.join(tmp, "lineitem_json.parquet")
+    convert_json_to_parquet(spark, json_file, out)
+    return spark.read.parquet(out)
+
+
+register("j1_json_source_roundtrip", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem
+""")(_q_json_roundtrip)
+
+
+# ---------------------------------------------------------------------------
 # S4 — delimiter sniffing through the full pipeline: a TAB-delimited
 # file converted WITHOUT passing a delimiter; the sniffer
 # (sources/sniff.py, reference utils.rs:121-137) must pick '\t' for

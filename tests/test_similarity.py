@@ -76,3 +76,50 @@ def test_ivf_cell_assignment_total(spark, embeddings):
     got = {r.cell for r in cells.distinct().collect()}
     assert got <= set(range(sim.IVF_CELLS))
     assert len(got) > 1  # anchors actually partition the space
+
+
+def test_cosine_vectorized_matches_fold(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from tabular_to_parquet_spark.operators.dedup import cosine
+
+    a = embeddings.limit(50).select(
+        F.col("vec_id"), F.col("embedding").alias("va")
+    )
+    b = embeddings.limit(50).select(
+        F.col("vec_id"), F.col("embedding").alias("vb")
+    )
+    both = a.join(b, "vec_id")
+    out = both.select(
+        cosine(F.col("va"), F.col("vb")).alias("fold"),
+        sim.cosine_vectorized(F.col("va"), F.col("vb")).alias("vec"),
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        assert abs(r.fold - r.vec) < 1e-12
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """SCALE.md §2 evidence: two tables bucketed on the join key join
+    WITHOUT any Exchange in the physical plan (co-located join — the
+    100 TB shape for repeated joins on a stable key)."""
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        left = docs.select("doc_id", "lang")
+        right = docs.select("doc_id", "n_chars")
+        (left.write.mode("overwrite").bucketBy(8, "doc_id")
+             .sortBy("doc_id").saveAsTable("bkt.left"))
+        (right.write.mode("overwrite").bucketBy(8, "doc_id")
+              .sortBy("doc_id").saveAsTable("bkt.right"))
+        joined = spark.table("bkt.left").join(spark.table("bkt.right"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
