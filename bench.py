@@ -107,6 +107,10 @@ def main() -> None:
     def _():
         _noop(dedup.minhash_pairs(docs, threshold=0.5))
 
+    @timed("minhash_pairs_fast")
+    def _():
+        _noop(dedup.minhash_pairs(docs, threshold=0.5, fast=True))
+
     @timed("simhash_pairs")
     def _():
         _noop(dedup.simhash_pairs(docs, max_hamming=3))

@@ -4,13 +4,14 @@ Five families, each with an explicit 100 TB story:
 
 - **exact**      — md5-of-normalized-text groupBy. One shuffle on the
                    fingerprint; map-side partial agg keeps it small.
-- **minhash**    — signatures computed per-row inside a projection
-                   (``transform`` + ``array_min`` — NO explode, NO
-                   shuffle); LSH banding turns the quadratic pair
-                   search into an equi-join on (band, band_key). This
-                   is THE scale path for near-dup at 100 TB.
-- **simhash**    — 32-bit signature per row (pure projection); banded
-                   self-join + hamming filter for candidate pairs.
+- **minhash**    — one base hash per shingle + k affine permutations,
+                   aggregated as codegen'd MINs (explode + tiny
+                   doc_id shuffle, map-side combined); LSH banding
+                   turns the quadratic pair search into an equi-join
+                   on (band, band_key). THE scale path for near-dup
+                   at 100 TB; ``fast=True`` → xxhash64 base.
+- **simhash**    — 32-bit signature via codegen'd conditional SUMs;
+                   banded self-join + hamming filter for pairs.
 - **n-gram Jaccard** — exact pairwise similarity inside blocking
                    groups; quadratic per block, so use only behind
                    blocking or as a verifier of LSH candidates.
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tabular_to_parquet_spark.functions.hashing import md5_i64
+from tabular_to_parquet_spark.functions.hashing import fast_i64, md5_i64
 from tabular_to_parquet_spark.operators.text_analysis import (
     normalized_text,
     word_shingles,
@@ -146,7 +147,12 @@ def minhash_bands(sig: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_R
     )
 
 
-def minhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def minhash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
     """Per-doc MinHash signatures via explode + hash-aggregate.
 
     The scale path: higher-order-function lambdas are interpreted (not
@@ -155,14 +161,22 @@ def minhash_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     permutation minima as plain MIN aggregates — whole-stage codegen
     end to end. The groupBy shuffle is tiny: map-side partial agg
     reduces each doc to one k-component row per partition.
+
+    ``fast=True`` swaps the md5 base for ``xxhash64`` (single fused
+    JVM op, no hex/conv detour) — the 100 TB default. Signatures then
+    differ from the DuckDB-reproducible md5 ones (same statistics, no
+    oracle), so the parity catalog pins ``fast=False``.
     """
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(F.col(text_col))).alias("_shingle"),
     )
-    hashed = exploded.select(
-        F.col(id_col), md5_i64(F.col("_shingle")).alias("_h")
+    base = (
+        fast_i64(F.col("_shingle")).bitwiseAND(F.lit((1 << 60) - 1))
+        if fast
+        else md5_i64(F.col("_shingle"))
     )
+    hashed = exploded.select(F.col(id_col), base.alias("_h"))
     aggs = [
         F.min(_affine(F.col("_h"), a, b, c)).alias(f"_mh{j}")
         for j, (a, b, c) in enumerate(minhash_params())
@@ -179,6 +193,7 @@ def minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    fast: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, scored by signature
     agreement (estimated Jaccard).
@@ -189,7 +204,7 @@ def minhash_pairs(
     shuffle join on a short key, skew-safe under AQE. No all-pairs
     product anywhere.
     """
-    sigs = minhash_frame(df, text_col, id_col)
+    sigs = minhash_frame(df, text_col, id_col, fast=fast)
     banded = sigs.select(
         F.col(id_col),
         "sig",

@@ -115,3 +115,21 @@ def test_embedding_dup_pairs(spark, embeddings):
     )
     got = dedup.embedding_dup_pairs(df, threshold=0.999).collect()
     assert len(got) == 1 and abs(got[0].cosine - 1.0) < 1e-12
+
+
+def test_minhash_fast_mode(spark, docs):
+    # xxhash64 base: different signature values, same statistics and
+    # determinism; identical docs still agree on every component
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally unrelated words here now friend")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_pairs(df, threshold=0.9, fast=True).collect()
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(1, 2, 1.0)]
+    s1 = {r.doc_id: r.sig for r in dedup.minhash_frame(docs, fast=True).collect()}
+    s2 = {r.doc_id: r.sig for r in dedup.minhash_frame(docs, fast=True).collect()}
+    assert s1 == s2
+    slow = {r.doc_id: r.sig for r in dedup.minhash_frame(docs).collect()}
+    assert s1 != slow  # different hash family, by design
