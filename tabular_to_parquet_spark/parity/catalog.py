@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from tabular_to_parquet_spark.functions import parsers
-from tabular_to_parquet_spark.functions.hashing import md5_i64_sql
 from tabular_to_parquet_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
