@@ -32,6 +32,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # size shuffles to the machine instead of the 200 default —
+        # the small-SF harness otherwise pays 200-task overhead per
+        # shuffle (AQE may be off in a caller-provided session)
+        cpus = os.cpu_count() or 8
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > cpus * 2:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     except Exception:  # pragma: no cover - never settable-failure in 4.x
         pass
 
