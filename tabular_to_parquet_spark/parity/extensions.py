@@ -696,6 +696,101 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# A* — multi-table analytics (beyond the single-table reference:
+# joins, aggregates, ranking over the star schema — the Spark-native
+# query surface a training-data pipeline gets for free). Money stays
+# in integer cents (floor(x*100) — identical IEEE arithmetic on both
+# engines), averages are one final double division.
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100)
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty_cents", "sum_base_cents",
+        "n_rows",
+        (F.col("sum_qty_cents").cast("double") / F.col("n_rows")).alias("avg_qty_cents"),
+    )
+
+
+register("a1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")(_q_pricing_summary)
+
+
+def _q_orders_by_nation(spark, sf_dir):
+    """orders ⨝ customer ⨝ nation: the dims broadcast (verified —
+    BroadcastHashJoin both times), so the fact scan never shuffles
+    until the final small aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_cents"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+register("a2_orders_by_nation", """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")(_q_orders_by_nation)
+
+
+def _q_top_users(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value_cents").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+register("a3_top_users_per_event_type", """
+WITH per_user AS (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, value_cents, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value_cents DESC, user_id) AS rank
+      FROM per_user)
+WHERE rank <= 5
+""")(_q_top_users)
+
+
+# ---------------------------------------------------------------------------
 # J1 — JSON-lines source (format extension): lineitem → ndjson → the
 # SAME inference + cast pipeline → parquet. Oracle derives expected
 # typed values straight from lineitem.
