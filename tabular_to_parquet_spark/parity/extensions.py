@@ -790,6 +790,71 @@ WHERE rank <= 5
 """)(_q_top_users)
 
 
+def _q_customers_without_orders(spark, sf_dir):
+    """left_anti join — the §2.8 semi/anti family the reference lacks."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+register("a4_customers_without_orders", """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer ANTI JOIN orders ON c_custkey = o_custkey
+""")(_q_customers_without_orders)
+
+
+def _q_segment_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (§2.8 set operations): market segments that
+    have both high-balance and negative-balance customers, and the
+    ones that only have high-balance customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    hi = cust.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    neg = cust.filter(F.col("c_acctbal") < 0).select("c_mktsegment")
+    both = hi.intersect(neg).select(
+        F.col("c_mktsegment"), F.lit("both").alias("bucket")
+    )
+    only_hi = hi.distinct().exceptAll(neg.distinct()).select(
+        F.col("c_mktsegment"), F.lit("high_only").alias("bucket")
+    )
+    return both.unionByName(only_hi)
+
+
+register("a5_segment_set_ops", """
+SELECT c_mktsegment, 'both' AS bucket FROM (
+    SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_mktsegment FROM customer WHERE c_acctbal < 0)
+UNION ALL
+SELECT c_mktsegment, 'high_only' AS bucket FROM (
+    SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < 0)
+""")(_q_segment_set_ops)
+
+
+def _q_rollup_counts(spark, sf_dir):
+    """ROLLUP (§2.8 grouping sets): order counts by status with
+    subtotals and a grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_cents"),
+        )
+    )
+
+
+register("a6_rollup_order_counts", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")(_q_rollup_counts)
+
+
 # ---------------------------------------------------------------------------
 # J1 — JSON-lines source (format extension): lineitem → ndjson → the
 # SAME inference + cast pipeline → parquet. Oracle derives expected
