@@ -17,10 +17,19 @@ from pyspark.sql import functions as F
 #: case-insensitive null tokens after trimming (utils.rs:53-56)
 NULL_TOKENS = ("null", "none", "nan", "n/a", "na")
 
-# Java regex \s ≈ Rust str::trim's whitespace for the ASCII range
-# (space, \t, \n, \x0B, \f, \r) — delimited-text values cannot carry
-# raw \n/\r anyway, so this matches the reference for CSV data.
-_TRIM_RE = r"^\s+|\s+$"
+#: the exact Unicode White_Space set — Rust char::is_whitespace, i.e.
+#: the reference's str::trim (utils.rs:49). Java's plain \s is
+#: ASCII-only, which would let NBSP-padded values slip past the trim
+#: (and disagree with the driver-side Python inference); a literal
+#: enumeration keeps Spark (Java regex), DuckDB (RE2) and Python
+#: (str.strip) bit-identical.
+WHITESPACE = (
+    "\t\n\x0b\x0c\r \x85\xa0 "
+    "           "
+    "    　"
+)
+
+_TRIM_RE = f"^[{WHITESPACE}]+|[{WHITESPACE}]+$"
 
 
 def trimmed(c: Column) -> Column:

@@ -97,9 +97,12 @@ def parse_uint64(c: Column, as_decimal: bool = False) -> Column:
         out = F.when(in_range, d.cast(T.DecimalType(20, 0)))
     else:
         # LongType lowering cannot represent (i64::MAX, u64::MAX]; such
-        # values (absent from the inference sample by construction) become
-        # NULL instead of overflowing — documented divergence from the
-        # reference, which stores them in a true UInt64 column.
+        # values become NULL instead of overflowing — documented
+        # divergence from the reference, which stores them in a true
+        # UInt64 column. With full-scan inference they are absent by
+        # construction (the scan would have picked DECIMAL(20,0)); with
+        # the default 1,000-row sample, later rows CAN exceed i64 — the
+        # loss is counted in parse_errors and warned on (convert.py).
         out = F.when(d.between(0, I64_MAX), d.cast("long"))
     return F.when(~is_null_token(c), out)
 

@@ -14,6 +14,8 @@ codegen over the scan — no shuffle anywhere in this plan (verified via
 
 from __future__ import annotations
 
+import logging
+import os as _os
 import time
 from dataclasses import dataclass
 
@@ -91,6 +93,11 @@ def observed_typed_frame(
     passthrough = [F.col(n).alias(f"__raw_{i}") for i, n in enumerate(names)]
     extra = [F.monotonically_increasing_id().alias("__row_idx")] if preserve_order else []
     staged = raw.select(*cols, *passthrough, *extra)
+    if preserve_order:
+        # the observation must sit ABOVE the sort: a global sort runs a
+        # range-partitioning sampling pass over its child, and metrics
+        # attached below it would ride both passes (rows counted twice)
+        staged = staged.sort("__row_idx")
 
     # index-based metric aliases: immune to collisions with user columns
     obs = Observation("parse_errors")
@@ -101,7 +108,7 @@ def observed_typed_frame(
         for i, n in enumerate(names)
     ]
     staged = staged.observe(obs, *metrics)
-    typed = staged.select(*names, *(["__row_idx"] if preserve_order else []))
+    typed = staged.select(*names)
     return typed, obs
 
 
@@ -134,6 +141,17 @@ def convert_delimited_to_parquet(
     keep Spark's parallel many-part layout — the right shape at scale.
     """
     t0 = time.monotonic()
+    from tabular_to_parquet_spark.session import ensure_utc
+
+    ensure_utc(spark)  # epoch-timestamp casts are session-tz-sensitive
+    if preserve_order and not _os.path.isfile(input_path):
+        # monotonically_increasing_id() restores file order only for a
+        # single file: Spark sorts splits by length across files, so a
+        # glob/directory input has no id↔file-position correspondence
+        raise ValueError(
+            "preserve_order requires a single input file; "
+            f"got a non-file path: {input_path!r}"
+        )
     delim = delimiter or detect_delimiter(input_path)
     names = sanitize_names(read_header(input_path, delim))
     # width-adaptive output chunking (O1/S6, conversion.rs:52-58,169):
@@ -150,38 +168,54 @@ def convert_delimited_to_parquet(
     # split sizing: a lone multi-MB CSV must still fan out across all
     # cores (default 128 MB splits leave a 60 MB file on ONE task).
     # Target ~2 splits per core, floor 4 MB, never above the default.
-    import os as _os
-
     size = _os.path.getsize(input_path)
     par = spark.sparkContext.defaultParallelism
     split = min(128 << 20, max(4 << 20, size // max(1, par * 2)))
     old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
-    raw = read_delimited_as_strings(spark, input_path, delim, names)
-    typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)
+    try:
+        raw = read_delimited_as_strings(spark, input_path, delim, names)
+        # ordering (when requested) happens inside observed_typed_frame,
+        # below the observation point
+        typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)
 
-    if preserve_order:
-        typed = typed.sort("__row_idx").drop("__row_idx")
-    if single_file:
-        typed = typed.coalesce(1)
+        if single_file:
+            typed = typed.coalesce(1)
 
-    writer = typed.write.mode("overwrite").option("compression", "zstd")
-    if not single_file:  # single-file contract must yield exactly one part
-        writer = writer.option("maxRecordsPerFile", block_rows)
-    if single_file:
-        tmp = output_path + "._spark_tmp"
-        writer.parquet(tmp)
-        _promote_single_file(tmp, output_path)
-    else:
-        writer.parquet(output_path)
-
-    if old_split is not None:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
-    else:
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        writer = typed.write.mode("overwrite").option("compression", "zstd")
+        if not single_file:  # single-file contract must yield exactly one part
+            writer = writer.option("maxRecordsPerFile", block_rows)
+        if single_file:
+            tmp = output_path + "._spark_tmp"
+            writer.parquet(tmp)
+            _promote_single_file(tmp, output_path)
+        else:
+            writer.parquet(output_path)
+    finally:
+        # a caller-provided session must not keep the mutated conf if
+        # the inference/write throws
+        if old_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     got = obs.get
+    # sample-based inference can pick the LongType uint64 lowering from a
+    # sample whose max fits i64 while LATER rows exceed it; those values
+    # null out (counted in parse_errors) — surface the silent loss
+    if not infer_full:
+        for _n, _lt in zip(names, types):
+            if _lt.kind == "uint64" and not _lt.uint_exceeds_i64 and got[
+                f"__err_{names.index(_n)}"
+            ]:
+                logging.getLogger(__name__).warning(
+                    "column %r: %d value(s) outside the sample-inferred "
+                    "int64 range were nulled; re-run with infer_full=True "
+                    "to lower uint64 columns to DECIMAL(20,0)",
+                    _n,
+                    got[f"__err_{names.index(_n)}"],
+                )
     return ConvertResult(
         output_path=output_path,
         columns=names,

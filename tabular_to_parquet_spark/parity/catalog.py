@@ -55,11 +55,23 @@ def register(name: str, oracle: str | None):
 
 ROW_ID = "(l_orderkey * 10 + l_linenumber)"
 
+from tabular_to_parquet_spark.functions.nulls import WHITESPACE
+
+
+def wtrim(expr: str) -> str:
+    """Oracle-side Unicode trim — same White_Space set as the engine's
+    trimmed() (functions/nulls.py); DuckDB's plain trim() is
+    ASCII-space-only and would diverge on NBSP-padded values."""
+    return f"regexp_replace({expr}, '^[{WHITESPACE}]+|[{WHITESPACE}]+$', '', 'g')"
+
+
+_TRIM = wtrim("tok")
+
 #: null-token predicate over a column named tok (oracle side)
-NULLTOK = "(tok IS NULL OR trim(tok) = '' OR lower(trim(tok)) IN ('null','none','nan','n/a','na'))"
+NULLTOK = f"(tok IS NULL OR {_TRIM} = '' OR lower({_TRIM}) IN ('null','none','nan','n/a','na'))"
 
 _INT_RE_SQL = "'^[+-]?[0-9]+$'"
-_D38 = "try_cast(trim(tok) AS DECIMAL(38,0))"
+_D38 = f"try_cast({_TRIM} AS DECIMAL(38,0))"
 
 
 def _case(expr: str, arms: list[str], n: int | None = None) -> str:
@@ -95,7 +107,8 @@ def _oracle(tok_sql: str, out_sql: str) -> str:
 _TOK_NULL = _case(
     ROW_ID,
     ["'NULL'", "'none'", "'NaN'", "' n/a '", "'NA'", "''", "' '",
-     "'keep me'", "CAST(l_orderkey AS STRING)", "'0'", "'false'"],
+     "'keep me'", "CAST(l_orderkey AS STRING)", "'0'", "'false'",
+     "' null '", "' '", "' keep '"],
 )
 
 register("p01_null_normalization", _oracle(
@@ -114,8 +127,8 @@ _TOK_BOOL = _case(
 register("p02_cast_bool", _oracle(
     _TOK_BOOL,
     f"""CASE WHEN {NULLTOK} THEN NULL
-            WHEN lower(trim(tok)) IN ('true','1','t','y','yes','on') THEN true
-            WHEN lower(trim(tok)) IN ('false','0','f','n','no','off') THEN false
+            WHEN lower({_TRIM}) IN ('true','1','t','y','yes','on') THEN true
+            WHEN lower({_TRIM}) IN ('false','0','f','n','no','off') THEN false
             ELSE NULL END""",
 ))(_cast_query(_TOK_BOOL, parsers.parse_bool))
 
@@ -129,14 +142,14 @@ _TOK_INT = _case(
      "'+5'", "' 42 '",
      "'9223372036854775807'", "'9223372036854775808'",
      "'-9223372036854775808'", "'-9223372036854775809'",
-     "'1.5'", "'1e3'", "'abc'", "'NA'",
+     "'1.5'", "'1e3'", "'abc'", "'NA'", "' 7 '",
      "CAST(l_orderkey AS STRING) || CAST(l_partkey AS STRING) || '9999999999999'"],
 )
 
 register("p03_cast_int64", _oracle(
     _TOK_INT,
     f"""CASE WHEN NOT {NULLTOK}
-              AND regexp_matches(trim(tok), {_INT_RE_SQL})
+              AND regexp_matches({_TRIM}, {_INT_RE_SQL})
               AND {_D38} BETWEEN '-9223372036854775808'::DECIMAL(38,0)
                              AND '9223372036854775807'::DECIMAL(38,0)
             THEN CAST({_D38} AS BIGINT) END""",
@@ -156,7 +169,7 @@ _TOK_UINT = _case(
 register("p04_cast_uint64_long", _oracle(
     _TOK_UINT,
     f"""CASE WHEN NOT {NULLTOK}
-              AND regexp_matches(trim(tok), {_INT_RE_SQL})
+              AND regexp_matches({_TRIM}, {_INT_RE_SQL})
               AND {_D38} BETWEEN 0::DECIMAL(38,0)
                              AND '9223372036854775807'::DECIMAL(38,0)
             THEN CAST({_D38} AS BIGINT) END""",
@@ -168,7 +181,7 @@ register("p04_cast_uint64_long", _oracle(
 register("p04_cast_uint64_decimal", _oracle(
     _TOK_UINT,
     f"""CASE WHEN NOT {NULLTOK}
-              AND regexp_matches(trim(tok), {_INT_RE_SQL})
+              AND regexp_matches({_TRIM}, {_INT_RE_SQL})
               AND {_D38} BETWEEN 0::DECIMAL(38,0)
                              AND '18446744073709551615'::DECIMAL(38,0)
             THEN CAST({_D38} AS DECIMAL(20,0))::VARCHAR END""",
@@ -190,9 +203,9 @@ _FLOAT_RE_SQL = r"'^[+-]?(inf(inity)?|nan|([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?
 register("p05_cast_float64", _oracle(
     _TOK_FLOAT,
     f"""CASE WHEN NOT {NULLTOK}
-              AND regexp_matches(trim(tok), {_FLOAT_RE_SQL}, 'i')
-              AND isfinite(try_cast(trim(tok) AS DOUBLE))
-            THEN try_cast(trim(tok) AS DOUBLE) END""",
+              AND regexp_matches({_TRIM}, {_FLOAT_RE_SQL}, 'i')
+              AND isfinite(try_cast({_TRIM} AS DOUBLE))
+            THEN try_cast({_TRIM} AS DOUBLE) END""",
 ))(_cast_query(_TOK_FLOAT, parsers.parse_float64))
 
 # ---------------------------------------------------------------------------
@@ -229,9 +242,9 @@ _TOK_DATE_DUCK = _case(
 register("p06_cast_date", _oracle(
     _TOK_DATE_DUCK,
     f"""CASE WHEN NOT {NULLTOK} THEN strftime(CAST(COALESCE(
-            try_strptime(trim(tok), '%Y-%m-%d'),
-            try_strptime(trim(tok), '%d/%m/%Y'),
-            try_strptime(trim(tok), '%m/%d/%Y')) AS DATE), '%Y-%m-%d') END""",
+            try_strptime({_TRIM}, '%Y-%m-%d'),
+            try_strptime({_TRIM}, '%d/%m/%Y'),
+            try_strptime({_TRIM}, '%m/%d/%Y')) AS DATE), '%Y-%m-%d') END""",
 ))(_q_date)
 
 # ---------------------------------------------------------------------------
@@ -396,7 +409,7 @@ def _q_i1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _i1_oracle_one(label: str, snippet: str) -> str:
-    t = "trim(v)"
+    t = wtrim("v")
     nn = f"NOT (v IS NULL OR {t} = '' OR lower({t}) IN ('null','none','nan','n/a','na'))"
     num = f"try_cast({t} AS DECIMAL(38,0))"
     intre = f"regexp_matches({t}, {_INT_RE_SQL})"

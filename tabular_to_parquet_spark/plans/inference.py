@@ -27,7 +27,12 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, functions as F
 
-from tabular_to_parquet_spark.functions.nulls import NULL_TOKENS, is_null_token, trimmed
+from tabular_to_parquet_spark.functions.nulls import (
+    NULL_TOKENS,
+    WHITESPACE,
+    is_null_token,
+    trimmed,
+)
 from tabular_to_parquet_spark.functions.parsers import (
     BOOL_FALSE_TOKENS,
     BOOL_TRUE_TOKENS,
@@ -148,7 +153,7 @@ def _epoch_unit(t: str) -> str | None:
 
 
 def _is_null_token_py(v: str) -> bool:
-    t = v.strip()
+    t = v.strip(WHITESPACE)
     return t == "" or t.lower() in NULL_TOKENS
 
 
@@ -177,7 +182,7 @@ def observe_value(stats: ColumnStats, value: str) -> None:
     if _is_null_token_py(value):
         return
     stats.nonnull += 1
-    t = value.strip()
+    t = value.strip(WHITESPACE)
     stats.max_len = max(stats.max_len, len(t))
 
     if t.lower() in _BOOL_TOKENS:

@@ -16,6 +16,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin a caller-provided session to UTC at runtime.
+
+    The epoch-integer timestamp path (parsers.parse_timestamp_ms) goes
+    through unix_timestamp/cast, which is session-timezone-sensitive;
+    under a non-UTC session epoch values would shift by the zone offset
+    while text timestamps round-trip — internally inconsistent columns.
+    Sessions built by :func:`get_spark` are already UTC; this covers
+    driver-harness or user sessions entering through the conversion API.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def get_spark(
     app_name: str = "tabular_to_parquet_spark",
     master: str | None = None,

@@ -74,7 +74,9 @@ def convert_json_to_parquet(
         infer_from_rows,
         infer_schema_distributed,
     )
+    from tabular_to_parquet_spark.session import ensure_utc
 
+    ensure_utc(spark)  # epoch-timestamp casts are session-tz-sensitive
     names = read_json_header(input_path)
     raw = read_json_as_strings(spark, input_path, names)
     if infer_full:

@@ -23,6 +23,9 @@ def test_minimum_slice_fixture_mixte(spark, tmp_path):
                                        preserve_order=True)
     assert [t.kind for t in res.types] == ["bool", "date", "float64"]
     assert res.delimiter == ","
+    # rows metric must not double-count under preserve_order (the sort's
+    # range-partitioning sampling pass must not ride the observation)
+    assert res.rows == 2
 
     rows = duckdb.sql(f"SELECT * FROM '{out}' ORDER BY b").fetchall()
     assert rows == [
@@ -149,3 +152,52 @@ def test_unparseable_row_divergence_p14(spark, tmp_path):
     assert (998, "unclosed") in got or any(r[0] == 998 for r in got)
     assert (999, "fine") in got
     assert res.rows == 202
+
+
+def test_non_utc_session_epoch_timestamps(spark, tmp_path):
+    """ADVICE r1: epoch-integer timestamps must not shift under a
+    non-UTC caller session (unix_timestamp is tz-sensitive; the
+    conversion API pins UTC itself)."""
+    src = tmp_path / "epoch.csv"
+    # a timestamp column mixing epoch-integer and text spellings of the
+    # SAME instant: under a non-UTC session the unpinned epoch path used
+    # to shift by the zone offset while the text path did not
+    src.write_text(
+        "i,t\n"
+        + "\n".join(f"{n},1600000000" for n in range(3))
+        + "\n"
+        + "\n".join(f"{n},2020-09-13 12:26:40" for n in range(3, 1000))
+    )
+    out = tmp_path / "epoch.parquet"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        convert_delimited_to_parquet(spark, str(src), str(out))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    vals = duckdb.sql(f"SELECT DISTINCT t FROM '{out}/*.parquet'").fetchall()
+    # both spellings of the same instant must land on the same value
+    assert vals == [(datetime.datetime(2020, 9, 13, 12, 26, 40),)]
+
+
+def test_preserve_order_rejects_multi_file_input(spark, tmp_path):
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n1\n")
+    with pytest.raises(ValueError, match="single input file"):
+        convert_delimited_to_parquet(
+            spark, str(d), str(tmp_path / "o.parquet"), preserve_order=True
+        )
+
+
+def test_max_partition_bytes_restored_on_failure(spark, tmp_path):
+    src = tmp_path / "ok.csv"
+    src.write_text("x\n1\n2\n")
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    # force a write failure: output path is an unwritable location
+    with pytest.raises(Exception):
+        convert_delimited_to_parquet(
+            spark, str(src), "/proc/definitely/not/writable.parquet"
+        )
+    after = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    assert after == before

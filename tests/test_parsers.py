@@ -170,3 +170,32 @@ def test_pathological_epochs_null_not_crash(spark):
     assert got_ms == [None, None, None, 99999999999999999]
     got_ts = run_parser(spark, parse_timestamp, vals, unit="ns")
     assert got_ts == [None, None, None, None]  # µs overflow → NULL
+
+
+# --- Unicode whitespace trim (ADVICE r1: Rust str::trim strips the full
+# --- Unicode White_Space set; Java \s is ASCII-only) ----------------------
+
+def test_unicode_whitespace_null_tokens(spark):
+    vals = ["\xa0null\xa0", "\xa0", "\u2003NaN\u2003", "\u3000", "\xa0keep\xa0"]
+    got = run_parser(spark, normalize_nulls, vals)
+    assert got == [None, None, None, None, "\xa0keep\xa0"]
+
+
+def test_unicode_whitespace_int_cast(spark):
+    # the reference trims NBSP-padded integers before parsing
+    vals = ["\xa07\xa0", "\u20287\u2029", "\x1f7\x1f"]  # \x1f is NOT White_Space
+    got = run_parser(spark, parse_int64, vals)
+    assert got == [7, 7, None]
+
+
+def test_unicode_whitespace_inference_agrees_with_cast(spark):
+    """An NBSP-padded int column must be inferred int-like AND cast
+    successfully (the r1 bug: inference said int64, conversion nulled
+    100% of values)."""
+    from tabular_to_parquet_spark.plans.inference import infer_from_rows
+
+    rows = [["\xa0%d\xa0" % i] for i in range(20)]
+    [lt] = infer_from_rows(1, rows)
+    assert lt.kind in ("int64", "uint64")
+    got = run_parser(spark, parse_int64, [r[0] for r in rows])
+    assert got == list(range(20))
