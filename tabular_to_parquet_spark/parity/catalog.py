@@ -532,4 +532,22 @@ def _q_inferred_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("i3_inferred_schema_decisions", None)(_q_inferred_schema)
+# literal-VALUES oracle: the decision function is deterministic on the
+# lineitem CSV shapes (verified identical at sf0.001/sf0.01 — integer
+# keys all non-negative → uint64 per the schema.rs:276-283 rule, money
+# columns float64, flags string, ms-formatted shipdate → timestamp[ms])
+register("i3_inferred_schema_decisions", """
+SELECT col_name, kind, unit, uint_exceeds_i64 FROM (VALUES
+    ('l_orderkey',      'uint64',    CAST(NULL AS VARCHAR), false),
+    ('l_partkey',       'uint64',    CAST(NULL AS VARCHAR), false),
+    ('l_suppkey',       'uint64',    CAST(NULL AS VARCHAR), false),
+    ('l_linenumber',    'uint64',    CAST(NULL AS VARCHAR), false),
+    ('l_quantity',      'float64',   CAST(NULL AS VARCHAR), false),
+    ('l_extendedprice', 'float64',   CAST(NULL AS VARCHAR), false),
+    ('l_discount',      'float64',   CAST(NULL AS VARCHAR), false),
+    ('l_tax',           'float64',   CAST(NULL AS VARCHAR), false),
+    ('l_returnflag',    'string',    CAST(NULL AS VARCHAR), false),
+    ('l_linestatus',    'string',    CAST(NULL AS VARCHAR), false),
+    ('l_shipdate',      'timestamp', 'ms',                  false)
+) AS t(col_name, kind, unit, uint_exceeds_i64)
+""")(_q_inferred_schema)

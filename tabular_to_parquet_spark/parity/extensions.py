@@ -585,13 +585,24 @@ FROM events GROUP BY 1, 2
 def _q_event_windows_streaming(spark, sf_dir):
     """True Structured Streaming run (state store, watermark, event-time
     windows) drained to completion on the static events table.
-    Rows-only check: approx_count_distinct is engine-specific."""
-    return windowed_event_stats(
+
+    Checked columns are the deterministic aggregates (counts + integer
+    cents); the engine-specific ``approx_users`` sketch column is
+    excluded so the oracle can hash-match the streaming output exactly
+    (complete output mode keeps all window state, so the drained stream
+    equals the batch aggregation row for row)."""
+    out = windowed_event_stats(
         spark, f"{sf_dir}/events.parquet", query_name="ev02_stream"
     )
+    return out.select("window_start", "event_type", "n_events", "value_cents")
 
 
-register("ev02_event_window_stats_streaming", None)(_q_event_windows_streaming)
+register("ev02_event_window_stats_streaming", """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""")(_q_event_windows_streaming)
 
 
 def _q_sessionize(spark, sf_dir):
@@ -622,14 +633,52 @@ FROM tagged GROUP BY user_id, session_no
 
 def _q_sessionize_streaming(spark, sf_dir):
     """Stateful-streaming sessionization (applyInPandasWithState with
-    per-user state + event-time timeout). Rows-only: the bounded test
-    stream ends with the last session per user still open in state."""
+    per-user state + event-time timeout), drained on the bounded events
+    stream. The oracle models the streaming engine's emission rule
+    exactly: a session is emitted when a later event closes it (gap
+    exceeded) or when the event-time watermark passes its close time
+    (timeout in the trailing no-data micro-batch); a user's final
+    session whose close time (end + gap) never falls behind the final
+    watermark (max event time - 10 min) stays open in state."""
     return sessionize_stream(
         spark, f"{sf_dir}/events.parquet", gap_minutes=240, query_name="ev04_stream"
     )
 
 
-register("ev04_sessionize_streaming", None)(_q_sessionize_streaming)
+#: gap = 240 min in ms; watermark delay = 10 min in ms
+_EV04_GAP_MS = 240 * 60_000
+_EV04_WM_MS = 600_000
+
+register("ev04_sessionize_streaming", f"""
+WITH tagged AS (
+    SELECT user_id, ts, value,
+           SUM(CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us > {_EV04_GAP_MS * 1000} THEN 1
+                    ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM (SELECT *, lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_us
+          FROM events)
+),
+sess AS (
+    SELECT user_id, session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM tagged GROUP BY user_id, session_no
+),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) - {_EV04_WM_MS} AS wm_ms FROM events)
+SELECT user_id, session_start, session_end, n_events, value_cents
+FROM sess, wm
+WHERE NOT (
+    session_no = (SELECT max(s2.session_no) FROM sess s2
+                  WHERE s2.user_id = sess.user_id)
+    AND (epoch_us(session_end) // 1000) + {_EV04_GAP_MS} >= wm_ms
+)
+""")(_q_sessionize_streaming)
 
 
 # ---------------------------------------------------------------------------
