@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         help="preserve input row order in the output (reference parity, "
         "conversion.rs:177-189)",
     )
+    ap.add_argument(
+        "--strict-drop",
+        action="store_true",
+        help="drop rows containing invalid UTF-8 instead of repairing "
+        "them (reference parity, conversion.rs:208 / analyse.rs:42-61)",
+    )
     ap.add_argument("--output", help="override the derived output path")
     args = ap.parse_args(argv)
 
@@ -88,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         infer_full=args.infer_full_schema,
         preserve_order=args.preserve_order,
         single_file=args.single_file,
+        strict_drop=args.strict_drop,
     )
     schema_desc = ", ".join(
         f"{n}:{t.kind}{'[' + t.unit + ']' if t.unit else ''}"

@@ -132,6 +132,7 @@ def convert_delimited_to_parquet(
     preserve_order: bool = False,
     single_file: bool = False,
     delimiter: str | None = None,
+    strict_drop: bool = False,
 ) -> ConvertResult:
     """End-to-end conversion (the product surface, main.rs:39-83).
 
@@ -139,6 +140,18 @@ def convert_delimited_to_parquet(
     (conversion.rs:177-189); ``single_file`` additionally coalesces to
     one part-file and renames it to ``output_path`` itself. Defaults
     keep Spark's parallel many-part layout — the right shape at scale.
+
+    ``strict_drop`` (P14 parity, opt-in): the reference's producer reads
+    lines with ``.lines().filter_map(Result::ok)``
+    (conversion.rs:208) — a line that is not valid UTF-8 is silently
+    DROPPED before the CSV parser ever sees it (and the csv crate with
+    ``flexible=true`` on valid UTF-8 essentially never rejects a
+    record, analyse.rs:42-61). Spark decodes invalid bytes to U+FFFD;
+    strict mode drops any row whose raw fields carry that replacement
+    character — a distributed filter, no custom parser. Default (off)
+    keeps Spark's PERMISSIVE repair semantics (documented divergence).
+    Known approximation: a file legitimately containing encoded U+FFFD,
+    or invalid bytes confined to an extra (dropped) field, diverges.
     """
     t0 = time.monotonic()
     from tabular_to_parquet_spark.session import ensure_utc
@@ -176,6 +189,12 @@ def convert_delimited_to_parquet(
 
     try:
         raw = read_delimited_as_strings(spark, input_path, delim, names)
+        if strict_drop:
+            bad = None
+            for n in names:
+                hit = F.coalesce(F.col(n).contains("�"), F.lit(False))
+                bad = hit if bad is None else (bad | hit)
+            raw = raw.filter(~bad)
         # ordering (when requested) happens inside observed_typed_frame,
         # below the observation point
         typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)

@@ -745,6 +745,65 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# P14 — strict unparseable-row drop through the full conversion pipeline:
+# every 13th row of a lineitem-derived CSV gets a raw invalid-UTF-8 byte
+# appended to its last field; strict mode must drop EXACTLY those rows
+# (reference conversion.rs:208 `.lines().filter_map(Result::ok)` — the
+# producer silently drops non-UTF-8 lines). The oracle is fed the same
+# drop rule by construction (rows are corrupt iff row_id % 13 = 0).
+
+
+def _q_strict_drop_conversion(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.operators.convert import (
+        convert_delimited_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.expr("l_orderkey * 10 + l_linenumber")
+    lines = li.select(
+        rid.alias("ord"),
+        F.concat_ws(
+            ",",
+            rid.cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_returnflag"),
+        ).alias("value"),
+    )
+    header = spark.createDataFrame([(-1, "row_id,v_num,v_str")], "ord long, value string")
+    tmp = tempfile.mkdtemp(prefix="p14_strict_")
+    txt_dir = os.path.join(tmp, "csv")
+    header.unionByName(lines).sort("ord").coalesce(1).select("value").write.text(txt_dir)
+    clean = glob.glob(os.path.join(txt_dir, "part-*.txt"))[0]
+    # corrupt marked rows with a raw invalid byte (driver-side byte edit;
+    # Spark strings are always valid UTF-8, so this cannot go through a
+    # DataFrame write)
+    corrupted = os.path.join(tmp, "corrupted.csv")
+    with open(clean, "rb") as fin, open(corrupted, "wb") as fout:
+        for i, ln in enumerate(fin.read().split(b"\n")):
+            if not ln:
+                continue
+            if i > 0 and int(ln.split(b",", 1)[0]) % 13 == 0:
+                ln += b"\xff"
+            fout.write(ln + b"\n")
+    out = os.path.join(tmp, "strict.parquet")
+    convert_delimited_to_parquet(spark, corrupted, out, strict_drop=True)
+    return spark.read.parquet(out)
+
+
+register("p14_strict_unparseable_drop", """
+SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS row_id,
+       l_quantity AS v_num,
+       l_returnflag AS v_str
+FROM lineitem
+WHERE (l_orderkey * 10 + l_linenumber) % 13 <> 0
+""")(_q_strict_drop_conversion)
+
+
+# ---------------------------------------------------------------------------
 # A* — multi-table analytics (beyond the single-table reference:
 # joins, aggregates, ranking over the star schema — the Spark-native
 # query surface a training-data pipeline gets for free). Money stays

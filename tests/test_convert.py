@@ -136,11 +136,11 @@ def test_parse_error_accounting(spark, tmp_path):
 
 
 def test_unparseable_row_divergence_p14(spark, tmp_path):
-    """P14 pin: the reference DROPS rows its CSV parser rejects
-    (analyse.rs:42-61, e.g. unclosed quotes); Spark's PERMISSIVE reader
-    instead repairs them (quote consumed to end of line, missing fields
-    null). Documented divergence — row COUNT differs from the
-    reference for such rows, value semantics for parseable rows do not.
+    """P14 default-mode pin: Spark's PERMISSIVE reader repairs an
+    unclosed-quote row (quote consumed to end of line). NOTE the Rust
+    csv crate is equally lenient with quotes — the reference's actual
+    drop path is the producer's UTF-8 filter (conversion.rs:208),
+    reproduced by strict_drop (test below).
     """
     src = tmp_path / "bad.csv"
     clean = [f"{i},ok{i}" for i in range(200)]
@@ -201,3 +201,26 @@ def test_max_partition_bytes_restored_on_failure(spark, tmp_path):
         )
     after = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     assert after == before
+
+
+def test_strict_drop_invalid_utf8_p14(spark, tmp_path):
+    """P14 strict mode: rows carrying invalid UTF-8 are dropped exactly
+    like the reference producer's .lines().filter_map(Result::ok)
+    (conversion.rs:208); default mode keeps them (repaired with
+    U+FFFD)."""
+    src = tmp_path / "utf8.csv"
+    rows = b"i,s\n" + b"".join(
+        b"%d,ok%d\n" % (i, i) if i % 5 else b"%d,bad\xff\n" % i
+        for i in range(100)
+    )
+    src.write_bytes(rows)
+
+    out1 = tmp_path / "default.parquet"
+    res1 = convert_delimited_to_parquet(spark, str(src), str(out1))
+    assert res1.rows == 100  # repaired, all kept
+
+    out2 = tmp_path / "strict.parquet"
+    res2 = convert_delimited_to_parquet(spark, str(src), str(out2), strict_drop=True)
+    assert res2.rows == 80  # every 5th row dropped
+    kept = duckdb.sql(f"SELECT i FROM '{out2}/*.parquet' ORDER BY i").fetchall()
+    assert [r[0] for r in kept] == [i for i in range(100) if i % 5]
