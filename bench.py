@@ -163,6 +163,13 @@ def main() -> None:
     def _():
         _noop(multimodal.extract_features(multimodal.attach_payload(docs)))
 
+    # -- real-codec decode path (synthetic BMPs → pure-Python decode) -------
+    @timed("media_decode_bmp")
+    def _():
+        _noop(
+            multimodal.decode_image_features(multimodal.attach_bmp_payload(docs))
+        )
+
     total = round(sum(timings.values()), 3)
     conv = timings["convert_csv_to_parquet"]
     print(

@@ -1,0 +1,138 @@
+"""Pure-Python media codecs for the multimodal operators.
+
+Real decoders for two simple, fully public formats — uncompressed
+24-bit BMP (BITMAPINFOHEADER) and PCM-16 mono WAV (RIFF) — so the
+multimodal pipeline exercises genuine byte-level decode/resize work
+even in a container without PIL/ffmpeg. ``decode_image`` in
+multimodal.py prefers Pillow when installed and falls back here.
+
+These are stdlib-only (struct) and deliberately strict: malformed
+headers raise ``ValueError`` so "is this payload decodable" is a real
+signal, not a guess.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap, BITMAPINFOHEADER, 24 bpp, uncompressed)
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")   # magic, size, res, res, offset
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def _row_stride(width: int) -> int:
+    """BMP rows are padded to 4-byte boundaries (24 bpp → 3*w bytes)."""
+    return (width * 3 + 3) & ~3
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode an RGB byte buffer (row-major, top-down, 3 bytes/px) as a
+    bottom-up 24-bit BMP."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    stride = _row_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        base = y * width * 3
+        for x in range(width):
+            r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    pixel_data = b"".join(rows)
+    offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    info = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    head = _BMP_FILE_HEADER.pack(b"BM", offset + len(pixel_data), 0, 0, offset)
+    return head + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit uncompressed BMP → (width, height, top-down RGB
+    bytes). Raises ``ValueError`` on anything it cannot handle."""
+    if len(data) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise ValueError("truncated BMP header")
+    magic, _fsize, _r1, _r2, offset = _BMP_FILE_HEADER.unpack_from(data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    (hsize, width, height, planes, bpp, compression, *_rest) = _BMP_INFO_HEADER.unpack_from(
+        data, _BMP_FILE_HEADER.size
+    )
+    if hsize < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (hsize={hsize}, bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
+        raise ValueError(f"implausible dimensions {width}x{height}")
+    stride = _row_stride(width)
+    if offset + stride * height > len(data):
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = y if top_down else height - 1 - y
+        base = offset + src_row * stride
+        dst = y * width * 3
+        for x in range(width):
+            b, g, r = data[base + 3 * x : base + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def resize_nearest(width: int, height: int, rgb: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resize of a top-down RGB buffer:
+    src_x = (dst_x * width) // tw (floor) — the standard integer map."""
+    out = bytearray(tw * th * 3)
+    for j in range(th):
+        sy = (j * height) // th
+        for i in range(tw):
+            sx = (i * width) // tw
+            s = (sy * width + sx) * 3
+            d = (j * tw + i) * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit mono)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode signed-16-bit mono PCM samples as a canonical WAV file."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, list[int]]:
+    """Decode a PCM-16 mono WAV → (sample_rate, samples). Walks RIFF
+    chunks; raises ``ValueError`` on non-PCM/multi-channel/odd files."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM-16 mono supported")
+        elif cid == b"data":
+            if len(body) % 2:
+                raise ValueError("odd data chunk length")
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples

@@ -63,20 +63,37 @@ def attach_payload(
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode — requires an image codec, absent in this container.
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Real image decode → (width, height, top-down RGB bytes).
 
-    STUB (clearly marked): at deployment, plug PIL/torchvision here;
-    the mapInPandas plumbing around it does not change.
+    Prefers Pillow when installed (any format it knows); otherwise the
+    pure-Python 24-bit BMP decoder (operators/codecs.py) — a genuine
+    byte-level codec, so "decodable" is a real per-payload signal.
+    Raises ``ValueError`` for payloads that are not images.
     """
     try:
-        import PIL.Image  # noqa: F401  (not installed here)
-    except ImportError as exc:  # pragma: no cover - always taken here
-        raise NotImplementedError(
-            "image decoding requires an image codec (e.g. Pillow); "
-            "not available in this environment"
-        ) from exc
-    raise NotImplementedError("real decode path not wired in this build")
+        import io as _io
+
+        import PIL.Image  # not installed in this container
+
+        try:
+            img = PIL.Image.open(_io.BytesIO(payload)).convert("RGB")
+        except Exception as exc:
+            raise ValueError(f"undecodable image: {exc}") from exc
+        return img.width, img.height, img.tobytes()
+    except ImportError:
+        from tabular_to_parquet_spark.operators.codecs import decode_bmp
+
+        return decode_bmp(payload)
+
+
+def _try_decode(payload) -> tuple[int, int, bytes] | None:
+    if payload is None:
+        return None
+    try:
+        return decode_image(bytes(payload))
+    except (ValueError, NotImplementedError):
+        return None
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -90,11 +107,6 @@ def extract_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            try:
-                decode_image(b"")
-                decoded = True  # pragma: no cover
-            except NotImplementedError:
-                decoded = False
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -105,7 +117,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "header_hex": payloads.map(
                         lambda b: bytes(b[:4]).hex() if b is not None else None
                     ),
-                    "decoded": decoded,
+                    # per-payload truth: did a real codec accept these bytes?
+                    "decoded": payloads.map(lambda b: _try_decode(b) is not None),
                 }
             )
 
@@ -127,31 +140,39 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """'Resize' via Arrow-batched mapInPandas.
+    """Resize via Arrow-batched mapInPandas.
 
-    STUB decode (no codec in this container): the deterministic fake
-    stride-samples the payload bytes down to ~RESIZE_TARGET_BYTES —
-    the same one-row-in/one-row-out batch shape a real
-    decode→resize→re-encode takes, so schema, batching, and
-    partitioning are fully exercised; at deployment only the
-    per-payload function body changes (PIL resize between decode and
-    md5)."""
+    Payloads a real codec accepts (BMP here; any PIL format when Pillow
+    is installed) go through decode → nearest-neighbor resize →
+    re-encode; everything else falls back to the deterministic
+    byte-stride sampler, so the operator is total over mixed media
+    tables. Same one-row-in/one-row-out batch shape either way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            decode_image(b"")
-            decoded = True  # pragma: no cover
-        except NotImplementedError:
-            decoded = False
+        from tabular_to_parquet_spark.operators.codecs import (
+            encode_bmp,
+            resize_nearest,
+        )
+
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    rows.append((mid, target_w, target_h, 0, None, decoded))
+                    rows.append((mid, target_w, target_h, 0, None, False))
                     continue
                 data = bytes(payload)
-                stride = max(1, len(data) // RESIZE_TARGET_BYTES)
-                resized = data[::stride]
+                img = _try_decode(data)
+                if img is not None:
+                    w, h, rgb = img
+                    resized = encode_bmp(
+                        target_w, target_h,
+                        resize_nearest(w, h, rgb, target_w, target_h),
+                    )
+                    decoded = True
+                else:
+                    stride = max(1, len(data) // RESIZE_TARGET_BYTES)
+                    resized = data[::stride]
+                    decoded = False
                 rows.append(
                     (mid, target_w, target_h, len(resized),
                      hashlib.md5(resized).hexdigest(), decoded)
@@ -163,6 +184,188 @@ def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataF
             )
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real-codec paths: deterministic synthetic BMP images / WAV clips keyed
+# on the id column, so a SQL oracle can recompute every decoded statistic
+# from the generation formula alone (proving the decoder actually parsed
+# the container format — header layout, bottom-up rows, padding, chunks)
+
+IMG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+    ]
+)
+
+
+def _img_dims(media_id: int) -> tuple[int, int]:
+    return 8 + media_id % 16, 8 + media_id % 12
+
+
+def _img_rgb(media_id: int, w: int, h: int) -> bytes:
+    # channel formulas shared verbatim with the DuckDB oracle
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (
+            (x + y + media_id) % 256,
+            (2 * x + media_id) % 256,
+            (y + 2 * media_id) % 256,
+        )
+    )
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real 24-bit BMP per row (deterministic in the id)."""
+    from tabular_to_parquet_spark.operators.codecs import encode_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads = []
+            for mid in ids:
+                w, h = _img_dims(int(mid))
+                payloads.append(encode_bmp(w, h, _img_rgb(int(mid), w, h)))
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": "image/bmp"}
+            )
+
+    return df.select(id_col).mapInPandas(batches, IMG_SCHEMA)
+
+
+IMG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Decode each payload with the REAL codec and report per-channel
+    pixel sums — exact integers an oracle can recompute."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _try_decode(payload)
+                if img is None:
+                    rows.append((mid, None, None, None, None, None, False))
+                    continue
+                w, h, rgb = img
+                rows.append(
+                    (mid, w, h, sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "r_sum", "g_sum", "b_sum", "decoded"],
+            )
+
+    return df.mapInPandas(batches, IMG_FEATURE_SCHEMA)
+
+
+def resize_image_features(df: DataFrame, target_w: int = 16, target_h: int = 16) -> DataFrame:
+    """Decode → nearest-neighbor resize → per-channel sums of the
+    RESIZED image (decode + geometry both oracle-checkable)."""
+    from tabular_to_parquet_spark.operators.codecs import resize_nearest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _try_decode(payload)
+                if img is None:
+                    rows.append((mid, None, None, None, None, None, False))
+                    continue
+                w, h, rgb = img
+                out = resize_nearest(w, h, rgb, target_w, target_h)
+                rows.append(
+                    (mid, target_w, target_h,
+                     sum(out[0::3]), sum(out[1::3]), sum(out[2::3]), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "r_sum", "g_sum", "b_sum", "decoded"],
+            )
+
+    return df.mapInPandas(batches, IMG_FEATURE_SCHEMA)
+
+
+# --- audio ------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("amp_sum", T.LongType(), True),
+        T.StructField("amp_max", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def _wav_params(media_id: int) -> tuple[int, int]:
+    return 8000 + (media_id % 4) * 4000, 64 + media_id % 128
+
+
+def _wav_samples(media_id: int, n: int) -> list[int]:
+    return [((i * (media_id + 7)) % 2003) - 1001 for i in range(n)]
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real PCM-16 WAV per row (deterministic in the id)."""
+    from tabular_to_parquet_spark.operators.codecs import encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads = []
+            for mid in ids:
+                rate, n = _wav_params(int(mid))
+                payloads.append(encode_wav(rate, _wav_samples(int(mid), n)))
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": "audio/wav"}
+            )
+
+    return df.select(id_col).mapInPandas(batches, IMG_SCHEMA)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Decode each WAV payload with the real RIFF/PCM parser and report
+    exact-integer amplitude statistics."""
+    from tabular_to_parquet_spark.operators.codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(bytes(payload)) if payload is not None else (None, None)
+                except ValueError:
+                    rate, samples = None, None
+                if samples is None:
+                    rows.append((mid, None, None, None, None, False))
+                else:
+                    rows.append(
+                        (mid, rate, len(samples), sum(samples), max(samples), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "amp_sum", "amp_max", "decoded"],
+            )
+
+    return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(

@@ -1102,6 +1102,69 @@ FROM (
 """)(_q_media_resize)
 
 
+# --- real-codec paths: synthetic BMP/WAV payloads decoded by the pure-
+# --- Python codecs (operators/codecs.py); the oracle recomputes every
+# --- statistic from the generation formulas alone, so a hash match
+# --- proves the decoder correctly parsed the container bytes
+
+
+def _q_bmp_decode(spark, sf_dir):
+    media = multimodal.attach_bmp_payload(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
+register("m04_bmp_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 16 AS BIGINT) AS width,
+       CAST(8 + doc_id % 12 AS BIGINT) AS height,
+       CAST(SUM((x + y + doc_id) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((2 * x + doc_id) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((y + 2 * doc_id) % 256) AS BIGINT) AS b_sum,
+       true AS decoded
+FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
+     LATERAL (SELECT unnest(range(0, w)) AS x),
+     LATERAL (SELECT unnest(range(0, h)) AS y)
+GROUP BY doc_id
+""")(_q_bmp_decode)
+
+
+def _q_bmp_resize(spark, sf_dir):
+    media = multimodal.attach_bmp_payload(_docs(spark, sf_dir))
+    return multimodal.resize_image_features(media, target_w=16, target_h=16)
+
+
+register("m05_bmp_resize_features", """
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(SUM((((i * w) // 16) + ((j * h) // 16) + doc_id) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((2 * ((i * w) // 16) + doc_id) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((((j * h) // 16) + 2 * doc_id) % 256) AS BIGINT) AS b_sum,
+       true AS decoded
+FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
+     LATERAL (SELECT unnest(range(0, 16)) AS i),
+     LATERAL (SELECT unnest(range(0, 16)) AS j)
+GROUP BY doc_id
+""")(_q_bmp_resize)
+
+
+def _q_wav_decode(spark, sf_dir):
+    media = multimodal.attach_wav_payload(_docs(spark, sf_dir))
+    return multimodal.decode_audio_features(media)
+
+
+register("m06_wav_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST(64 + doc_id % 128 AS BIGINT) AS n_samples,
+       CAST(SUM((i * (doc_id + 7)) % 2003 - 1001) AS BIGINT) AS amp_sum,
+       CAST(MAX((i * (doc_id + 7)) % 2003 - 1001) AS BIGINT) AS amp_max,
+       true AS decoded
+FROM (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+     LATERAL (SELECT unnest(range(0, n)) AS i)
+GROUP BY doc_id
+""")(_q_wav_decode)
+
+
 register("m02_media_sample_frames", """
 SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
        lower(hex(substr(text, i * 64 + 1, 64))) AS frame_hex

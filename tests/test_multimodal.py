@@ -38,9 +38,15 @@ def test_extract_features_matches_hashlib(spark, media):
         assert feats[doc_id].decoded is False  # codec absent → stub path
 
 
-def test_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+def test_decode_image_real_codec():
+    # no longer a stub: BMP decodes via the pure-Python codec; formats
+    # the builtin codec doesn't know (PNG without Pillow) raise
+    from tabular_to_parquet_spark.operators.codecs import encode_bmp
+
+    w, h, rgb = 4, 2, bytes(range(24))
+    assert mm.decode_image(encode_bmp(w, h, rgb)) == (w, h, rgb)
+    with pytest.raises((ValueError, NotImplementedError)):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + bytes(64))
 
 
 def test_sample_frames_bounded(media):
@@ -72,3 +78,78 @@ def test_resize_media_stub(spark):
     # payloads below the target pass through whole (stride 1)
     assert out[2].resized_n_bytes == 5
     assert out[2].resized_md5 == hashlib.md5(b"short").hexdigest()
+
+
+# --- real codecs (operators/codecs.py) -------------------------------------
+
+def test_bmp_decoder_spec_conformance():
+    """Decode a hand-crafted BMP (built from the spec, not our encoder):
+    bottom-up row order, BGR byte order, 4-byte row padding."""
+    import struct
+
+    from tabular_to_parquet_spark.operators.codecs import decode_bmp
+
+    px = bytes((3, 2, 1, 6, 5, 4)) + b"\x00\x00"  # one row, 2px, padded
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    assert decode_bmp(head + info + px) == (2, 1, bytes((1, 2, 3, 4, 5, 6)))
+    # top-down variant (negative height)
+    info_td = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, len(px), 0, 0, 0, 0)
+    assert decode_bmp(head + info_td + px) == (2, 1, bytes((1, 2, 3, 4, 5, 6)))
+
+
+def test_bmp_roundtrip_and_rejects():
+    import pytest
+
+    from tabular_to_parquet_spark.operators.codecs import decode_bmp, encode_bmp
+
+    w, h = 5, 3
+    rgb = bytes((x * 7 + y * 13 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+    for bad in (b"", b"BMxx", b"not an image at all", bytes(100)):
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_wav_roundtrip_and_rejects():
+    import pytest
+
+    from tabular_to_parquet_spark.operators.codecs import decode_wav, encode_wav
+
+    rate, samples = 16000, [0, -5, 32767, -32768, 1234]
+    assert decode_wav(encode_wav(rate, samples)) == (rate, samples)
+    for bad in (b"", b"RIFF1234WAVX", bytes(50)):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_decode_image_features_end_to_end(spark):
+    from tabular_to_parquet_spark.operators.multimodal import (
+        _img_dims,
+        _img_rgb,
+        attach_bmp_payload,
+        decode_image_features,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = decode_image_features(attach_bmp_payload(docs)).orderBy("media_id").collect()
+    assert len(out) == 20
+    for r in out:
+        w, h = _img_dims(r.media_id)
+        rgb = _img_rgb(r.media_id, w, h)
+        assert r.decoded and (r.width, r.height) == (w, h)
+        assert (r.r_sum, r.g_sum, r.b_sum) == (
+            sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]))
+
+
+def test_text_payloads_do_not_decode(spark):
+    from tabular_to_parquet_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "BMnot really a bitmap"), (2, "plain text")], "doc_id long, text string"
+    )
+    out = extract_features(attach_payload(docs)).collect()
+    assert all(not r.decoded for r in out)
