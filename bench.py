@@ -111,6 +111,13 @@ def main() -> None:
     def _():
         _noop(dedup.minhash_pairs(docs, threshold=0.5, fast=True))
 
+    # warm re-run of the identical plan: first-run wall is dominated by
+    # one-time Janino codegen (amortized at scale); this is the number
+    # that extrapolates to a long-running cluster
+    @timed("minhash_pairs_warm")
+    def _():
+        _noop(dedup.minhash_pairs(docs, threshold=0.5))
+
     @timed("simhash_pairs")
     def _():
         _noop(dedup.simhash_pairs(docs, max_hamming=3))

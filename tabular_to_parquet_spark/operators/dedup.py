@@ -167,6 +167,22 @@ def minhash_frame(
     differ from the DuckDB-reproducible md5 ones (same statistics, no
     oracle), so the parity catalog pins ``fast=False``.
     """
+    comps = _minhash_components(df, text_col, id_col, fast=fast)
+    return comps.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh{j}") for j in range(MINHASH_K)]).alias("sig"),
+    )
+
+
+def _minhash_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Signatures as K separate columns ``_mh0.._mhK-1`` (the join-side
+    layout: per-component columns keep the pair scoring in whole-stage
+    codegen, where an array would force interpreted lambdas)."""
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(F.col(text_col))).alias("_shingle"),
@@ -181,11 +197,7 @@ def minhash_frame(
         F.min(_affine(F.col("_h"), a, b, c)).alias(f"_mh{j}")
         for j, (a, b, c) in enumerate(minhash_params())
     ]
-    sigs = hashed.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_mh{j}") for j in range(MINHASH_K)]).alias("sig"),
-    )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_pairs(
@@ -202,21 +214,35 @@ def minhash_pairs(
     projection; ``explode`` only over BANDS (4) rows per doc; the pair
     generation is an equi-join on (band index, band key) — a plain
     shuffle join on a short key, skew-safe under AQE. No all-pairs
-    product anywhere.
+    product anywhere. Signature agreement is scored as K per-component
+    equality sums (whole-stage codegen) rather than an interpreted
+    ``zip_with`` lambda over signature arrays.
     """
-    sigs = minhash_frame(df, text_col, id_col, fast=fast)
-    banded = sigs.select(
+    comps = _minhash_components(df, text_col, id_col, fast=fast)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_mh{b * MINHASH_ROWS + r}").cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                )
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = comps.select(
         F.col(id_col),
-        "sig",
-        F.posexplode(minhash_bands(F.col("sig"))).alias("band", "band_key"),
+        *[F.col(f"_mh{j}") for j in range(MINHASH_K)],
+        F.posexplode(band_keys).alias("band", "band_key"),
     ).persist()  # both sides of the self-join reuse the signatures
     a, b = banded.alias("a"), banded.alias("b")
-    n_eq = F.size(
-        F.filter(
-            F.zip_with("a.sig", "b.sig", lambda x, y: x.eqNullSafe(y)),
-            lambda m: m,
-        )
-    )
+    n_eq = None
+    for j in range(MINHASH_K):
+        term = F.col(f"a._mh{j}").eqNullSafe(F.col(f"b._mh{j}")).cast("int")
+        n_eq = term if n_eq is None else n_eq + term
     est = n_eq.cast("double") / F.lit(float(MINHASH_K))
     # est is computed BEFORE the pair-dedup so the dedup shuffle carries
     # (long, long, double) rows, not two 16-component signature arrays

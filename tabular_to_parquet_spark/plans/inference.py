@@ -316,7 +316,12 @@ def _value_exprs(col_name: str, i: int) -> list:
     low = F.lower(t)
 
     bool_ok = low.isin(*(BOOL_TRUE_TOKENS + BOOL_FALSE_TOKENS))
-    date_ok = F.coalesce(
+    # cheap shape gate first: And short-circuits in codegen, so the 3
+    # Java parser attempts only run on date-shaped values. The gate is a
+    # strict SUPERSET of every shape the lenient patterns can accept
+    # (yyyy/%Y take 1-4 digits), so it never changes the outcome.
+    date_shape = t.rlike(r"^\d{1,4}[-/]\d{1,2}[-/]\d{1,4}$")
+    date_ok = date_shape & F.coalesce(
         F.try_to_date(t, "yyyy-M-d"),
         F.try_to_date(t, "d/M/yyyy"),
         F.try_to_date(t, "M/d/yyyy"),
@@ -330,13 +335,16 @@ def _value_exprs(col_name: str, i: int) -> list:
     base_ok = F.try_to_timestamp(
         F.concat(date_p, F.lit(" "), time_p), F.lit("yyyy-M-d H:m:s")
     ).isNotNull()
-    text_shape = t.rlike(_RFC3339_SPARK) | t.rlike(_TZ_SPARK) | t.rlike(_NAIVE_DASH_SPARK)
+    # one alternation regex = one compiled pattern + one pass per value
+    text_shape = t.rlike(f"({_RFC3339_SPARK})|({_TZ_SPARK})|({_NAIVE_DASH_SPARK})")
+    # regex first: And short-circuits, so the parser only runs on
+    # slash-shaped values
     slash_ok = (
-        F.try_to_timestamp(t, F.lit("d/M/yyyy H:m:s")).isNotNull()
-        & t.rlike(_SLASH_DMY_SPARK)
+        t.rlike(_SLASH_DMY_SPARK)
+        & F.try_to_timestamp(t, F.lit("d/M/yyyy H:m:s")).isNotNull()
     ) | (
-        F.try_to_timestamp(t, F.lit("yyyy/M/d H:m:s")).isNotNull()
-        & t.rlike(_SLASH_YMD_SPARK)
+        t.rlike(_SLASH_YMD_SPARK)
+        & F.try_to_timestamp(t, F.lit("yyyy/M/d H:m:s")).isNotNull()
     )
     text_valid = (text_shape & base_ok) | slash_ok
     fd = F.length(F.regexp_extract(t, r"^[^.]*\.(\d+)", 1))  # digits after first '.'
@@ -404,7 +412,12 @@ def _agg_exprs(i: int) -> list:
 
 def counters_frame(df: DataFrame) -> DataFrame:
     """I1 as one Project (per-value logic) + one Aggregate (counters)
-    over all columns of a string-typed DataFrame."""
+    over all columns of a string-typed DataFrame.
+
+    Wide format (``nonnull_0`` … ``len_N``) — fine for a handful of
+    columns (the i1 parity query uses it per-column); for full tables
+    prefer :func:`counters_long`, whose codegen size is
+    column-count-independent."""
     proj = df.select(
         *[e for i, n in enumerate(df.columns) for e in _value_exprs(n, i)]
     )
@@ -413,31 +426,53 @@ def counters_frame(df: DataFrame) -> DataFrame:
     )
 
 
+def counters_long(df: DataFrame) -> DataFrame:
+    """I1 in LONG format: one output row per column.
+
+    The per-value expression tree (regexes, timestamp probes) is the
+    expensive part of this plan — and in the wide layout it is
+    codegen-REPLICATED once per column, so first-run Janino compile
+    grows linearly with column count (~15 s cold for 11 columns at
+    sf0.1). Here the columns are unpivoted to ``(col_idx, v)`` rows
+    first (posexplode — same stage, no shuffle), so the tree compiles
+    exactly ONCE regardless of width, and the aggregate is 14 counters
+    grouped by ``col_idx`` (map-side partial agg; N tiny rows to the
+    driver). Total per-value work is identical (rows × columns
+    evaluations either way).
+    """
+    stacked = df.select(
+        F.posexplode(F.array(*[F.col(c) for c in df.columns])).alias("col_idx", "v")
+    )
+    proj = stacked.select("col_idx", *_value_exprs("v", 0))
+    return proj.groupBy("col_idx").agg(*_agg_exprs(0))
+
+
 def infer_schema_distributed(df: DataFrame) -> list[LogicalType]:
     """Full-scan inference as ONE Spark aggregation over a string-typed
     DataFrame (I1 distributed). Partial aggregation happens map-side;
-    exactly one small row reaches the driver, where the shared decision
-    function runs (I2/I3).
+    exactly one small row per column reaches the driver, where the
+    shared decision function runs (I2/I3).
     """
-    row = counters_frame(df).collect()[0].asDict()
+    rows = {r["col_idx"]: r.asDict() for r in counters_long(df).collect()}
 
     out: list[LogicalType] = []
     for i in range(len(df.columns)):
+        row = rows.get(i, {})
         s = ColumnStats(
-            nonnull=row[f"nonnull_{i}"] or 0,
-            bool_ok=row[f"bool_{i}"] or 0,
-            date_ok=row[f"date_{i}"] or 0,
-            ts_s=row[f"ts_s_{i}"] or 0,
-            ts_ms=row[f"ts_ms_{i}"] or 0,
-            ts_us=row[f"ts_us_{i}"] or 0,
-            ts_ns=row[f"ts_ns_{i}"] or 0,
-            f64_ok=row[f"f64_{i}"] or 0,
-            i128_ok=row[f"i128_{i}"] or 0,
-            negatives=row[f"neg_{i}"] or 0,
-            float_syntax_seen=bool(row[f"fsyn_{i}"] or 0),
-            min_i128=int(row[f"min_{i}"]) if row[f"min_{i}"] is not None else I128_MAX,
-            max_i128=int(row[f"max_{i}"]) if row[f"max_{i}"] is not None else I128_MIN,
-            max_len=row[f"len_{i}"] or 0,
+            nonnull=row.get("nonnull_0") or 0,
+            bool_ok=row.get("bool_0") or 0,
+            date_ok=row.get("date_0") or 0,
+            ts_s=row.get("ts_s_0") or 0,
+            ts_ms=row.get("ts_ms_0") or 0,
+            ts_us=row.get("ts_us_0") or 0,
+            ts_ns=row.get("ts_ns_0") or 0,
+            f64_ok=row.get("f64_0") or 0,
+            i128_ok=row.get("i128_0") or 0,
+            negatives=row.get("neg_0") or 0,
+            float_syntax_seen=bool(row.get("fsyn_0") or 0),
+            min_i128=int(row["min_0"]) if row.get("min_0") is not None else I128_MAX,
+            max_i128=int(row["max_0"]) if row.get("max_0") is not None else I128_MIN,
+            max_len=row.get("len_0") or 0,
         )
         out.append(decide_type(s))
     return out
