@@ -1001,6 +1001,69 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# ORC source (format extension): typed roundtrip and the all-string
+# re-inference path, both through sources/columnar.py
+
+
+def _q_orc_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        convert_columnar_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc1_")
+    orc_dir = os.path.join(tmp, "orc")
+    li.write.orc(orc_dir)
+    out = os.path.join(tmp, "lineitem_orc.parquet")
+    convert_columnar_to_parquet(spark, orc_dir, out, fmt="orc")
+    return spark.read.parquet(out)
+
+
+register("orc1_typed_roundtrip", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+""")(_q_orc_roundtrip)
+
+
+def _q_orc_string_inference(spark, sf_dir):
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        convert_columnar_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stringly = li.select(
+        F.col("l_orderkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias("l_shipdate"),
+    )
+    tmp = tempfile.mkdtemp(prefix="orc2_")
+    orc_dir = os.path.join(tmp, "orc")
+    stringly.write.orc(orc_dir)
+    out = os.path.join(tmp, "lineitem_orc2.parquet")
+    cols, types, _rows = convert_columnar_to_parquet(spark, orc_dir, out, fmt="orc")
+    assert types is not None and [t.kind for t in types] == [
+        "uint64", "float64", "string", "timestamp",
+    ], [t.kind for t in types]
+    return spark.read.parquet(out)
+
+
+register("orc2_string_inference", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem
+""")(_q_orc_string_inference)
+
+
+# ---------------------------------------------------------------------------
 # S4 — delimiter sniffing through the full pipeline: a TAB-delimited
 # file converted WITHOUT passing a delimiter; the sniffer
 # (sources/sniff.py, reference utils.rs:121-137) must pick '\t' for

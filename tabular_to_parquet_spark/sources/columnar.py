@@ -1,0 +1,73 @@
+"""Columnar-container sources (ORC / Avro) — format extensions beyond
+the reference (SURVEY.md §2.8: "no JSON/Avro/ORC sources").
+
+Same design as the JSON-lines source: the engine after the scan is
+format-agnostic. Two entry shapes:
+
+- a TYPED container (the normal case for ORC/Avro): the schema rides
+  the file, so inference is unnecessary — scan → zstd parquet sink,
+  one shuffle-free ``Scan → WriteFiles`` plan.
+- an all-STRING container (stringly data dumped into ORC/Avro): the
+  shared inference thresholds + lenient cast builders apply, exactly
+  like the delimited/JSON paths — one pipeline, many wire formats.
+
+Avro note: Spark ships Avro as an external module (`spark-avro`); this
+container has only the core avro jars, so ``fmt="avro"`` raises a
+clear error here and works unchanged once the connector jar is on the
+classpath (``--packages org.apache.spark:spark-avro_2.13:<ver>``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SUPPORTED_FORMATS = ("orc", "avro")
+
+
+def read_columnar(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported columnar format: {fmt!r}")
+    try:
+        return spark.read.format(fmt).load(path)
+    except Exception as exc:  # pragma: no cover - avro-less container
+        if fmt == "avro" and "Failed to find data source" in str(exc):
+            raise RuntimeError(
+                "the spark-avro connector is not on the classpath; deploy "
+                "with --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from exc
+        raise
+
+
+def convert_columnar_to_parquet(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    fmt: str = "orc",
+    infer_strings: bool = True,
+):
+    """ORC/Avro → typed zstd parquet.
+
+    Typed inputs pass through as-is (their schema is authoritative).
+    When ``infer_strings`` and EVERY column is a string, the table is
+    treated as raw text and run through the shared distributed
+    inference + lenient-cast projection (plans/inference.py,
+    functions/parsers.py) — the same semantics as the delimited path.
+    Returns (columns, logical types or None, rows written).
+    """
+    from tabular_to_parquet_spark.operators.convert import observed_typed_frame
+    from tabular_to_parquet_spark.plans.inference import infer_schema_distributed
+    from tabular_to_parquet_spark.session import ensure_utc
+
+    ensure_utc(spark)
+    df = read_columnar(spark, input_path, fmt)
+    all_strings = all(
+        isinstance(f.dataType, T.StringType) for f in df.schema.fields
+    )
+    if infer_strings and all_strings and df.columns:
+        types = infer_schema_distributed(df)
+        typed, obs = observed_typed_frame(df, types)
+        typed.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
+        return df.columns, types, obs.get["__rows"]
+    df.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
+    return df.columns, None, spark.read.parquet(output_path).count()
