@@ -184,37 +184,68 @@ def ivf_probe_cells(vec: Column, probes: int = IVF_PROBES,
     return F.transform(F.slice(ranked, 1, probes), lambda p: p["cell"])
 
 
-def knn_ivf(
+def kmeans_anchors(
     df: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    vec_col: str = "embedding",
+    cells: int = IVF_CELLS,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Train IVF centroids with ``pyspark.ml`` KMeans and return them as
+    plain Python lists (broadcast as literals into the cell-assignment
+    projection, exactly like the md5 anchors).
+
+    Trained centroids track the data distribution, so cells are
+    balanced and probing the top cells recovers more true neighbors
+    than data-independent anchors at the same probe cost. At 100 TB,
+    train on a sample (``sample_fraction``) — KMeans cost is per-row ×
+    iterations and a ~1M-row sample pins centroids well enough.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(v) for v in center] for center in model.clusterCenters()]
+
+
+def ivf_corpus_frame(
+    df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    anchors: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: the corpus is bucketed by nearest
-    anchor (one projection); each query probes its IVF_PROBES best
-    cells; candidates = equi-join on the cell id.
-
-    Scale story: cell assignment is a projection (no shuffle); the
-    join key is a small int with ~|C|/cells rows per bucket — at
-    100 TB, raise IVF_CELLS so buckets stay executor-sized, or
-    pre-partition/bucket the corpus table BY cell so the probe join
-    is co-located. Recall tunes with IVF_PROBES.
-    """
-    c = df.select(
+    """Corpus with its IVF cell assignment (one projection, no shuffle)."""
+    return df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        ivf_cell(F.col(vec_col)).alias("cell"),
+        ivf_cell(F.col(vec_col), anchors).alias("cell"),
     )
+
+
+def _ivf_probe_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    anchors: list[list[float]] | None,
+) -> DataFrame:
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(ivf_probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(ivf_probe_cells(F.col(vec_col), anchors=anchors)).alias("cell"),
     )
     # no pair-dedup needed: each corpus vector lives in exactly one cell,
     # so a (query, neighbor) pair matches at most once
     scored = (
-        q.join(c, "cell")
+        q.join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -227,6 +258,76 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchors: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is bucketed by nearest
+    anchor (one projection); each query probes its IVF_PROBES best
+    cells; candidates = equi-join on the cell id.
+
+    ``anchors`` defaults to the md5-derived set (oracle-reproducible);
+    pass :func:`kmeans_anchors` output for trained centroids — the
+    plan does not change. Scale story: cell assignment is a projection
+    (no shuffle); the join key is a small int with ~|C|/cells rows per
+    bucket — at 100 TB, raise IVF_CELLS so buckets stay executor-sized,
+    or materialize the corpus with :func:`build_ivf_index` so the probe
+    join is co-located (no corpus-side shuffle). Recall tunes with
+    IVF_PROBES.
+    """
+    return _ivf_probe_join(
+        ivf_corpus_frame(df, vec_col, id_col, anchors),
+        queries, k, vec_col, id_col, anchors,
+    )
+
+
+def build_ivf_index(
+    spark,
+    df: DataFrame,
+    table_name: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchors: list[list[float]] | None = None,
+    buckets: int = IVF_CELLS,
+) -> None:
+    """Materialize the corpus as a parquet table BUCKETED BY cell.
+
+    The 100 TB probe path: the corpus (the big side) is written once,
+    hash-bucketed on the join key, so every subsequent probe join reads
+    it WITHOUT an Exchange — only the tiny exploded query side shuffles
+    to meet the bucket layout (verified by
+    test_ivf_bucketed_probe_join_corpus_shuffle_free).
+    """
+    (
+        ivf_corpus_frame(df, vec_col, id_col, anchors)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def knn_ivf_bucketed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchors: list[list[float]] | None = None,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` table — same results as
+    :func:`knn_ivf`, corpus side co-located (no shuffle)."""
+    return _ivf_probe_join(
+        spark.table(table_name), queries, k, vec_col, id_col, anchors
     )
 
 
