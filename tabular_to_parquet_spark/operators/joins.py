@@ -1,0 +1,119 @@
+"""Join operators Spark's API lacks as built-ins (SURVEY.md §2.8 lists
+the whole join family as absent from the reference; these are the two
+shapes a training-data pipeline actually needs beyond equi-joins),
+expressed as scalable compositions of DataFrame primitives — no UDFs,
+no driver loops.
+
+- ``asof_join`` — for every left row, the latest right row at-or-before
+  it (per key). The classic distributed plan: union both sides, one
+  window pass per key carrying the last-seen right payload, filter back
+  to left rows. ONE shuffle on the key; state per row is one struct.
+  (A sort-merge "MERGE_ASOF" would need a custom physical operator;
+  the union+window form gets the same one-shuffle cost from Catalyst.)
+
+- ``range_join_binned`` — point-in-interval joins without an equi key.
+  Spark plans a bare inequality join as a broadcast nested loop —
+  quadratic and undistributable. Binning converts it to an equi-join:
+  points land in exactly one bin, intervals explode into the bins they
+  overlap, the join key is the bin id, and the original predicate is
+  re-applied as a post-filter. Each (point, interval) pair meets at
+  most once (the point's single bin), so no dedup is needed. Bin width
+  tunes fan-out vs selectivity; at 100 TB pick ~the median interval
+  width so intervals explode into O(1) bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    matched_col: str = "matched",
+) -> DataFrame:
+    """Backward as-of join: left columns + ``matched_col`` struct holding
+    the right row with the greatest ``on`` ≤ the left row's ``on`` for
+    the same ``by`` key (NULL when no prior right row exists).
+
+    Tie rule: a right row AT the left row's timestamp matches (≤, like
+    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``). If the right side can
+    carry duplicate (by, on) pairs, pre-aggregate it — "latest of
+    several simultaneous rows" is otherwise ambiguous on any engine.
+    """
+    rpay = F.struct(*[right[c] for c in right.columns])
+    rtype = right.select(rpay.alias("x")).schema["x"].dataType
+    lpay = F.struct(*[left[c] for c in left.columns])
+
+    l2 = left.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__is_left"),
+        lpay.alias("__l"),
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    ltype = l2.schema["__l"].dataType
+    r2 = right.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(ltype).alias("__l"),
+        rpay.alias("__r"),
+    )
+    # right sorts before left at equal timestamps → visible to the match
+    w = (
+        W.partitionBy("__by")
+        .orderBy("__on", "__is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = l2.unionByName(r2).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("__is_left") == 1).select(
+        "__l.*", F.col("__m").alias(matched_col)
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    closed: str = "left",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``lo ≤ point < hi`` (``closed='left'``; ``'both'`` → ``≤ hi``), via
+    bin bucketing: equi-join on the bin id + exact post-filter.
+
+    All three columns must be integer-valued (cast timestamps with
+    ``unix_micros`` first). Output: all point columns + all interval
+    columns (caller disambiguates names beforehand).
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width),
+                F.floor(F.col(hi_col) / bin_width),
+            )
+        ),
+    )
+    upper: Column = (
+        F.col(point_col) < F.col(hi_col)
+        if closed == "left"
+        else F.col(point_col) <= F.col(hi_col)
+    )
+    return (
+        p.join(iv, "__bin")
+        .filter((F.col(point_col) >= F.col(lo_col)) & upper)
+        .drop("__bin")
+    )

@@ -963,6 +963,126 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """)(_q_rollup_counts)
 
 
+def _q_moving_sum(spark, sf_dir):
+    """Window FRAME spec (rows between): per-customer 3-order moving
+    spend — exact integer cents, deterministic order key."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("cents"),
+        F.sum(cents).over(w).alias("moving_cents"),
+    )
+
+
+register("a7_moving_sum_frame", """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS moving_cents
+FROM orders
+""")(_q_moving_sum)
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (absent from both the reference AND Spark's built-in
+    API): every click matched to the user's latest at-or-before
+    purchase, via the union+window composition (operators/joins.py) —
+    one shuffle on the key. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from tabular_to_parquet_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", matched_col="m")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("m.ts").alias("purchase_ts"),
+        F.col("m.cents").alias("purchase_cents"),
+    )
+
+
+register("a8_asof_join", """
+SELECT l.event_id, l.user_id, l.ts,
+       r.rts AS purchase_ts, r.cents AS purchase_cents
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (
+    SELECT user_id, ts AS rts,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+ON l.user_id = r.user_id AND l.ts >= r.rts
+""")(_q_asof_join)
+
+
+_RJ_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute incident windows
+
+
+def _q_range_join(spark, sf_dir):
+    """Keyless point-in-interval join (errors falling inside a 30-min
+    window after any signup) — bin-bucketed to an equi-join
+    (operators/joins.py); a bare inequality join would be a broadcast
+    nested loop."""
+    from tabular_to_parquet_spark.operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.unix_micros("ts").alias("t_us")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.unix_micros("ts").alias("lo_us"),
+        (F.unix_micros("ts") + _RJ_WINDOW_US).alias("hi_us"),
+    )
+    out = range_join_binned(
+        errors, signups, "t_us", "lo_us", "hi_us", bin_width=_RJ_WINDOW_US
+    )
+    return out.select("error_id", "signup_id")
+
+
+register("a9_range_join_binned", f"""
+SELECT e.event_id AS error_id, s.event_id AS signup_id
+FROM events e JOIN events s
+  ON e.event_type = 'error' AND s.event_type = 'signup'
+ AND epoch_us(e.ts) >= epoch_us(s.ts)
+ AND epoch_us(e.ts) < epoch_us(s.ts) + {_RJ_WINDOW_US}
+""")(_q_range_join)
+
+
+def _q_cube_counts(spark, sf_dir):
+    """CUBE grouping sets (a6 covers ROLLUP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_cents"),
+    )
+
+
+register("a10_cube_order_counts", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")(_q_cube_counts)
+
+
 # ---------------------------------------------------------------------------
 # J1 — JSON-lines source (format extension): lineitem → ndjson → the
 # SAME inference + cast pipeline → parquet. Oracle derives expected

@@ -1,0 +1,62 @@
+"""asof_join / range_join_binned edge-case tests (operators/joins.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators.joins import asof_join, range_join_binned
+
+
+def test_asof_backward_match_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 50)],
+        "id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "at"), (10, 200, "before"), (10, 301, "after"), (20, 60, "late")],
+        "user_id long, ts long, tag string",
+    )
+    out = {r.id: r for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out[1].matched.tag == "at"        # equal ts matches (<=)
+    assert out[2].matched.tag == "before"    # latest prior wins
+    assert out[3].matched.tag == "before"    # 301 is after 300 -> not visible
+    assert out[4].matched is None            # no prior right row
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("user_id"), (F.col("id") * 3).alias("ts")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 7).alias("user_id"), (F.col("id") * 11).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    assert asof_join(left, right, on="ts", by="user_id").count() == 100
+
+
+def test_range_join_binned_boundaries(spark):
+    points = spark.createDataFrame([(1, 10), (2, 20), (3, 29), (4, 30)], "pid long, v long")
+    ivals = spark.createDataFrame([(7, 10, 30)], "iid long, lo long, hi long")
+    got = {r.pid for r in range_join_binned(points, ivals, "v", "lo", "hi", 8).collect()}
+    assert got == {1, 2, 3}  # closed='left': lo <= v < hi
+    got_b = {r.pid
+             for r in range_join_binned(points, ivals, "v", "lo", "hi", 8,
+                                        closed="both").collect()}
+    assert got_b == {1, 2, 3, 4}
+
+
+def test_range_join_binned_multi_bin_interval_no_dupes(spark):
+    # interval spans many bins; each matching point must appear ONCE
+    points = spark.createDataFrame([(i, i * 10) for i in range(20)], "pid long, v long")
+    ivals = spark.createDataFrame([(1, 0, 150), (2, 140, 200)], "iid long, lo long, hi long")
+    rows = range_join_binned(points, ivals, "v", "lo", "hi", 16).collect()
+    pairs = [(r.pid, r.iid) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == {(i, 1) for i in range(15)} | {(i, 2) for i in range(14, 20)}
+
+
+def test_range_join_rejects_bad_closed(spark):
+    points = spark.createDataFrame([(1, 1)], "pid long, v long")
+    with pytest.raises(ValueError, match="closed"):
+        range_join_binned(points, points, "v", "v", "v", 10, closed="right")
