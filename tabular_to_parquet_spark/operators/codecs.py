@@ -97,6 +97,136 @@ def resize_nearest(width: int, height: int, rgb: bytes, tw: int, th: int) -> byt
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit truecolor RGB, non-interlaced) — a COMPRESSED container:
+# chunk framing + CRCs + zlib + per-row filters, all from the public spec
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB as PNG, cycling through ALL five filter
+    types (row y uses filter y % 5) so decoders must implement the
+    full unfilter set — a deterministic, spec-complete stream."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    bpp = 3
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                raw.append(row[x])
+            elif ft == 1:
+                raw.append((row[x] - left) & 0xFF)
+            elif ft == 2:
+                raw.append((row[x] - up) & 0xFF)
+            elif ft == 3:
+                raw.append((row[x] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((row[x] - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit truecolor non-interlaced PNG → (width, height,
+    top-down RGB). Validates chunk CRCs; raises ``ValueError`` on
+    anything outside that profile."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_px, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype_px, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
+        raise ValueError(f"implausible dimensions {width}x{height}")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT size does not match dimensions")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft > 4:
+            raise ValueError(f"unknown PNG filter {ft}")
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                line[x] = (line[x] + left) & 0xFF
+            elif ft == 2:
+                line[x] = (line[x] + up) & 0xFF
+            elif ft == 3:
+                line[x] = (line[x] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                line[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF, PCM 16-bit mono)
 
 

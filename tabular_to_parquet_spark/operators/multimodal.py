@@ -82,8 +82,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"undecodable image: {exc}") from exc
         return img.width, img.height, img.tobytes()
     except ImportError:
-        from tabular_to_parquet_spark.operators.codecs import decode_bmp
+        from tabular_to_parquet_spark.operators.codecs import decode_bmp, decode_png
 
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
         return decode_bmp(payload)
 
 
@@ -221,7 +223,20 @@ def _img_rgb(media_id: int, w: int, h: int) -> bytes:
 
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a real 24-bit BMP per row (deterministic in the id)."""
-    from tabular_to_parquet_spark.operators.codecs import encode_bmp
+    return _attach_image_payload(df, id_col, "bmp")
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real PNG per row (same pixels as the BMP variant;
+    the compressed container exercises chunk CRCs + zlib + the full
+    per-row filter set)."""
+    return _attach_image_payload(df, id_col, "png")
+
+
+def _attach_image_payload(df: DataFrame, id_col: str, fmt: str) -> DataFrame:
+    from tabular_to_parquet_spark.operators.codecs import encode_bmp, encode_png
+
+    encode = encode_bmp if fmt == "bmp" else encode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -229,9 +244,9 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for mid in ids:
                 w, h = _img_dims(int(mid))
-                payloads.append(encode_bmp(w, h, _img_rgb(int(mid), w, h)))
+                payloads.append(encode(w, h, _img_rgb(int(mid), w, h)))
             yield pd.DataFrame(
-                {"media_id": ids, "payload": payloads, "media_type": "image/bmp"}
+                {"media_id": ids, "payload": payloads, "media_type": f"image/{fmt}"}
             )
 
     return df.select(id_col).mapInPandas(batches, IMG_SCHEMA)

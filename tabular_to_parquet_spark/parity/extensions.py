@@ -605,6 +605,46 @@ FROM events GROUP BY 1, 2
 """)(_q_event_windows_streaming)
 
 
+def _q_stream_convert(spark, sf_dir):
+    """Streaming CSV→parquet ingest under the hash gate: the SAME cast
+    builders as the batch path, driven by a real file-stream query
+    (checkpointed, availableNow) — the 100 TB/day ingest shape."""
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.plans.inference import infer_schema
+    from tabular_to_parquet_spark.streaming.streams import stream_convert_directory
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="st1_stream_")
+    csv_dir = os.path.join(tmp, "in")
+    (
+        li.coalesce(1)
+        .write.option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .csv(csv_dir)
+    )
+    csv_file = glob.glob(os.path.join(csv_dir, "part-*.csv"))[0]
+    names, types = infer_schema(csv_file, ",")
+    out_dir = os.path.join(tmp, "out")
+    q = stream_convert_directory(
+        spark, csv_dir, names, types, out_dir, os.path.join(tmp, "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+register("st1_stream_convert_roundtrip", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem
+""")(_q_stream_convert)
+
+
 def _q_sessionize(spark, sf_dir):
     return sessionize_frame(load_table(spark, sf_dir, "events"), gap_minutes=240)
 
@@ -1328,6 +1368,28 @@ FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
      LATERAL (SELECT unnest(range(0, 16)) AS j)
 GROUP BY doc_id
 """)(_q_bmp_resize)
+
+
+def _q_png_decode(spark, sf_dir):
+    media = multimodal.attach_png_payload(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
+# same pixel formulas as m04 but through the COMPRESSED container
+# (chunk CRCs + zlib inflate + all five PNG row filters)
+register("m07_png_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 16 AS BIGINT) AS width,
+       CAST(8 + doc_id % 12 AS BIGINT) AS height,
+       CAST(SUM((x + y + doc_id) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((2 * x + doc_id) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((y + 2 * doc_id) % 256) AS BIGINT) AS b_sum,
+       true AS decoded
+FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
+     LATERAL (SELECT unnest(range(0, w)) AS x),
+     LATERAL (SELECT unnest(range(0, h)) AS y)
+GROUP BY doc_id
+""")(_q_png_decode)
 
 
 def _q_wav_decode(spark, sf_dir):

@@ -153,3 +153,34 @@ def test_text_payloads_do_not_decode(spark):
     )
     out = extract_features(attach_payload(docs)).collect()
     assert all(not r.decoded for r in out)
+
+
+def test_png_codec_all_filters_roundtrip():
+    from tabular_to_parquet_spark.operators.codecs import decode_png, encode_png
+
+    w, h = 7, 11  # >5 rows → every PNG filter type (y % 5) exercised
+    rgb = bytes((x * 31 + y * 17 + c * 11) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+
+def test_png_codec_rejects_corruption():
+    from tabular_to_parquet_spark.operators.codecs import decode_png, encode_png
+
+    data = bytearray(encode_png(3, 3, bytes(27)))
+    data[20] ^= 0xFF  # flip a bit inside IHDR → CRC mismatch
+    with pytest.raises(ValueError, match="CRC|PNG"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + bytes(16))
+
+
+def test_decode_image_dispatches_png(spark):
+    from tabular_to_parquet_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_image_features,
+    )
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = decode_image_features(attach_png_payload(docs)).collect()
+    assert all(r.decoded for r in out) and len(out) == 10
