@@ -1123,6 +1123,58 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)(_q_cube_counts)
 
 
+def _q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation on a 5-key (maximally hot)
+    grouping column — identical results to the plain groupBy, no
+    reducer sees a whole key (operators/skew.py)."""
+    from tabular_to_parquet_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        sums={"value_cents": F.floor(F.col("value") * 100)},
+        buckets=32,
+    )
+
+
+register("a11_salted_agg", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""")(_q_salted_agg)
+
+
+def _q_salted_join(spark, sf_dir):
+    """Skew-safe fact→dimension join: every event joined to a per-type
+    weight row; hot keys spread over 32 salt reducers
+    (operators/skew.py). Oracle: the plain inner join."""
+    from tabular_to_parquet_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight long",
+    )
+    out = salted_join(ev, dim, on="event_type", buckets=32)
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.floor(F.col("value") * 100) * F.col("weight")).alias("weighted_cents"),
+    )
+
+
+register("a12_salted_join", """
+SELECT e.event_id, e.event_type,
+       CAST(CAST(floor(e.value * 100) AS BIGINT) * d.weight AS BIGINT)
+           AS weighted_cents
+FROM events e JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10),
+                           ('signup', 5), ('error', 0)) AS d(event_type, weight)
+  ON e.event_type = d.event_type
+""")(_q_salted_join)
+
+
 # ---------------------------------------------------------------------------
 # J1 — JSON-lines source (format extension): lineitem → ndjson → the
 # SAME inference + cast pipeline → parquet. Oracle derives expected
