@@ -42,6 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("input", nargs="?", help="input file, or '-' for stdin")
     ap.add_argument(
         "--infer-full-schema",
+        "--inferer-schema-complet",  # the reference's spelling (main.rs:25-26)
         action="store_true",
         help="infer types from the whole file instead of the first 1000 rows "
         "(reference --inferer-schema-complet, main.rs:25-26)",

@@ -1123,6 +1123,60 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)(_q_cube_counts)
 
 
+def _q_props_json(spark, sf_dir):
+    """Semi-structured extraction: the events ``props`` JSON column
+    parsed JVM-side (get_json_object) — no Python in the loop."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("event_id").alias("min_event_id"),
+        )
+    )
+
+
+register("x08_props_json_extract", """
+SELECT k % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(event_id) AS min_event_id
+FROM (SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
+""")(_q_props_json)
+
+
+def _q_star_join(spark, sf_dir):
+    """3-way star join: lineitem fact against two broadcast dims
+    (part, supplier) — revenue cents per (p_type, s_nationkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+    )
+    return j.groupBy("p_type", "s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("revenue_cents"),
+    )
+
+
+register("a13_star_join_revenue", """
+SELECT p_type, s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_type, s_nationkey
+""")(_q_star_join)
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation on a 5-key (maximally hot)
     grouping column — identical results to the plain groupBy, no

@@ -26,6 +26,42 @@ from tabular_to_parquet_spark.streaming.streams import (
 )
 
 
+def _asof_plan(spark, events):
+    from tabular_to_parquet_spark.operators.joins import asof_join
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    return asof_join(clicks, purchases, on="ts", by="user_id")
+
+
+def _range_plan(spark, events):
+    from tabular_to_parquet_spark.operators.joins import range_join_binned
+
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.unix_micros("ts").alias("t_us")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.unix_micros("ts").alias("lo_us"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("hi_us"),
+    )
+    return range_join_binned(errors, signups, "t_us", "lo_us", "hi_us", 1_800_000_000)
+
+
+def _salted_plan(spark, events):
+    from tabular_to_parquet_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        events, ["event_type"], {"value_cents": F.floor(F.col("value") * 100)}
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("dump-plans")
@@ -41,6 +77,9 @@ def main() -> None:
         "knn_bruteforce": similarity.knn_bruteforce(emb, queries, k=5),
         "knn_lsh": similarity.knn_lsh(emb, queries, k=5),
         "knn_ivf": similarity.knn_ivf(emb, queries, k=5),
+        "asof_join": _asof_plan(spark, events),
+        "range_join_binned": _range_plan(spark, events),
+        "salted_agg": _salted_plan(spark, events),
         "quality": ta.quality(docs),
         "winnow_fingerprints": ta.winnow_fingerprints(docs),
         "event_window_stats": windowed_event_stats_frame(events),
