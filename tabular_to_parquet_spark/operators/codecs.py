@@ -227,6 +227,123 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF) — uncompressed 24-bit DIB video frames. Completes the
+# image/audio/video triple with a real container parser: nested RIFF
+# LISTs, avih/strh/strf headers, '00db' frame chunks, word alignment,
+# and the DIB bottom-up BGR row convention per frame.
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Encode top-down RGB frames as an uncompressed 24-bit AVI."""
+    stride = _row_stride(width)
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame size mismatch")
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, stride * height * fps, 0, 0x10, len(frames), 0, 1,
+        stride * height, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), stride * height, 0, 0, 0)
+    )
+    strf = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(
+        _riff_chunk(b"00db", _rgb_to_dib(width, height, f)) for f in frames
+    )
+    movi = _riff_list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _rgb_to_dib(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB → bottom-up padded BGR (the DIB frame payload)."""
+    stride = _row_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):
+        base = y * width * 3
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + pad)
+    return b"".join(rows)
+
+
+def _dib_to_rgb(width: int, height: int, dib: bytes) -> bytes:
+    stride = _row_stride(width)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        base = (height - 1 - y) * stride
+        dst = y * width * 3
+        for x in range(width):
+            b, g, r = dib[base + 3 * x : base + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return bytes(out)
+
+
+def decode_avi(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode an uncompressed 24-bit AVI → (width, height, top-down RGB
+    frames). Walks the RIFF tree; raises ``ValueError`` outside that
+    profile."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    width = height = None
+    declared_frames = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, declared_frames
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if body_start + clen > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"avih":
+                if clen < 56:
+                    raise ValueError("short avih")
+                vals = struct.unpack_from("<IIIIIIIIII", data, body_start)
+                declared_frames, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"00db":
+                frames.append(data[body_start : body_start + clen])
+            pos = body_start + clen + (clen & 1)
+
+    walk(12, len(data))
+    if width is None or not frames:
+        raise ValueError("missing avih header or frame chunks")
+    if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
+        raise ValueError(f"implausible dimensions {width}x{height}")
+    if declared_frames != len(frames):
+        raise ValueError(
+            f"avih declares {declared_frames} frames, found {len(frames)}"
+        )
+    stride = _row_stride(width)
+    if any(len(f) != stride * height for f in frames):
+        raise ValueError("frame payload size mismatch")
+    return width, height, [_dib_to_rgb(width, height, f) for f in frames]
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF, PCM 16-bit mono)
 
 

@@ -316,6 +316,87 @@ def resize_image_features(df: DataFrame, target_w: int = 16, target_h: int = 16)
     return df.mapInPandas(batches, IMG_FEATURE_SCHEMA)
 
 
+# --- video ------------------------------------------------------------------
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("last_frame_sum", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def _avi_dims(media_id: int) -> tuple[int, int, int]:
+    return 8 + media_id % 8, 6 + media_id % 6, 2 + media_id % 4
+
+
+def _avi_frame_rgb(media_id: int, frame: int, w: int, h: int) -> bytes:
+    # channel-uniform pixel value, shared verbatim with the oracle
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x + y + frame + media_id) % 256,) * 3
+    )
+
+
+def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real uncompressed AVI per row (deterministic)."""
+    from tabular_to_parquet_spark.operators.codecs import encode_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads = []
+            for mid in ids:
+                w, h, n = _avi_dims(int(mid))
+                payloads.append(
+                    encode_avi(w, h, [_avi_frame_rgb(int(mid), f, w, h) for f in range(n)])
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": "video/avi"}
+            )
+
+    return df.select(id_col).mapInPandas(batches, IMG_SCHEMA)
+
+
+def decode_video_features(df: DataFrame) -> DataFrame:
+    """Decode each AVI payload with the real RIFF parser; exact-integer
+    pixel statistics over all frames plus the last frame alone (the
+    frame-sampling shape: container → per-frame pixel access)."""
+    from tabular_to_parquet_spark.operators.codecs import decode_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = (
+                        decode_avi(bytes(payload)) if payload is not None else (None, None, None)
+                    )
+                except ValueError:
+                    w = h = frames = None
+                if frames is None:
+                    rows.append((mid, None, None, None, None, None, False))
+                else:
+                    rows.append(
+                        (mid, w, h, len(frames),
+                         sum(sum(f) for f in frames), sum(frames[-1]), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames",
+                         "px_sum", "last_frame_sum", "decoded"],
+            )
+
+    return df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
+
+
 # --- audio ------------------------------------------------------------------
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

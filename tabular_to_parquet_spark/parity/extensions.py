@@ -1498,6 +1498,32 @@ GROUP BY doc_id
 """)(_q_png_decode)
 
 
+def _q_avi_decode(spark, sf_dir):
+    media = multimodal.attach_avi_payload(_docs(spark, sf_dir))
+    return multimodal.decode_video_features(media)
+
+
+# pixel sums over (frame, x, y) — every value is channel-uniform, so
+# px_sum = 3 × the single-channel sum over all frames
+register("m08_avi_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 8 AS BIGINT) AS width,
+       CAST(6 + doc_id % 6 AS BIGINT) AS height,
+       CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST(3 * SUM((x + y + f + doc_id) % 256) AS BIGINT) AS px_sum,
+       CAST(3 * SUM(CASE WHEN f = n - 1 THEN (x + y + f + doc_id) % 256
+                         ELSE 0 END) AS BIGINT) AS last_frame_sum,
+       true AS decoded
+FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+             2 + doc_id % 4 AS n
+      FROM documents),
+     LATERAL (SELECT unnest(range(0, n)) AS f),
+     LATERAL (SELECT unnest(range(0, w)) AS x),
+     LATERAL (SELECT unnest(range(0, h)) AS y)
+GROUP BY doc_id
+""")(_q_avi_decode)
+
+
 def _q_wav_decode(spark, sf_dir):
     media = multimodal.attach_wav_payload(_docs(spark, sf_dir))
     return multimodal.decode_audio_features(media)

@@ -184,3 +184,34 @@ def test_decode_image_dispatches_png(spark):
     docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     out = decode_image_features(attach_png_payload(docs)).collect()
     assert all(r.decoded for r in out) and len(out) == 10
+
+
+def test_avi_codec_roundtrip_and_rejects():
+    from tabular_to_parquet_spark.operators.codecs import decode_avi, encode_avi
+
+    w, h = 5, 4
+    frames = [bytes((x + y + f) % 256 for y in range(h) for x in range(w)
+                    for _ in range(3)) for f in range(3)]
+    assert decode_avi(encode_avi(w, h, frames)) == (w, h, frames)
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", bytes(64)):
+        with pytest.raises(ValueError):
+            decode_avi(bad)
+
+
+def test_decode_video_features_end_to_end(spark):
+    from tabular_to_parquet_spark.operators.multimodal import (
+        _avi_dims,
+        _avi_frame_rgb,
+        attach_avi_payload,
+        decode_video_features,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    out = decode_video_features(attach_avi_payload(docs)).collect()
+    assert len(out) == 12
+    for r in out:
+        w, h, n = _avi_dims(r.media_id)
+        assert r.decoded and (r.width, r.height, r.n_frames) == (w, h, n)
+        frames = [_avi_frame_rgb(r.media_id, f, w, h) for f in range(n)]
+        assert r.px_sum == sum(sum(f) for f in frames)
+        assert r.last_frame_sum == sum(frames[-1])
