@@ -52,6 +52,13 @@ def read_sample_rows(
         reader = csv.reader(fh, delimiter=delimiter, quotechar='"')
         header = next(reader, [])
         for rec in reader:
+            # the reference's line reader drops non-UTF-8 lines before
+            # they reach inference (.lines().filter_map(Result::ok),
+            # schema.rs:317-320 via conversion.rs:208) — mirror that by
+            # skipping rows carrying the decode-replacement character,
+            # so "first N rows" means the first N READABLE rows
+            if any("�" in field for field in rec):
+                continue
             rows.append(rec)
             if max_rows is not None and len(rows) >= max_rows:
                 break

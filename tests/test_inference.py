@@ -149,3 +149,19 @@ def test_driver_vs_distributed_inference(spark, tmp_path):
         "bool", "int64", "uint64", "float64", "string",  # 4/5 dates < 0.995
         "timestamp", "string", "timestamp", "uint64", "string",
     ]
+
+
+def test_inference_sample_skips_invalid_utf8_rows(tmp_path):
+    """The reference's inference reader drops non-UTF-8 lines before
+    observing them (conversion.rs:208 / schema.rs:317-320): a corrupted
+    row must not sway the type decision."""
+    from tabular_to_parquet_spark.plans.inference import infer_schema
+
+    src = tmp_path / "dirty_sample.csv"
+    rows = b"i\n" + b"".join(
+        b"zzz\xff\n" if i % 3 == 0 else b"%d\n" % i for i in range(60)
+    )
+    src.write_bytes(rows)
+    _names, [lt] = infer_schema(str(src), ",")
+    # corrupted rows skipped -> remaining rows are pure ints
+    assert lt.kind == "uint64"
