@@ -199,6 +199,36 @@ FROM mins WHERE pos <= max_pos - {ta.WINNOW_W - 1}
 """)(_q_winnow)
 
 
+def _q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: explode lowercased tokens →
+    count → global top 20 (deterministic tiebreak on the token).
+    The 100 TB shape: map-side partial agg on the token, then a tiny
+    ordered limit — no all-rows sort."""
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(ta.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+register("x09_top_tokens", f"""
+WITH counts AS (
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)
+    GROUP BY t
+)
+SELECT token, n, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts)
+WHERE rank <= 20
+""")(_q_top_tokens)
+
+
 def _q_source_stats(spark, sf_dir):
     return ta.source_stats(_docs(spark, sf_dir))
 
@@ -669,6 +699,50 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM tagged GROUP BY user_id, session_no
 """)(_q_sessionize)
+
+
+def _q_session_window_builtin(spark, sf_dir):
+    """Spark's built-in ``session_window`` as the alternative
+    sessionizer (works in batch AND streaming group-by): merges events
+    whose [ts, ts+gap) windows overlap. Boundary semantics: an event
+    exactly ``gap`` after the previous one starts a NEW session
+    (windows are half-open), hence the ``>=`` in the oracle's gap rule
+    (the lag/running-sum sessionizer of ev03 uses ``>``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "240 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+register("ev05_session_window_builtin", """
+WITH tagged AS (
+    SELECT user_id, ts, value,
+           SUM(CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us >= 14400000000 THEN 1
+                    ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM (SELECT *, lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_us
+          FROM events)
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM tagged GROUP BY user_id, session_no
+""")(_q_session_window_builtin)
 
 
 def _q_sessionize_streaming(spark, sf_dir):
