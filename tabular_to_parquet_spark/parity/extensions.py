@@ -202,19 +202,20 @@ FROM mins WHERE pos <= max_pos - {ta.WINNOW_W - 1}
 def _q_top_tokens(spark, sf_dir):
     """Corpus vocabulary heavy hitters: explode lowercased tokens →
     count → global top 20 (deterministic tiebreak on the token).
-    The 100 TB shape: map-side partial agg on the token, then a tiny
-    ordered limit — no all-rows sort."""
+    The 100 TB shape: map-side partial agg on the token, then
+    ``orderBy(...).limit(20)`` — Catalyst plans TakeOrderedAndProject
+    (per-partition top-20 + driver merge), so no partition ever holds
+    more than 20 rows of the billion-token vocabulary. ``rank`` is a
+    window over the 20-row result only, which is free."""
     from pyspark.sql import Window as W
 
     toks = _docs(spark, sf_dir).select(
         F.explode(ta.tokens(F.lower(F.col("text")))).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(20)
     w = W.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 register("x09_top_tokens", f"""

