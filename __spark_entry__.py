@@ -41,13 +41,44 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+# Queries with no CORRECTNESS_r02 driver row (the r2 run stopped at 50
+# entries) run FIRST so a capped round-3 sweep still lands the hard
+# signal for them; everything else follows in registration order.
+_PRIORITY = [
+    "s4_delimiter_sniff_tsv",
+    "j1_json_source_roundtrip",
+    "orc1_typed_roundtrip",
+    "orc2_string_inference",
+    "m01_media_features",
+    "m02_media_sample_frames",
+    "m03_media_resize",
+    "m04_bmp_decode_features",
+    "m05_bmp_resize_features",
+    "m06_wav_decode_features",
+    "m07_png_decode_features",
+    "m08_avi_decode_features",
+    "a9_range_join_binned",
+    "a10_cube_order_counts",
+    "a11_salted_agg",
+    "a12_salted_join",
+    "a13_star_join_revenue",
+    "x08_props_json_extract",
+]
+
+
+def _catalog_ordered():
+    rest = [n for n in CATALOG if n not in _PRIORITY]
+    for name in [*_PRIORITY, *rest]:
+        yield name, CATALOG[name]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _ordered(qd.spark) for name, qd in CATALOG.items()}
+    return {name: _ordered(qd.spark) for name, qd in _catalog_ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: f"SELECT * FROM (\n{qd.oracle}\n) AS _q ORDER BY ALL NULLS FIRST"
-        for name, qd in CATALOG.items()
+        for name, qd in _catalog_ordered()
         if qd.oracle is not None
     }

@@ -124,6 +124,20 @@ class ConvertResult:
     parse_errors: dict[str, int] = None  # type: ignore[assignment]
 
 
+def drop_replacement_char_rows(frame: DataFrame, names: list[str]) -> DataFrame:
+    """Drop rows whose raw string fields carry U+FFFD — the Spark-side
+    image of the reference producer's ``.lines().filter_map(Result::ok)``
+    (conversion.rs:208), which silently drops non-UTF-8 lines before the
+    CSV parser sees them. Spark decodes invalid bytes to U+FFFD, so the
+    replacement character marks exactly those lines (modulo a file that
+    legitimately contains encoded U+FFFD — documented approximation)."""
+    bad = None
+    for n in names:
+        hit = F.coalesce(F.col(n).contains("�"), F.lit(False))
+        bad = hit if bad is None else (bad | hit)
+    return frame.filter(~bad)
+
+
 def convert_delimited_to_parquet(
     spark: SparkSession,
     input_path: str,
@@ -154,47 +168,52 @@ def convert_delimited_to_parquet(
     or invalid bytes confined to an extra (dropped) field, diverges.
     """
     t0 = time.monotonic()
-    from tabular_to_parquet_spark.session import ensure_utc
+    from tabular_to_parquet_spark.session import ensure_utc, restore_timezone
 
-    ensure_utc(spark)  # epoch-timestamp casts are session-tz-sensitive
-    if preserve_order and not _os.path.isfile(input_path):
-        # monotonically_increasing_id() restores file order only for a
-        # single file: Spark sorts splits by length across files, so a
-        # glob/directory input has no id↔file-position correspondence
-        raise ValueError(
-            "preserve_order requires a single input file; "
-            f"got a non-file path: {input_path!r}"
-        )
-    delim = delimiter or detect_delimiter(input_path)
-    names = sanitize_names(read_header(input_path, delim))
-    # width-adaptive output chunking (O1/S6, conversion.rs:52-58,169):
-    # the reference couples block size = parquet row-group size to the
-    # column count; the Spark analogue caps rows per output file
-    block_rows = 250_000 if len(names) <= 20 else 150_000 if len(names) <= 50 else 5_000
-
-    if infer_full:
-        raw0 = read_delimited_as_strings(spark, input_path, delim, names)
-        types = infer_schema_distributed(raw0)
-    else:
-        names, types = infer_schema(input_path, delim)
-
-    # split sizing: a lone multi-MB CSV must still fan out across all
-    # cores (default 128 MB splits leave a 60 MB file on ONE task).
-    # Target ~2 splits per core, floor 4 MB, never above the default.
-    size = _os.path.getsize(input_path)
-    par = spark.sparkContext.defaultParallelism
-    split = min(128 << 20, max(4 << 20, size // max(1, par * 2)))
-    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-
+    # epoch-timestamp casts are session-tz-sensitive; safe to restore
+    # after the write because everything here executes eagerly
+    prior_tz = ensure_utc(spark)
+    _UNSET = object()
+    old_split: object = _UNSET
     try:
+        if preserve_order and not _os.path.isfile(input_path):
+            # monotonically_increasing_id() restores file order only for a
+            # single file: Spark sorts splits by length across files, so a
+            # glob/directory input has no id↔file-position correspondence
+            raise ValueError(
+                "preserve_order requires a single input file; "
+                f"got a non-file path: {input_path!r}"
+            )
+        delim = delimiter or detect_delimiter(input_path)
+        names = sanitize_names(read_header(input_path, delim))
+        # width-adaptive output chunking (O1/S6, conversion.rs:52-58,169):
+        # the reference couples block size = parquet row-group size to the
+        # column count; the Spark analogue caps rows per output file
+        block_rows = 250_000 if len(names) <= 20 else 150_000 if len(names) <= 50 else 5_000
+
+        if infer_full:
+            raw0 = read_delimited_as_strings(spark, input_path, delim, names)
+            # inference must not observe rows the reference's reader never
+            # parses: mirror read_sample_rows, which skips invalid-UTF-8
+            # lines (sources/text.py). Without this, a corrupt row can flip
+            # a numeric column to string even though strict_drop later
+            # removes the row from the output.
+            types = infer_schema_distributed(drop_replacement_char_rows(raw0, names))
+        else:
+            names, types = infer_schema(input_path, delim)
+
+        # split sizing: a lone multi-MB CSV must still fan out across all
+        # cores (default 128 MB splits leave a 60 MB file on ONE task).
+        # Target ~2 splits per core, floor 4 MB, never above the default.
+        size = _os.path.getsize(input_path)
+        par = spark.sparkContext.defaultParallelism
+        split = min(128 << 20, max(4 << 20, size // max(1, par * 2)))
+        old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
         raw = read_delimited_as_strings(spark, input_path, delim, names)
         if strict_drop:
-            bad = None
-            for n in names:
-                hit = F.coalesce(F.col(n).contains("�"), F.lit(False))
-                bad = hit if bad is None else (bad | hit)
-            raw = raw.filter(~bad)
+            raw = drop_replacement_char_rows(raw, names)
         # ordering (when requested) happens inside observed_typed_frame,
         # below the observation point
         typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)
@@ -212,12 +231,14 @@ def convert_delimited_to_parquet(
         else:
             writer.parquet(output_path)
     finally:
-        # a caller-provided session must not keep the mutated conf if
+        # a caller-provided session must not keep the mutated confs if
         # the inference/write throws
-        if old_split is not None:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
-        else:
-            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        if old_split is not _UNSET:
+            if old_split is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+            else:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        restore_timezone(spark, prior_tz)
 
     got = obs.get
     # sample-based inference can pick the LongType uint64 lowering from a

@@ -200,12 +200,21 @@ def _minhash_components(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def unpersist_cache(result: DataFrame) -> None:
+    """Release the signature cache attached by ``cache_signatures=True``
+    (no-op for frames built without one)."""
+    cached = getattr(result, "_signature_cache", None)
+    if cached is not None:
+        cached.unpersist()
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     fast: bool = False,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, scored by signature
     agreement (estimated Jaccard).
@@ -217,6 +226,13 @@ def minhash_pairs(
     product anywhere. Signature agreement is scored as K per-component
     equality sums (whole-stage codegen) rather than an interpreted
     ``zip_with`` lambda over signature arrays.
+
+    By default the self-join recomputes the signature subplan on each
+    side — the right trade for one-shot queries (no storage pinned on a
+    shared cluster). Iterative callers that materialize the result more
+    than once should pass ``cache_signatures=True`` and release the
+    cache afterwards with :func:`unpersist_cache` (the persisted frame
+    rides on the result as ``_signature_cache``).
     """
     comps = _minhash_components(df, text_col, id_col, fast=fast)
     band_keys = F.array(
@@ -237,7 +253,9 @@ def minhash_pairs(
         F.col(id_col),
         *[F.col(f"_mh{j}") for j in range(MINHASH_K)],
         F.posexplode(band_keys).alias("band", "band_key"),
-    ).persist()  # both sides of the self-join reuse the signatures
+    )
+    if cache_signatures:
+        banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     n_eq = None
     for j in range(MINHASH_K):
@@ -246,7 +264,7 @@ def minhash_pairs(
     est = n_eq.cast("double") / F.lit(float(MINHASH_K))
     # est is computed BEFORE the pair-dedup so the dedup shuffle carries
     # (long, long, double) rows, not two 16-component signature arrays
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -261,6 +279,9 @@ def minhash_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if cache_signatures:
+        out._signature_cache = banded
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -325,14 +346,21 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ 3 via 8-bit band join.
 
     Pigeonhole: ≤3 differing bits across 4 bands ⇒ at least one band
     identical, so the band equi-join finds every qualifying pair —
     exact result, LSH-join cost.
+
+    ``cache_signatures`` follows the :func:`minhash_pairs` contract:
+    off by default (no storage pinned); when on, release with
+    :func:`unpersist_cache`.
     """
-    sims = simhash_frame(df, text_col, id_col).persist()
+    sims = simhash_frame(df, text_col, id_col)
+    if cache_signatures:
+        sims = sims.persist()
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sims.select(
         F.col(id_col),
@@ -350,7 +378,7 @@ def simhash_pairs(
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -365,6 +393,9 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    if cache_signatures:
+        out._signature_cache = sims
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,22 @@ def asof_join(
     DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``). If the right side can
     carry duplicate (by, on) pairs, pre-aggregate it — "latest of
     several simultaneous rows" is otherwise ambiguous on any engine.
+
+    ``matched_col`` must not collide with a left column (the output is
+    ``left.* + matched_col``); ``__``-prefixed names are reserved for
+    the operator's internal union columns.
     """
+    if matched_col in left.columns:
+        raise ValueError(
+            f"matched_col {matched_col!r} collides with a left column; "
+            "pass a different matched_col"
+        )
+    for frame, side in ((left, "left"), (right, "right")):
+        bad = [c for c in frame.columns if c.startswith("__")]
+        if bad:
+            raise ValueError(
+                f"{side} columns {bad} use the reserved '__' prefix"
+            )
     rpay = F.struct(*[right[c] for c in right.columns])
     rtype = right.select(rpay.alias("x")).schema["x"].dataType
     lpay = F.struct(*[left[c] for c in left.columns])

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import SparkSession
 
 
-def ensure_utc(spark: SparkSession) -> None:
+def ensure_utc(spark: SparkSession) -> str | None:
     """Pin a caller-provided session to UTC at runtime.
 
     The epoch-integer timestamp path (parsers.parse_timestamp_ms) goes
@@ -25,9 +25,26 @@ def ensure_utc(spark: SparkSession) -> None:
     while text timestamps round-trip — internally inconsistent columns.
     Sessions built by :func:`get_spark` are already UTC; this covers
     driver-harness or user sessions entering through the conversion API.
+
+    Returns the PRIOR timezone string when the session had to be
+    re-pinned (``None`` when it was already UTC), so eagerly-executing
+    callers can restore it via :func:`restore_timezone` in a ``finally``
+    block. Callers that hand back a LAZY DataFrame (the json-lines and
+    columnar source fronts) must NOT restore — the conf is read at
+    action time, so un-pinning would shift the frame's epoch casts —
+    and instead document that the session stays pinned to UTC.
     """
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    prior = spark.conf.get("spark.sql.session.timeZone", "")
+    if prior != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return prior or None
+    return None
+
+
+def restore_timezone(spark: SparkSession, prior: str | None) -> None:
+    """Undo :func:`ensure_utc` (no-op when it returned ``None``)."""
+    if prior is not None:
+        spark.conf.set("spark.sql.session.timeZone", prior)
 
 
 def get_spark(

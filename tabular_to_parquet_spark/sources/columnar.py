@@ -57,17 +57,24 @@ def convert_columnar_to_parquet(
     """
     from tabular_to_parquet_spark.operators.convert import observed_typed_frame
     from tabular_to_parquet_spark.plans.inference import infer_schema_distributed
-    from tabular_to_parquet_spark.session import ensure_utc
+    from tabular_to_parquet_spark.session import ensure_utc, restore_timezone
 
-    ensure_utc(spark)
-    df = read_columnar(spark, input_path, fmt)
-    all_strings = all(
-        isinstance(f.dataType, T.StringType) for f in df.schema.fields
-    )
-    if infer_strings and all_strings and df.columns:
-        types = infer_schema_distributed(df)
-        typed, obs = observed_typed_frame(df, types)
-        typed.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
-        return df.columns, types, obs.get["__rows"]
-    df.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
-    return df.columns, None, spark.read.parquet(output_path).count()
+    # epoch-timestamp casts are session-tz-sensitive; restored in the
+    # finally below because everything here executes eagerly
+    prior_tz = ensure_utc(spark)
+    try:
+        df = read_columnar(spark, input_path, fmt)
+        all_strings = all(
+            isinstance(f.dataType, T.StringType) for f in df.schema.fields
+        )
+        if infer_strings and all_strings and df.columns:
+            types = infer_schema_distributed(df)
+            typed, obs = observed_typed_frame(df, types)
+            typed.write.mode("overwrite").option("compression", "zstd").parquet(
+                output_path
+            )
+            return df.columns, types, obs.get["__rows"]
+        df.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
+        return df.columns, None, spark.read.parquet(output_path).count()
+    finally:
+        restore_timezone(spark, prior_tz)

@@ -74,34 +74,39 @@ def convert_json_to_parquet(
         infer_from_rows,
         infer_schema_distributed,
     )
-    from tabular_to_parquet_spark.session import ensure_utc
+    from tabular_to_parquet_spark.session import ensure_utc, restore_timezone
 
-    ensure_utc(spark)  # epoch-timestamp casts are session-tz-sensitive
-    names = read_json_header(input_path)
-    raw = read_json_as_strings(spark, input_path, names)
-    if infer_full:
-        types = infer_schema_distributed(raw)
-    else:
-        # driver-side sample in file order, like the delimited default
-        rows = []
-        with open(input_path, encoding="utf-8", errors="replace") as fh:
-            for i, line in enumerate(fh):
-                if len(rows) >= 1000:
-                    break
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if isinstance(obj, dict):
-                    # JSON null / missing key observed as "" (a null
-                    # token), matching the ragged-row rule
-                    rows.append(
-                        ["" if obj.get(n) is None else str(obj.get(n)) for n in names]
-                    )
-        types = infer_from_rows(len(names), rows)
-    typed, obs = observed_typed_frame(raw, types)
-    typed.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
-    return names, types, obs.get
+    # epoch-timestamp casts are session-tz-sensitive; restored in the
+    # finally below because everything here executes eagerly
+    prior_tz = ensure_utc(spark)
+    try:
+        names = read_json_header(input_path)
+        raw = read_json_as_strings(spark, input_path, names)
+        if infer_full:
+            types = infer_schema_distributed(raw)
+        else:
+            # driver-side sample in file order, like the delimited default
+            rows = []
+            with open(input_path, encoding="utf-8", errors="replace") as fh:
+                for i, line in enumerate(fh):
+                    if len(rows) >= 1000:
+                        break
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        continue
+                    if isinstance(obj, dict):
+                        # JSON null / missing key observed as "" (a null
+                        # token), matching the ragged-row rule
+                        rows.append(
+                            ["" if obj.get(n) is None else str(obj.get(n)) for n in names]
+                        )
+            types = infer_from_rows(len(names), rows)
+        typed, obs = observed_typed_frame(raw, types)
+        typed.write.mode("overwrite").option("compression", "zstd").parquet(output_path)
+        return names, types, obs.get
+    finally:
+        restore_timezone(spark, prior_tz)

@@ -224,3 +224,46 @@ def test_strict_drop_invalid_utf8_p14(spark, tmp_path):
     assert res2.rows == 80  # every 5th row dropped
     kept = duckdb.sql(f"SELECT i FROM '{out2}/*.parquet' ORDER BY i").fetchall()
     assert [r[0] for r in kept] == [i for i in range(100) if i % 5]
+
+
+def test_timezone_restored_after_conversion(spark, tmp_path):
+    """ADVICE r2: a caller-provided session's timeZone must be restored
+    after the (eager) conversion returns — pinning UTC is an internal
+    detail, not a lasting side effect."""
+    src = tmp_path / "tz.csv"
+    src.write_text("x\n1\n2\n")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        convert_delimited_to_parquet(spark, str(src), str(tmp_path / "tz.parquet"))
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        # and on failure too
+        with pytest.raises(Exception):
+            convert_delimited_to_parquet(
+                spark, str(src), "/proc/definitely/not/writable.parquet"
+            )
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_strict_full_inference_skips_invalid_utf8(spark, tmp_path):
+    """ADVICE r2 (medium): full-scan inference must not observe rows the
+    reference's reader never parses — a corrupt line whose field reads
+    'bad\\xff' would otherwise flip the int column to string."""
+    src = tmp_path / "corrupt_int.csv"
+    rows = b"i,v\n" + b"".join(
+        b"%d,%d\n" % (i, i * 10) if i % 10 else b"%d,\xff%d\n" % (i, i * 10)
+        for i in range(100)
+    )
+    src.write_bytes(rows)
+    out = tmp_path / "corrupt_int.parquet"
+    res = convert_delimited_to_parquet(
+        spark, str(src), str(out), infer_full=True, strict_drop=True
+    )
+    # non-negative ints infer as uint64 (reference semantics); the point
+    # is the corrupt rows did NOT flip the column to string
+    assert [t.kind for t in res.types] == ["uint64", "uint64"]
+    assert res.rows == 90
+    got = duckdb.sql(f"SELECT sum(v) FROM '{out}/*.parquet'").fetchone()[0]
+    assert got == sum(i * 10 for i in range(100) if i % 10)

@@ -60,3 +60,15 @@ def test_range_join_rejects_bad_closed(spark):
     points = spark.createDataFrame([(1, 1)], "pid long, v long")
     with pytest.raises(ValueError, match="closed"):
         range_join_binned(points, points, "v", "v", "v", 10, closed="right")
+
+
+def test_asof_rejects_colliding_matched_col(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "user_id long, ts long, matched string")
+    right = spark.createDataFrame([(1, 5)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="matched_col"):
+        asof_join(left, right, on="ts", by="user_id")
+    # reserved internal prefix is rejected too
+    left2 = spark.createDataFrame([(1, 10)], "user_id long, __on long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left2.withColumnRenamed("__on", "__x").withColumn("ts", F.lit(1)),
+                  right, on="ts", by="user_id")
