@@ -147,6 +147,11 @@ def main() -> None:
     def _():
         _noop(ta.winnow_fingerprints(docs))
 
+    # the shuffle-free mapInPandas twin (same output, zero Exchange)
+    @timed("winnow_rolling")
+    def _():
+        _noop(ta.winnow_fingerprints_rolling(docs))
+
     # -- per-user sessionization (lag + running-sum windows) -----------------
     @timed("sessionize")
     def _():

@@ -29,12 +29,15 @@ WHITESPACE = (
     "    　"
 )
 
-_TRIM_RE = f"^[{WHITESPACE}]+|[{WHITESPACE}]+$"
-
-
 def trimmed(c: Column) -> Column:
-    """Whitespace-trim (utils.rs:49 `v.trim()`)."""
-    return F.regexp_replace(c, _TRIM_RE, "")
+    """Whitespace-trim (utils.rs:49 `v.trim()`).
+
+    ``btrim(str, trimStr)`` strips any leading/trailing characters in
+    the set — same semantics as a ``^[ws]+|[ws]+$`` regex over the
+    WHITESPACE class, but a codepoint set-membership loop instead of a
+    regex engine pass: measured ~30% of conversion wall at sf0.1 when
+    this was regexp_replace (the cast projection trims every column)."""
+    return F.btrim(c, F.lit(WHITESPACE))
 
 
 def is_null_token(c: Column) -> Column:

