@@ -107,7 +107,14 @@ def observed_typed_frame(
 
     names = list(raw.columns)
     cols = [cast_expr(F.col(n), lt).alias(n) for n, lt in zip(names, types)]
-    passthrough = [F.col(n).alias(f"__raw_{i}") for i, n in enumerate(names)]
+    # string/binary casts are passthroughs — a non-null-token value can
+    # NEVER come out NULL, so their error count is structurally zero:
+    # skip their raw passthrough and metric (the accounting aggregate
+    # re-trims every observed value, so this is real per-row work)
+    fallible = [
+        i for i, lt in enumerate(types) if lt.kind not in ("string", "binary")
+    ]
+    passthrough = [F.col(names[i]).alias(f"__raw_{i}") for i in fallible]
     extra = _order_key_cols() if preserve_order else []
     staged = raw.select(*cols, *passthrough, *extra)
     if preserve_order:
@@ -120,9 +127,11 @@ def observed_typed_frame(
     obs = Observation("parse_errors")
     metrics = [F.count(F.lit(1)).alias("__rows")] + [
         F.sum(
-            (~is_null_token(F.col(f"__raw_{i}")) & F.col(n).isNull()).cast("long")
+            (~is_null_token(F.col(f"__raw_{i}")) & F.col(names[i]).isNull()).cast(
+                "long"
+            )
         ).alias(f"__err_{i}")
-        for i, n in enumerate(names)
+        for i in fallible
     ]
     staged = staged.observe(obs, *metrics)
     typed = staged.select(*names)
@@ -284,9 +293,9 @@ def convert_delimited_to_parquet(
     # null out (counted in parse_errors) — surface the silent loss
     if not infer_full:
         for _n, _lt in zip(names, types):
-            if _lt.kind == "uint64" and not _lt.uint_exceeds_i64 and got[
+            if _lt.kind == "uint64" and not _lt.uint_exceeds_i64 and got.get(
                 f"__err_{names.index(_n)}"
-            ]:
+            ):
                 logging.getLogger(__name__).warning(
                     "column %r: %d value(s) outside the sample-inferred "
                     "int64 range were nulled; re-run with infer_full=True "
@@ -301,7 +310,8 @@ def convert_delimited_to_parquet(
         delimiter=delim,
         seconds=time.monotonic() - t0,
         rows=got["__rows"],
-        parse_errors={n: got[f"__err_{i}"] or 0 for i, n in enumerate(names)},
+        # infallible (string/binary) casts have no metric: structurally 0
+        parse_errors={n: got.get(f"__err_{i}") or 0 for i, n in enumerate(names)},
     )
 
 
