@@ -63,6 +63,10 @@ _PRIORITY = [
     "a12_salted_join",
     "a13_star_join_revenue",
     "x08_props_json_extract",
+    # new in round 3 — no prior driver row by construction
+    "avro1_typed_roundtrip",
+    "avro2_string_inference",
+    "x10_winnow_rolling",
 ]
 
 

@@ -14,6 +14,8 @@ BIGINT on both sides.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1635,3 +1637,114 @@ SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
 FROM documents,
      LATERAL (SELECT unnest(range(0, least(8, greatest(1, length(text) // 64)))) AS i)
 """)(_q_media_frames)
+
+
+# ---------------------------------------------------------------------------
+# Avro source (format extension): typed roundtrip and the all-string
+# re-inference path through sources/columnar.py. The container has no
+# spark-avro jar, so these exercise the pure-Python fallback reader
+# (sources/avro_python.py: binaryFile scan -> mapInPandas decode).
+# Fixture WRITING is driver-side test scaffolding (our writer exists
+# for fixtures only); the engine path under test is the distributed
+# read + convert.
+
+
+def _write_avro_fixture(pdf, avro_dir, schema, fields, n_files=4):
+    import os
+
+    from tabular_to_parquet_spark.sources import avro_python as ap
+
+    os.makedirs(avro_dir, exist_ok=True)
+    chunk = max(1, -(-len(pdf) // n_files))
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk:(i + 1) * chunk]
+        if len(part) == 0:
+            break
+        ap.write_container(
+            os.path.join(avro_dir, f"part-{i:04d}.avro"),
+            schema,
+            ap.pandas_to_records(part, fields),
+            # alternate codecs so the sweep exercises both decode paths
+            codec="deflate" if i % 2 == 0 else "null",
+        )
+
+
+def _q_avro_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.avro_python import parse_record_schema
+    from tabular_to_parquet_spark.sources.columnar import (
+        convert_columnar_to_parquet,
+    )
+
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                "l_shipdate")
+        .toPandas()
+    )
+    schema = {"type": "record", "name": "lineitem", "fields": [
+        {"name": "l_orderkey", "type": ["null", "long"]},
+        {"name": "l_linenumber", "type": ["null", "int"]},
+        {"name": "l_quantity", "type": ["null", "double"]},
+        {"name": "l_returnflag", "type": ["null", "string"]},
+        {"name": "l_shipdate",
+         "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+    ]}
+    fields = parse_record_schema(json.dumps(schema))
+    tmp = tempfile.mkdtemp(prefix="avro1_")
+    avro_dir = os.path.join(tmp, "avro")
+    _write_avro_fixture(pdf, avro_dir, schema, fields)
+    out = os.path.join(tmp, "lineitem_avro.parquet")
+    cols, types, _rows = convert_columnar_to_parquet(
+        spark, avro_dir, out, fmt="avro"
+    )
+    assert types is None, "typed container must skip inference"
+    return spark.read.parquet(out)
+
+
+register("avro1_typed_roundtrip", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+""")(_q_avro_roundtrip)
+
+
+def _q_avro_string_inference(spark, sf_dir):
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.avro_python import parse_record_schema
+    from tabular_to_parquet_spark.sources.columnar import (
+        convert_columnar_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pdf = li.select(
+        F.col("l_orderkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias("l_shipdate"),
+    ).toPandas()
+    schema = {"type": "record", "name": "stringly", "fields": [
+        {"name": c, "type": ["null", "string"]} for c in pdf.columns
+    ]}
+    fields = parse_record_schema(json.dumps(schema))
+    tmp = tempfile.mkdtemp(prefix="avro2_")
+    avro_dir = os.path.join(tmp, "avro")
+    _write_avro_fixture(pdf, avro_dir, schema, fields)
+    out = os.path.join(tmp, "lineitem_avro2.parquet")
+    cols, types, _rows = convert_columnar_to_parquet(
+        spark, avro_dir, out, fmt="avro"
+    )
+    assert types is not None and [t.kind for t in types] == [
+        "uint64", "float64", "string", "timestamp",
+    ], types and [t.kind for t in types]
+    return spark.read.parquet(out)
+
+
+register("avro2_string_inference", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem
+""")(_q_avro_string_inference)

@@ -11,10 +11,15 @@ format-agnostic. Two entry shapes:
   shared inference thresholds + lenient cast builders apply, exactly
   like the delimited/JSON paths — one pipeline, many wire formats.
 
-Avro note: Spark ships Avro as an external module (`spark-avro`); this
-container has only the core avro jars, so ``fmt="avro"`` raises a
-clear error here and works unchanged once the connector jar is on the
-classpath (``--packages org.apache.spark:spark-avro_2.13:<ver>``).
+Avro note: Spark ships Avro as an external module (`spark-avro`).
+When the connector jar is on the classpath
+(``--packages org.apache.spark:spark-avro_2.13:<ver>``) it is used
+directly; when it is absent, ``fmt="avro"`` falls back to the
+pure-Python Object Container File reader (``sources/avro_python.py``)
+distributed as ``binaryFile`` scan → Arrow-batched ``mapInPandas``
+decode — files decode in parallel across tasks, no shuffle, no driver
+loop (one task per container file; see avro_python docstring for the
+single-huge-file caveat).
 """
 
 from __future__ import annotations
@@ -25,17 +30,43 @@ from pyspark.sql import types as T
 SUPPORTED_FORMATS = ("orc", "avro")
 
 
+def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
+    """Avro container file(s) → DataFrame without the spark-avro jar.
+
+    ``binaryFile`` lists the containers (one row per file); the schema
+    is fixed driver-side from the FIRST file's header (the usual
+    single-writer directory layout — mixed-schema directories raise in
+    the decode task when field decode misaligns); an Arrow-batched
+    ``mapInPandas`` decodes record blocks executor-side.
+    """
+    from tabular_to_parquet_spark.sources import avro_python as ap
+
+    files = spark.read.format("binaryFile").load(path)
+    first = files.orderBy("path").select("content").head()
+    if first is None:
+        raise ValueError(f"no files under {path!r}")
+    import io
+
+    schema_json, _, _ = ap.read_header(io.BytesIO(bytes(first["content"])))
+    fields = ap.parse_record_schema(schema_json)
+    ddl = ap.spark_schema_ddl(fields)
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield ap.container_to_pandas(bytes(content))
+
+    return files.select("content").mapInPandas(decode, schema=ddl)
+
+
 def read_columnar(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported columnar format: {fmt!r}")
     try:
         return spark.read.format(fmt).load(path)
-    except Exception as exc:  # pragma: no cover - avro-less container
+    except Exception as exc:
         if fmt == "avro" and "Failed to find data source" in str(exc):
-            raise RuntimeError(
-                "the spark-avro connector is not on the classpath; deploy "
-                "with --packages org.apache.spark:spark-avro_2.13:<spark-version>"
-            ) from exc
+            return read_avro_python(spark, path)
         raise
 
 

@@ -40,20 +40,109 @@ def test_orc_string_reinference(spark, tmp_path):
     assert kinds == {"i": "BIGINT", "b": "BOOLEAN", "d": "DATE"}
 
 
-def test_avro_gated_error_or_roundtrip(spark, tmp_path):
-    """Avro works when the spark-avro connector is deployed; in this
-    container the front-end must fail with the actionable message."""
-    df = spark.createDataFrame([(1, "a")], "i long, s string")
-    src = str(tmp_path / "a.avro")
-    try:
-        df.write.format("avro").save(src)
-    except Exception:
-        with pytest.raises((RuntimeError, Exception), match="avro|Avro"):
-            read_columnar(spark, src, "avro")
-        return
-    out = str(tmp_path / "a.parquet")  # pragma: no cover - avro deployed
+AVRO_SCHEMA = {"type": "record", "name": "r", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "n", "type": ["null", "int"]},          # null-first union
+    {"name": "x", "type": ["double", "null"]},       # null-last union
+    {"name": "s", "type": ["null", "string"]},
+    {"name": "b", "type": "boolean"},
+    {"name": "raw", "type": ["null", "bytes"]},
+    {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+    {"name": "ts", "type": ["null", {"type": "long",
+                                     "logicalType": "timestamp-micros"}]},
+]}
+AVRO_RECORDS = [
+    {"id": 1, "n": 5, "x": 1.5, "s": "héllo", "b": True, "raw": b"\x00\xff",
+     "d": 19000, "ts": 1_700_000_000_123_456},
+    {"id": 2 ** 62 + 3, "n": None, "x": None, "s": None, "b": False,
+     "raw": None, "d": 0, "ts": None},
+    {"id": -3, "n": -7, "x": -2.25, "s": "", "b": True, "raw": b"",
+     "d": -1, "ts": 0},
+]
+
+
+def _write_parts(tmp_path, codecs=("deflate", "null")):
+    from tabular_to_parquet_spark.sources import avro_python as ap
+
+    d = tmp_path / "avro"
+    d.mkdir()
+    ap.write_container(str(d / "part-0000.avro"), AVRO_SCHEMA,
+                       AVRO_RECORDS[:2], codec=codecs[0])
+    ap.write_container(str(d / "part-0001.avro"), AVRO_SCHEMA,
+                       AVRO_RECORDS[2:], codec=codecs[1])
+    return str(d)
+
+
+def test_avro_python_roundtrip_all_types(spark, tmp_path):
+    """Pure-Python fallback: both union orders, both codecs, date and
+    timestamp-micros logical types, 64-bit long exactness, empty vs
+    null string/bytes — decoded through binaryFile + mapInPandas."""
+    import datetime
+
+    src = _write_parts(tmp_path)
+    df = read_columnar(spark, src, "avro")
+    assert [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields] == [
+        "id:bigint", "n:int", "x:double", "s:string", "b:boolean",
+        "raw:binary", "d:date", "ts:timestamp",
+    ]
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2 ** 62 + 3, -3}
+    assert rows[1]["s"] == "héllo" and rows[1]["raw"] == b"\x00\xff"
+    assert rows[1]["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(19000)
+    assert rows[1]["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert rows[2 ** 62 + 3]["n"] is None and rows[2 ** 62 + 3]["ts"] is None
+    assert rows[-3]["s"] == "" and rows[-3]["raw"] == b""
+
+
+def test_avro_convert_typed_and_reinference(spark, tmp_path):
+    from tabular_to_parquet_spark.sources import avro_python as ap
+
+    src = _write_parts(tmp_path)
+    out = str(tmp_path / "typed.parquet")
     cols, types, rows = convert_columnar_to_parquet(spark, src, out, fmt="avro")
-    assert rows == 1
+    assert types is None and rows == 3
+
+    # all-string container goes through shared inference
+    sschema = {"type": "record", "name": "s", "fields": [
+        {"name": "i", "type": ["null", "string"]},
+        {"name": "flag", "type": ["null", "string"]},
+    ]}
+    d2 = tmp_path / "avro_str"
+    d2.mkdir()
+    ap.write_container(
+        str(d2 / "p.avro"), sschema,
+        [{"i": str(k), "flag": "true" if k % 2 else "false"}
+         for k in range(40)],
+    )
+    out2 = str(tmp_path / "inferred.parquet")
+    cols2, types2, rows2 = convert_columnar_to_parquet(
+        spark, str(d2), out2, fmt="avro"
+    )
+    assert [t.kind for t in types2] == ["uint64", "bool"] and rows2 == 40
+
+
+def test_avro_unsupported_shapes_raise(tmp_path):
+    from tabular_to_parquet_spark.sources import avro_python as ap
+
+    with pytest.raises(ValueError, match="union"):
+        ap.parse_record_schema(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"u","type":["int","string"]}]}'
+        )
+    with pytest.raises(ValueError, match="unsupported Avro type"):
+        ap.parse_record_schema(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"m","type":{"type":"map","values":"int"}}]}'
+        )
+    # corrupt sync marker must not decode silently
+    path = str(tmp_path / "c.avro")
+    ap.write_container(path, {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "long"}]}, [{"i": 1}])
+    blob = bytearray(open(path, "rb").read())
+    blob[-1] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="sync"):
+        list(ap.iter_records(bytes(blob)))
 
 
 def test_unknown_format_rejected(spark):
