@@ -120,6 +120,41 @@ def sessionize_frame(events: DataFrame, gap_minutes: int = 240) -> DataFrame:
     )
 
 
+def collect_state_metrics(query) -> dict:
+    """Aggregate state-store metrics from a drained StreamingQuery's
+    progress history (StreamingQueryProgress.stateOperators).
+
+    numRowsTotal / memoryUsedBytes are the last observed snapshot of
+    live state (rows still held — e.g. still-open sessions);
+    numRowsUpdated / numRowsRemoved accumulate across micro-batches.
+    At 100 TB/day this is the signal that decides state-store sizing
+    (RocksDB vs heap) and watermark tuning — surfaced here so callers
+    see it without scraping the Spark UI.
+    """
+    import json as _json
+
+    metrics = {
+        "numRowsTotal": 0,
+        "numRowsUpdated": 0,
+        "numRowsRemoved": 0,
+        "memoryUsedBytes": 0,
+        "state_batches": 0,
+    }
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if not ops:
+            continue
+        metrics["state_batches"] += 1
+        metrics["numRowsTotal"] = sum(o.get("numRowsTotal", 0) for o in ops)
+        metrics["memoryUsedBytes"] = sum(
+            o.get("memoryUsedBytes", 0) for o in ops
+        )
+        metrics["numRowsUpdated"] += sum(o.get("numRowsUpdated", 0) for o in ops)
+        metrics["numRowsRemoved"] += sum(o.get("numRowsRemoved", 0) for o in ops)
+    return metrics
+
+
 #: output/state schemas for the stateful streaming sessionizer
 _SESSION_OUT = (
     "user_id long, session_start timestamp, session_end timestamp, "
@@ -134,6 +169,7 @@ def sessionize_stream(
     gap_minutes: int = 240,
     watermark: str = "10 minutes",
     query_name: str = "sessionize_stream",
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """True stateful-streaming sessionization via
     ``applyInPandasWithState`` (custom per-key state, event-time
@@ -141,6 +177,11 @@ def sessionize_stream(
     close; the final still-open session per user stays in state when
     the bounded test stream ends (documented streaming/batch delta —
     on an unbounded stream the event-time timeout flushes it).
+
+    Pass a dict as ``metrics_out`` to receive the drained query's
+    state-store metrics (:func:`collect_state_metrics`) — still-held
+    session rows and state memory, the numbers that size the state
+    store on a real cluster.
     """
     import math
 
@@ -219,6 +260,8 @@ def sessionize_stream(
         .start()
     )
     q.processAllAvailable()
+    if metrics_out is not None:
+        metrics_out.update(collect_state_metrics(q))
     q.stop()
     return spark.table(query_name)
 

@@ -57,12 +57,21 @@ def test_sessionize_stream_subset_of_batch(spark):
     batch = sessionize_frame(load_table(spark, SF, "events"), gap_minutes=240)
     b = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.value_cents)
          for r in batch.collect()}
+    metrics: dict = {}
     stream_out = sessionize_stream(spark, f"{SF}/events.parquet", gap_minutes=240,
-                                   query_name="sess_test")
+                                   query_name="sess_test", metrics_out=metrics)
     s = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.value_cents)
          for r in stream_out.collect()}
     # every closed streaming session matches the batch result exactly;
     # only final still-open sessions (≤ one per user) may be missing
     assert s.items() <= b.items()
-    assert len(b) - len(s) <= batch.select("user_id").distinct().count()
+    n_users = batch.select("user_id").distinct().count()
+    assert len(b) - len(s) <= n_users
     assert len(s) > 0
+    # state-store metrics of the drained query: still-open final
+    # sessions are exactly the state rows left behind
+    assert metrics["state_batches"] > 0
+    assert metrics["numRowsTotal"] == len(b) - len(s)
+    assert 0 < metrics["numRowsTotal"] <= n_users
+    assert metrics["memoryUsedBytes"] > 0
+    assert metrics["numRowsUpdated"] > 0
