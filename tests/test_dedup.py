@@ -152,3 +152,22 @@ def test_pair_queries_leave_no_persisted_blocks(spark, docs):
     dedup.unpersist_cache(cached)
     assert len(jsc.getPersistentRDDs()) == base
     dedup.unpersist_cache(dedup.minhash_pairs(docs))  # no-op path
+
+
+def test_warm_codegen_runs_tiny_slice_plans(spark, docs):
+    """warm_codegen executes plans built over a tiny input slice through
+    the noop sink (populating the Janino class cache) and leaves no
+    side effects: no persisted blocks, results unchanged."""
+    from tabular_to_parquet_spark.session import warm_codegen
+
+    jsc = spark.sparkContext._jsc
+    base = len(jsc.getPersistentRDDs())
+    secs = warm_codegen(
+        dedup.minhash_pairs(docs.limit(50)),
+        dedup.simhash_pairs(docs.limit(50)),
+    )
+    assert secs > 0
+    assert len(jsc.getPersistentRDDs()) == base
+    # the real (full-input) plan still returns the same pairs after warm
+    n = dedup.minhash_pairs(docs).count()
+    assert n == dedup.minhash_pairs(docs).count()
