@@ -67,6 +67,7 @@ _PRIORITY = [
     "avro1_typed_roundtrip",
     "avro2_string_inference",
     "x10_winnow_rolling",
+    "m09_mjpeg_decode_features",
 ]
 
 

@@ -490,3 +490,89 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_bytes"])
 
     return df.mapInPandas(batches, out_schema)
+
+
+# --- compressed video (MJPEG-in-AVI) ----------------------------------------
+
+
+def _mjpeg_dims(media_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — multiples of 8 so every 8x8 JPEG
+    block is interior (no edge padding in the fixture)."""
+    return 8 * (1 + media_id % 3), 8 * (1 + media_id % 2), 2 + media_id % 3
+
+
+def _mjpeg_frame_gray(media_id: int, frame: int, w: int, h: int) -> bytes:
+    """Block-constant grayscale frame: each 8x8 tile holds one value
+    from a formula shared verbatim with the oracle. Block-constant
+    tiles have a DC-only spectrum, so the flat-qtable JPEG roundtrip
+    is bit-exact and the oracle can recompute pixel sums (codecs.py)."""
+    return bytes(
+        ((x // 8) * 13 + (y // 8) * 7 + frame * 31 + media_id) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real MJPEG AVI per row: every frame is a baseline
+    huffman-coded JPEG ('00dc' chunks, MJPG fourcc)."""
+    from tabular_to_parquet_spark.operators.codecs import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads = []
+            for mid in ids:
+                w, h, n = _mjpeg_dims(int(mid))
+                payloads.append(
+                    encode_avi_mjpeg(
+                        w, h,
+                        [
+                            encode_jpeg_gray(w, h, _mjpeg_frame_gray(int(mid), f, w, h))
+                            for f in range(n)
+                        ],
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": "video/mjpeg-avi"}
+            )
+
+    return df.select(id_col).mapInPandas(batches, IMG_SCHEMA)
+
+
+def decode_mjpeg_video_features(df: DataFrame) -> DataFrame:
+    """Decode each MJPEG AVI with the real container + JPEG entropy
+    decoder; pixel statistics are reported over the RGB expansion
+    (grayscale replicated x3) so the output shape matches the
+    uncompressed-AVI feature frame (VIDEO_FEATURE_SCHEMA)."""
+    from tabular_to_parquet_spark.operators.codecs import decode_avi_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = (
+                        decode_avi_mjpeg(bytes(payload))
+                        if payload is not None
+                        else (None, None, None)
+                    )
+                except ValueError:
+                    w = h = frames = None
+                if frames is None:
+                    rows.append((mid, None, None, None, None, None, False))
+                else:
+                    rows.append(
+                        (mid, w, h, len(frames),
+                         3 * sum(sum(f) for f in frames), 3 * sum(frames[-1]), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames",
+                         "px_sum", "last_frame_sum", "decoded"],
+            )
+
+    return df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)

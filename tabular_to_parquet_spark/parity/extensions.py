@@ -1748,3 +1748,35 @@ SELECT l_orderkey, l_quantity, l_returnflag,
        date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
 FROM lineitem
 """)(_q_avro_string_inference)
+
+
+def _q_mjpeg_decode(spark, sf_dir):
+    media = multimodal.attach_mjpeg_payload(_docs(spark, sf_dir))
+    return multimodal.decode_mjpeg_video_features(media)
+
+
+# m09 — COMPRESSED video: MJPEG-in-AVI, one baseline huffman-coded JPEG
+# per '00dc' chunk (operators/codecs.py). Fixture frames are
+# block-constant per 8x8 tile, so the DC-only spectrum survives the
+# flat-qtable roundtrip bit-exactly and the oracle recomputes pixel
+# sums straight from the generation formula: a hash match proves a real
+# entropy-decode + IDCT ran on every frame. Grayscale replicated to RGB
+# -> px sums are 3 * 64 * block-value sums.
+register("m09_mjpeg_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+       CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(192 * SUM((bx * 13 + by * 7 + f * 31 + doc_id) % 256) AS BIGINT) AS px_sum,
+       CAST(192 * SUM(CASE WHEN f = n - 1
+                           THEN (bx * 13 + by * 7 + f * 31 + doc_id) % 256
+                           ELSE 0 END) AS BIGINT) AS last_frame_sum,
+       true AS decoded
+FROM (SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+             2 + doc_id % 3 AS n
+      FROM documents),
+     LATERAL (SELECT unnest(range(0, n)) AS f),
+     LATERAL (SELECT unnest(range(0, wb)) AS bx),
+     LATERAL (SELECT unnest(range(0, hb)) AS by)
+GROUP BY doc_id
+""")(_q_mjpeg_decode)

@@ -215,3 +215,71 @@ def test_decode_video_features_end_to_end(spark):
         frames = [_avi_frame_rgb(r.media_id, f, w, h) for f in range(n)]
         assert r.px_sum == sum(sum(f) for f in frames)
         assert r.last_frame_sum == sum(frames[-1])
+
+
+def test_jpeg_codec_roundtrips_and_rejects():
+    from tabular_to_parquet_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # block-constant tiles: DC-only spectrum -> bit-exact roundtrip
+    w, h = 24, 16
+    gray = bytes(((x // 8) * 13 + (y // 8) * 7 + 5) % 256
+                 for y in range(h) for x in range(w))
+    assert decode_jpeg_gray(encode_jpeg_gray(w, h, gray)) == (w, h, gray)
+    # arbitrary content with the flat qtable: lossy but tight (the only
+    # error source is float-DCT coefficient rounding)
+    import random
+
+    rnd = random.Random(7)
+    noisy = bytes(rnd.randrange(256) for _ in range(w * h))
+    _, _, back = decode_jpeg_gray(encode_jpeg_gray(w, h, noisy))
+    assert max(abs(a - b) for a, b in zip(noisy, back)) <= 2
+    # non-multiple-of-8 dims: edge-replicated pad, cropped on decode
+    w2, h2 = 13, 10
+    smooth = bytes((x * 7 + y * 3) % 256 for y in range(h2) for x in range(w2))
+    got = decode_jpeg_gray(encode_jpeg_gray(w2, h2, smooth))
+    assert got[0:2] == (w2, h2) and len(got[2]) == w2 * h2
+    for bad in (b"", b"\xff\xd8\xff\xd9", bytes(64)):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bad)
+
+
+def test_mjpeg_avi_roundtrip_and_rejects():
+    from tabular_to_parquet_spark.operators.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    w, h = 16, 8
+    frames = [bytes((((x // 8) + (y // 8) + f) * 17) % 256
+                    for y in range(h) for x in range(w)) for f in range(3)]
+    avi = encode_avi_mjpeg(w, h, [encode_jpeg_gray(w, h, f) for f in frames])
+    assert decode_avi_mjpeg(avi) == (w, h, frames)
+    # the uncompressed-DIB fourcc is rejected (biCompression gate)
+    with pytest.raises(ValueError, match="biCompression"):
+        decode_avi_mjpeg(avi.replace(b"MJPG", b"DIB "))
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", bytes(64)):
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(bad)
+
+
+def test_decode_mjpeg_video_features_end_to_end(spark):
+    from tabular_to_parquet_spark.operators.multimodal import (
+        _mjpeg_dims,
+        _mjpeg_frame_gray,
+        attach_mjpeg_payload,
+        decode_mjpeg_video_features,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    out = decode_mjpeg_video_features(attach_mjpeg_payload(docs)).collect()
+    assert len(out) == 12
+    for r in out:
+        w, h, n = _mjpeg_dims(r.media_id)
+        assert r.decoded and (r.width, r.height, r.n_frames) == (w, h, n)
+        frames = [_mjpeg_frame_gray(r.media_id, f, w, h) for f in range(n)]
+        assert r.px_sum == 3 * sum(sum(f) for f in frames)
+        assert r.last_frame_sum == 3 * sum(frames[-1])
