@@ -226,6 +226,7 @@ def convert_delimited_to_parquet(
     prior_tz = ensure_utc(spark)
     _UNSET = object()
     old_split: object = _UNSET
+    old_wscg: object = _UNSET
     try:
         # directory / multi-file input: driver-side sniff + header +
         # sample inference read the lexicographically-first file (the
@@ -258,6 +259,17 @@ def convert_delimited_to_parquet(
         old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
+        # the fused Scan→Project(11 lenient casts)→Write stage generates
+        # a method far past HotSpot's JIT limits: whole-stage codegen
+        # runs INTERPRETED bytecode and loses to the non-fused path
+        # (measured on 600k-row lineitem, local[32]: warm 8.5s→5.2s,
+        # cold 12.4s→9.6s incl. the one-shot Janino compile it skips).
+        # Pin WSCG off for the conversion job only (restored below);
+        # per-expression evaluation stays JVM-side with runtime
+        # subexpression elimination.
+        old_wscg = spark.conf.get("spark.sql.codegen.wholeStage", None)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+
         raw = read_delimited_as_strings(spark, input_path, delim, names)
         if strict_drop:
             raw = drop_replacement_char_rows(raw, names)
@@ -285,6 +297,11 @@ def convert_delimited_to_parquet(
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
             else:
                 spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        if old_wscg is not _UNSET:
+            if old_wscg is not None:
+                spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
+            else:
+                spark.conf.unset("spark.sql.codegen.wholeStage")
         restore_timezone(spark, prior_tz)
 
     got = obs.get
