@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tabular_to_parquet_spark.parity import extensions as _extensions  # noqa: F401  (registers)
+from tabular_to_parquet_spark.parity import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity.catalog import CATALOG
 
 
@@ -68,6 +69,12 @@ _PRIORITY = [
     "avro2_string_inference",
     "x10_winnow_rolling",
     "m09_mjpeg_decode_features",
+    "pl01_hash_split_stats",
+    "pl02_mixture_sample",
+    "pl03_stratified_sample",
+    "pl04_redact_pii",
+    "pl05_pack_stats",
+    "pl06_shard_checksum",
 ]
 
 

@@ -1,0 +1,286 @@
+"""Training-data pipeline operators: split / sample / mix / redact /
+pack / shard (SURVEY.md §7.4 extension surface).
+
+These are the corpus-preparation steps an LLM training pipeline runs
+between "deduplicated documents" and "tokenized shards". Everything is
+deterministic — no ``rand()`` anywhere — so runs are reproducible,
+resumable, and independently checkable by the DuckDB oracle:
+
+- **hash_split**: train/val/test assignment from a 60-bit md5 of the
+  document id. Pure projection — no shuffle, no state, stable under
+  re-partitioning and re-runs (a document never migrates between
+  splits when the corpus grows).
+- **mixture_sample**: per-source sampling rates (the "data mixture" of
+  a training run) via the same hash-bucket trick. Pure projection +
+  filter; at 100 TB this is a scan with the filter pushed to the
+  parquet row-group level where possible.
+- **stratified_sample**: exactly-k-per-stratum, deterministic: rank by
+  a seeded hash within each stratum and keep the k smallest. One
+  shuffle on the stratum key; the window is PARTITIONED (no global
+  single-reducer sort — cf. the x09 lesson, VERDICT r2).
+- **redact_pii**: email/phone/SSN/IPv4 masking with patterns written
+  in the Java-regex ∩ RE2 subset so Spark and the DuckDB oracle
+  replace byte-identically. Pure projection, codegen'd.
+- **pack_sequences**: concat-then-chunk packing — documents are laid
+  head-to-tail per shard in deterministic order and a pack boundary
+  falls every ``budget`` tokens; a document joins the pack where it
+  STARTS (so packs can overrun by at most one document's tokens —
+  the standard closed-form approximation of greedy packing, and the
+  rule is window-expressible on both engines). One shuffle on the
+  shard key; cumulative sums are per-shard windows, never global.
+- **shard_assign**: training-shard assignment by id hash — round-robin
+  in expectation, deterministic in fact. Pure projection; feeds
+  ``DataFrameWriter.partitionBy("shard")`` for the physical write.
+
+No reference counterpart (the reference is a converter only); these
+compose on top of the converted Parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from tabular_to_parquet_spark.functions.hashing import md5_i64, md5_i64_sql
+
+#: resolution of the hash buckets used for split/mixture decisions —
+#: rates are exact multiples of 1/10000
+BUCKETS = 10_000
+
+
+def _bucket(id_col: Column, seed: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a 60-bit md5 hash."""
+    return F.pmod(md5_i64(id_col.cast("string"), seed=seed), F.lit(BUCKETS))
+
+
+def _bucket_sql(expr: str, seed: str) -> str:
+    """DuckDB SQL computing the same bucket (md5_i64 is non-negative,
+    so plain ``%`` matches Spark's pmod)."""
+    return f"({md5_i64_sql(f'({expr})::VARCHAR', seed=seed)} % {BUCKETS})"
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1.0; any
+    remainder falls into the LAST split). Assignment is a pure
+    projection on ``md5(id) % 10000`` — adding data later never moves
+    an existing id between splits, which is the property that keeps a
+    held-out set held out across corpus refreshes.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = _bucket(F.col(id_col), seed)
+    names = list(weights)
+    edges: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        edges.append(int(round(acc * BUCKETS)))
+    expr: Column = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(b < edge, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def hash_split_case_sql(
+    id_expr: str, weights: dict[str, float] | None = None, seed: str = "split"
+) -> str:
+    """DuckDB CASE expression mirroring :func:`hash_split`."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(weights)
+    b = _bucket_sql(id_expr, seed)
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += weights[name]
+        arms.append(f"WHEN {b} < {int(round(acc * BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Keep each row with its source's sampling rate, deterministically.
+
+    ``rates`` is the training mixture: source name → keep fraction.
+    A row survives iff ``md5(id) % 10000 < rate*10000`` — no rand(),
+    so the sampled corpus is reproducible and monotone in the rate
+    (raising a rate strictly grows the sample; lowering it shrinks).
+    Pure projection + filter: zero shuffles at any scale.
+    """
+    b = _bucket(F.col(id_col), seed)
+    thr: Column = F.lit(int(round(default_rate * BUCKETS)))
+    for name, rate in rates.items():
+        thr = F.when(
+            F.col(source_col) == name, F.lit(int(round(rate * BUCKETS)))
+        ).otherwise(thr)
+    return df.where(b < thr)
+
+
+def mixture_threshold_sql(
+    source_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB CASE expression for the per-source bucket threshold."""
+    arms = " ".join(
+        f"WHEN {source_expr} = '{name}' THEN {int(round(rate * BUCKETS))}"
+        for name, rate in rates.items()
+    )
+    return f"CASE {arms} ELSE {int(round(default_rate * BUCKETS))} END"
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "strat",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically.
+
+    Rank rows within each stratum by a seeded hash of the id (total
+    order — ties broken by the id itself) and keep the k smallest.
+    One shuffle on the stratum key; the ranking window is partitioned
+    by stratum, so no single task ever sees more than one stratum
+    (skewed strata are bounded by stratum size, not corpus size — for
+    a pathologically hot stratum, pre-filter with an approximate
+    per-stratum rate first, then exact-rank the survivors).
+    """
+    h = md5_i64(F.col(id_col).cast("string"), seed=seed)
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+
+#: (pattern, replacement) — Java-regex ∩ RE2 subset (no lookaround, no
+#: backreferences); order matters: SSN's 3-2-4 shape must run before
+#: the generic phone pass would never match it, but email must run
+#: before phone so the digits inside an address aren't re-masked.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Mask emails / SSNs / phone numbers / IPv4s in ``text_col``.
+
+    A chain of built-in ``regexp_replace`` calls — JVM-side, codegen'd,
+    shuffle-free. The patterns avoid every construct where Java regex
+    and RE2 disagree, so the DuckDB oracle (``regexp_replace(..., 'g')``)
+    reproduces the output byte-for-byte; :data:`PII_PATTERNS` is the
+    single source of truth for both engines.
+    """
+    out = out_col or text_col
+    c: Column = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out, c)
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB expression applying the same replacement chain."""
+    for pat, repl in PII_PATTERNS:
+        # single-quote the pattern; none of the patterns contain quotes
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (concat-then-chunk).
+
+    Documents are laid head-to-tail in ``order_col`` order (within
+    ``shard_col`` when given) and a pack boundary falls every
+    ``budget`` tokens; a document belongs to the pack containing its
+    START offset, so every pack holds whole documents and overruns the
+    budget by strictly less than one document. This is the closed-form
+    window formulation of sequence packing: exact greedy first-fit
+    needs sequential state, but start-offset chunking is one
+    ``sum() OVER (...)`` — and at 100 TB that difference is a
+    partitioned window versus a non-parallelizable scan.
+
+    Without ``shard_col`` the window is global — correct but
+    single-reducer; always pass a shard column at scale (pack quality
+    is unaffected: packs never span shards by construction).
+
+    Adds ``pack_start`` (token offset of the document's head) and
+    ``pack_id`` (= ``shard * 2^32 + floor(pack_start / budget)`` when
+    sharded, else the plain chunk index).
+    """
+    part = [F.col(shard_col)] if shard_col else []
+    w = (
+        W.partitionBy(*part)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("pack_start")
+    out = df.withColumn("pack_start", start)
+    chunk = F.floor(F.col("pack_start") / budget)
+    if shard_col:
+        pack = F.col(shard_col).cast("long") * F.lit(1 << 32) + chunk
+    else:
+        pack = chunk
+    return out.withColumn("pack_id", pack.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# shard_assign
+
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = "shard"
+) -> DataFrame:
+    """Add a ``shard`` column in [0, n_shards) from the id hash.
+
+    Deterministic round-robin-in-expectation sharding for training
+    output. Pure projection; the physical write co-partitions with
+    ``df.write.partitionBy("shard")`` (or ``repartition("shard")``
+    first to get exactly one file per shard when n_shards is the
+    file-level fan-out target).
+    """
+    return df.withColumn(
+        "shard",
+        F.pmod(md5_i64(F.col(id_col).cast("string"), seed=seed), F.lit(n_shards))
+        .cast("int"),
+    )
+
+
+def shard_sql(id_expr: str, n_shards: int, seed: str = "shard") -> str:
+    """DuckDB expression mirroring :func:`shard_assign`."""
+    return f"({md5_i64_sql(f'({id_expr})::VARCHAR', seed=seed)} % {n_shards})"

@@ -1,0 +1,249 @@
+"""Parity catalog for the corpus-preparation operators
+(operators/pipeline.py): deterministic split / mixture / stratified
+sampling, PII redaction, sequence packing, shard assignment.
+
+Every oracle re-derives the operator's decision rule from scratch in
+DuckDB SQL — same md5-bucket arithmetic, same window frames, same
+regex chain — so a value-hash match proves the semantics, not just
+the plumbing. Counts/sums are CAST to BIGINT on both sides (DuckDB
+SUM yields HUGEINT); ranks are cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.functions.hashing import md5_i64
+from tabular_to_parquet_spark.operators import pipeline as pl
+from tabular_to_parquet_spark.operators import text_analysis as ta
+from tabular_to_parquet_spark.parity.catalog import register
+from tabular_to_parquet_spark.parity.extensions import _TOKS
+from tabular_to_parquet_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# pl01 — hash split
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@register(
+    "pl01_hash_split_stats",
+    f"""
+SELECT {pl.hash_split_case_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY 1
+""",
+)
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: a pure projection on
+    md5(doc_id) — no shuffle until the (tiny, 3-group) verification
+    agg. No reference counterpart; extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pl.hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pl02 — mixture sampling
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+@register(
+    "pl02_mixture_sample",
+    f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE {pl._bucket_sql('doc_id', 'mix')} <
+      {pl.mixture_threshold_sql('source', _MIX_RATES, _MIX_DEFAULT)}
+GROUP BY source
+""",
+)
+def _q_mixture(spark, sf_dir):
+    """Per-source sampling rates (the training-data mixture), no
+    rand(): keep iff md5-bucket(doc_id) clears the source's
+    threshold. Projection + filter — zero shuffles at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = pl.mixture_sample(
+        docs, "source", _MIX_RATES, "doc_id", default_rate=_MIX_DEFAULT
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pl03 — stratified sampling
+
+_STRAT_K = 7
+
+
+@register(
+    "pl03_stratified_sample",
+    f"""
+SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (SELECT lang, doc_id,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY {pl.md5_i64_sql('doc_id::VARCHAR', 'strat')} ASC,
+                          doc_id ASC) AS sample_rank
+      FROM documents)
+WHERE sample_rank <= {_STRAT_K}
+""",
+)
+def _q_stratified(spark, sf_dir):
+    """Exactly-k-per-language sample via seeded-hash ranking. The
+    window is partitioned by the stratum (one shuffle on lang, no
+    global sort — cf. the x09 single-reducer lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pl.stratified_sample(docs, "lang", _STRAT_K, "doc_id")
+    return out.select(
+        "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pl04 — PII redaction
+
+# inject synthetic PII deterministically from doc_id so the gate
+# actually exercises every pattern (the corpus itself is clean word
+# soup); both engines build the identical raw string, then redact.
+_RAW_SQL = (
+    "concat_ws(' ', "
+    "'u' || doc_id::VARCHAR || '@ex-' || lang || '.org', "
+    "'tel 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'), "
+    "'ssn 123-45-6789', "
+    "'ip 10.0.' || (doc_id % 256)::VARCHAR || '.7', "
+    "substr(text, 1, 40))"
+)
+
+
+@register(
+    "pl04_redact_pii",
+    f"""
+SELECT doc_id,
+       {pl.redact_pii_sql(_RAW_SQL)} AS redacted
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def _q_redact(spark, sf_dir):
+    """Email/SSN/phone/IPv4 masking — a codegen'd regexp_replace
+    chain (patterns in the Java-regex ∩ RE2 subset; PII_PATTERNS is
+    the shared source of truth). Byte-identical output proves the
+    regex semantics agree across engines."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    raw = F.concat_ws(
+        " ",
+        F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-"),
+            F.col("lang"),
+            F.lit(".org"),
+        ),
+        F.concat(
+            F.lit("tel 415-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ),
+        F.lit("ssn 123-45-6789"),
+        F.concat(
+            F.lit("ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+        ),
+        F.substring(F.col("text"), 1, 40),
+    )
+    staged = docs.select("doc_id", raw.alias("raw"))
+    return pl.redact_pii(staged, "raw", out_col="redacted").select(
+        "doc_id", "redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pl05 — sequence packing
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+@register(
+    "pl05_pack_stats",
+    f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+           CAST(len({_TOKS}) AS BIGINT) AS tok
+    FROM documents),
+c AS (
+    SELECT *, SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - tok AS pack_start
+    FROM t)
+SELECT CAST(shard * 4294967296 + pack_start // {_PACK_BUDGET} AS BIGINT)
+           AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY 1
+""",
+)
+def _q_pack(spark, sf_dir):
+    """Concat-then-chunk packing at a 2048-token budget, 8 shards:
+    the per-shard running token offset is one PARTITIONED window sum
+    (never a global window), pack id = shard ⊕ chunk index. The agg
+    verifies pack membership, sizes, and ordering in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        ta.token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    packed = pl.pack_sequences(
+        staged, "tok", _PACK_BUDGET, order_col="doc_id", shard_col="shard"
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pl06 — shard assignment
+
+_N_SHARDS = 16
+
+
+@register(
+    "pl06_shard_checksum",
+    f"""
+SELECT CAST({pl.shard_sql('doc_id', _N_SHARDS)} AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({pl.md5_i64_sql('text')} % 1000003) AS BIGINT) AS content_checksum
+FROM documents GROUP BY 1
+""",
+)
+def _q_shard(spark, sf_dir):
+    """Deterministic 16-way training-shard assignment (projection
+    only; the physical write co-partitions via partitionBy). The
+    per-shard content checksum (md5 mod a prime, summed) proves the
+    exact row→shard mapping, not just the shard sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = pl.shard_assign(docs, "doc_id", _N_SHARDS)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.pmod(md5_i64(F.col("text")), F.lit(1000003))).alias(
+            "content_checksum"
+        ),
+    )

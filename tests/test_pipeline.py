@@ -1,0 +1,154 @@
+"""Unit tests for the corpus-preparation operators
+(operators/pipeline.py): determinism, invariants, and plan shape.
+Cross-engine value parity is covered by the pl01–pl06 oracle gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import pipeline as pl
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"word{i} " * (5 + i % 37), ["en", "fr", "de"][i % 3], f"src{i % 4}")
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+
+
+def test_hash_split_covers_and_is_stable(spark, docs):
+    out = pl.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 600
+    # rough proportionality at n=600 (hash buckets, not rand)
+    assert counts["train"] > 400
+
+    # stability: the assignment of a given id never depends on the rest
+    # of the corpus — the held-out property
+    sub = pl.hash_split(docs.where(F.col("doc_id") < 100), "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in out.where(F.col("doc_id") < 100).collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_hash_split_is_pure_projection(spark, docs):
+    plan = pl.hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+
+
+def test_mixture_sample_monotone_and_exact_rates(spark, docs):
+    lo = pl.mixture_sample(docs, "source", {"src0": 0.25}, "doc_id")
+    hi = pl.mixture_sample(docs, "source", {"src0": 0.5}, "doc_id")
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids  # raising a rate only adds documents
+    # default_rate=0 drops every other source
+    assert all(i % 4 == 0 for i in hi_ids)
+    # rate 1.0 keeps a source wholesale
+    full = pl.mixture_sample(docs, "source", {"src1": 1.0}, "doc_id")
+    assert full.count() == 150
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+
+
+def test_stratified_sample_exact_k(spark, docs):
+    out = pl.stratified_sample(docs, "lang", 5, "doc_id")
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"en": 5, "fr": 5, "de": 5}
+    # deterministic: second run picks the identical rows
+    again = pl.stratified_sample(docs, "lang", 5, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # small stratum: returns the whole stratum, not an error
+    tiny = pl.stratified_sample(docs.where(F.col("doc_id") < 4), "lang", 5, "doc_id")
+    assert tiny.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+
+
+def test_redact_pii_masks_each_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co now"),
+            (2, "ssn 123-45-6789 leaked"),
+            (3, "call 415-555-0042 or 415.555.0042"),
+            (4, "host 192.168.0.1 up"),
+            (5, "clean text 12345"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["t"] for r in pl.redact_pii(df, "t").collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "ssn <SSN> leaked"
+    assert got[3] == "call <PHONE> or <PHONE>"
+    assert got[4] == "host <IP> up"
+    assert got[5] == "clean text 12345"
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+
+
+def test_pack_sequences_invariants(spark, docs):
+    staged = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"),
+        (F.pmod(F.col("doc_id"), F.lit(37)) + 5).cast("long").alias("tok"),
+    )
+    budget = 100
+    packed = pl.pack_sequences(staged, "tok", budget, "doc_id", "shard").collect()
+    max_tok = max(r["tok"] for r in packed)
+    by_pack: dict[int, list] = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for rows in by_pack.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # a pack never spans shards
+        assert len({r["shard"] for r in rows}) == 1
+        # packs overrun the budget by less than one document
+        assert sum(r["tok"] for r in rows) < budget + max_tok
+        # a document's start offset lies inside its pack's chunk
+        for r in rows:
+            assert r["pack_start"] // budget == r["pack_id"] % (1 << 32)
+    # every document landed in exactly one pack
+    assert sum(len(v) for v in by_pack.values()) == 600
+
+
+def test_pack_sequences_single_shuffle(spark, docs):
+    staged = docs.select("doc_id", F.lit(0).alias("shard"), F.lit(7).alias("tok"))
+    plan = (
+        pl.pack_sequences(staged, "tok", 100, "doc_id", "shard")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# shard_assign
+
+
+def test_shard_assign_range_and_no_shuffle(spark, docs):
+    out = pl.shard_assign(docs, "doc_id", 16)
+    shards = {r["shard"] for r in out.select("shard").distinct().collect()}
+    assert shards <= set(range(16))
+    assert len(shards) == 16  # 600 ids fill all 16 shards w.h.p.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
