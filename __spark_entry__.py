@@ -75,6 +75,8 @@ _PRIORITY = [
     "pl04_redact_pii",
     "pl05_pack_stats",
     "pl06_shard_checksum",
+    "pl07_dedup_against",
+    "pl08_prepare_corpus",
 ]
 
 

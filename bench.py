@@ -118,9 +118,23 @@ def main() -> None:
     def _():
         _noop(dedup.minhash_pairs(docs, threshold=0.5))
 
+    # iterative-caller mode: signatures persisted across the self-join
+    # sides, released afterwards (the documented cache contract)
+    @timed("minhash_pairs_cached")
+    def _():
+        out = dedup.minhash_pairs(docs, threshold=0.5, cache_signatures=True)
+        _noop(out)
+        dedup.unpersist_cache(out)
+
     @timed("simhash_pairs")
     def _():
         _noop(dedup.simhash_pairs(docs, max_hamming=3))
+
+    @timed("simhash_pairs_cached")
+    def _():
+        out = dedup.simhash_pairs(docs, max_hamming=3, cache_signatures=True)
+        _noop(out)
+        dedup.unpersist_cache(out)
 
     # -- similarity search --------------------------------------------------
     @timed("knn_bruteforce")

@@ -284,3 +284,75 @@ def shard_assign(
 def shard_sql(id_expr: str, n_shards: int, seed: str = "shard") -> str:
     """DuckDB expression mirroring :func:`shard_assign`."""
     return f"({md5_i64_sql(f'({id_expr})::VARCHAR', seed=seed)} % {n_shards})"
+
+
+# ---------------------------------------------------------------------------
+# dedup_against — incremental corpus refresh
+
+def dedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus.
+
+    Two stages, both exact:
+
+    1. in-batch: keep the min-id row per distinct normalized content
+       (:func:`~tabular_to_parquet_spark.operators.dedup.dedup_exact`);
+    2. cross-corpus: drop batch rows whose content fingerprint already
+       exists in ``corpus`` (left-anti join on the md5 fingerprint).
+
+    The corpus side collapses to DISTINCT fingerprints with a map-side
+    combined aggregate before the anti-join, so the shuffle carries one
+    short row per distinct document — never the corpus text. On a real
+    deployment, persist the fingerprint set as a table bucketed by
+    ``fp``: every nightly refresh then anti-joins co-located, with no
+    corpus-side shuffle at all (same trick as the bucketed IVF index).
+    """
+    from tabular_to_parquet_spark.operators.dedup import dedup_exact
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    fp = F.md5(normalized_text(F.col(text_col)))
+    batch = dedup_exact(new, text_col, id_col)
+    corpus_fps = corpus.select(fp.alias("_fp")).distinct()
+    return (
+        batch.withColumn("_fp", fp)
+        .join(corpus_fps, on="_fp", how="left_anti")
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# prepare_corpus — the composed preparation pipeline
+
+def prepare_corpus(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    n_shards: int = 8,
+    langs: tuple[str, ...] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus preparation: exact dedup → quality filter →
+    language filter → split assignment → shard assignment.
+
+    One declarative plan — Catalyst fuses the quality/language
+    predicates into a single projection over the dedup survivors and
+    the split/shard columns are pure projections on top, so the whole
+    pipeline costs exactly the dedup's two fingerprint shuffles
+    regardless of how many filter stages ride on it. This is the
+    composition argument for engine-level operators: gluing the same
+    steps together as separate jobs would re-shuffle (or re-write)
+    the corpus between stages.
+    """
+    from tabular_to_parquet_spark.operators.dedup import dedup_exact
+    from tabular_to_parquet_spark.operators.text_analysis import quality_columns
+
+    out = dedup_exact(docs, text_col, id_col)
+    out = out.where(quality_columns(F.col(text_col))["is_good"])
+    if langs:
+        out = out.where(F.col("lang").isin(*langs))
+    out = hash_split(out, id_col, weights)
+    return shard_assign(out, id_col, n_shards)

@@ -17,7 +17,7 @@ from tabular_to_parquet_spark.functions.hashing import md5_i64
 from tabular_to_parquet_spark.operators import pipeline as pl
 from tabular_to_parquet_spark.operators import text_analysis as ta
 from tabular_to_parquet_spark.parity.catalog import register
-from tabular_to_parquet_spark.parity.extensions import _TOKS
+from tabular_to_parquet_spark.parity.extensions import _NORM, _PUNCT_RE, _TOKS
 from tabular_to_parquet_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -246,4 +246,75 @@ def _q_shard(spark, sf_dir):
         F.sum(F.pmod(md5_i64(F.col("text")), F.lit(1000003))).alias(
             "content_checksum"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pl07 — incremental dedup against an existing corpus
+
+
+@register(
+    "pl07_dedup_against",
+    f"""
+WITH fp AS (SELECT doc_id, n_chars, md5({_NORM}) AS fp FROM documents),
+batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp),
+corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+SELECT k.doc_id
+FROM keepers k LEFT JOIN corp c ON k.fp = c.fp
+WHERE c.fp IS NULL
+""",
+)
+def _q_dedup_against(spark, sf_dir):
+    """Corpus refresh: the batch (doc_id % 5 = 0) dedups in-batch,
+    then anti-joins the existing corpus's DISTINCT fingerprint set —
+    the shuffle carries one md5 per distinct corpus document, never
+    the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return pl.dedup_against(batch, corpus).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pl08 — the composed preparation pipeline
+
+_PREP_LANGS = ("en", "fr", "de", "es")
+_PREP_SHARDS = 8
+
+
+@register(
+    "pl08_prepare_corpus",
+    f"""
+WITH fp AS (SELECT *, md5({_NORM}) AS fp FROM documents),
+keep AS (SELECT fp, MIN(doc_id) AS kid FROM fp GROUP BY fp),
+ded AS (SELECT f.* FROM fp f JOIN keep k ON f.doc_id = k.kid),
+feat AS (SELECT doc_id, lang, length(text) AS nc, len({_TOKS}) AS nt,
+                length(text) - length(regexp_replace(text, {_PUNCT_RE}, '', 'g'))
+                    AS np
+         FROM ded),
+good AS (SELECT * FROM feat
+         WHERE nt BETWEEN 5 AND 100000
+           AND (CASE WHEN nc > 0 THEN np::DOUBLE / nc ELSE 0.0 END) < 0.3
+           AND (CASE WHEN nt > 0 THEN nc::DOUBLE / nt ELSE 0.0 END) >= 2.0
+           AND (CASE WHEN nt > 0 THEN nc::DOUBLE / nt ELSE 0.0 END) <= 20.0
+           AND lang IN {_PREP_LANGS!r})
+SELECT {pl.hash_split_case_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
+       CAST({pl.shard_sql('doc_id', _PREP_SHARDS)} AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM good GROUP BY 1, 2
+""",
+)
+def _q_prepare(spark, sf_dir):
+    """The whole preparation pipeline as ONE Catalyst plan: exact
+    dedup -> quality filter -> language filter -> split -> shard.
+    The filters and assignments fuse into the dedup's projection, so
+    composition adds zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pl.prepare_corpus(
+        docs, _SPLIT_WEIGHTS, n_shards=_PREP_SHARDS, langs=_PREP_LANGS
+    )
+    return out.groupBy("split", "shard").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum")
     )

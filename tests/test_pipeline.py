@@ -145,6 +145,40 @@ def test_pack_sequences_single_shuffle(spark, docs):
 # shard_assign
 
 
+def test_dedup_against_drops_batch_and_corpus_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha  beta"),   # dup of corpus doc 1 after normalization
+            (11, "epsilon zeta"),  # new
+            (12, "epsilon zeta"),  # in-batch dup of 11
+            (13, "eta theta"),     # new
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in pl.dedup_against(batch, corpus).collect())
+    assert kept == [11, 13]
+
+
+def test_prepare_corpus_composition_adds_no_shuffles(spark, docs):
+    from tabular_to_parquet_spark.operators.dedup import dedup_exact
+
+    def exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    base = exchanges(dedup_exact(docs))
+    full = exchanges(pl.prepare_corpus(docs, n_shards=8, langs=("en", "fr")))
+    assert full == base  # filters + split/shard fuse into the dedup plan
+
+    out = pl.prepare_corpus(docs, n_shards=8, langs=("en", "fr"))
+    rows = out.collect()
+    assert rows and all(r["lang"] in ("en", "fr") for r in rows)
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    assert all(0 <= r["shard"] < 8 for r in rows)
+
+
 def test_shard_assign_range_and_no_shuffle(spark, docs):
     out = pl.shard_assign(docs, "doc_id", 16)
     shards = {r["shard"] for r in out.select("shard").distinct().collect()}
