@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tabular_to_parquet_spark.parity import extensions as _extensions  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
+from tabular_to_parquet_spark.parity import profiling_queries as _profiling_queries  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity.catalog import CATALOG
 
 
@@ -77,6 +78,9 @@ _PRIORITY = [
     "pl06_shard_checksum",
     "pl07_dedup_against",
     "pl08_prepare_corpus",
+    "pr01_profile_orders",
+    "pr02_value_histogram",
+    "pr03_event_percentiles",
 ]
 
 

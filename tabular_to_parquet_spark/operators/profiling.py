@@ -1,0 +1,134 @@
+"""Data-profiling operators: per-column stats, histograms, exact
+group percentiles.
+
+The profiling pass a pipeline runs right after conversion (and the
+reference's `analyse` pass runs *during* inference — cf.
+/root/reference/src/analyse.rs counters, already mirrored by
+plans/inference.py): what does this table actually contain, column by
+column, before anything downstream trusts it.
+
+Scale notes:
+
+- **profile_table** is ONE aggregation pass. Exact per-column
+  distinct counts make Catalyst plan an Expand (input multiplied by
+  the number of profiled columns) — acceptable to a few dozen
+  columns; pass ``approx=True`` to use HyperLogLog distinct counts
+  (one pass, no Expand, ±2% error) for wide tables at 100 TB.
+- **histogram** is a projection (closed-form bin arithmetic, no
+  width_bucket dependency) plus one hash-agg on (group, bin) —
+  map-side combined, skew-free because bins are bounded.
+- **group_percentiles** uses Spark's exact ``percentile`` aggregate:
+  per-group value buffers on the reducers, so it's for
+  bounded-cardinality groups (event types, languages, sources). The
+  100 TB path for high-cardinality groups is ``approx_percentile``
+  (t-digest, mergeable, constant memory) — same call shape, not
+  oracle-exact. Quantiles at q ∈ {.25, .5, .75} over integer-cents
+  inputs interpolate exactly in binary floating point, which is what
+  lets the DuckDB oracle (quantile_cont) hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row per column: non-null count, null count, distinct count,
+    min/max (as strings, so mixed-type tables profile into one frame).
+
+    The wide aggregate computes every column's stats in a single job;
+    the melt to long form is a driver-side column rearrangement of one
+    aggregated row (constant size), not a data operation.
+    """
+    cols = cols or df.columns
+    aggs: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        distinct = (
+            F.approx_count_distinct(col) if approx else F.count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.count(F.when(col.isNull(), 1)).alias(f"{c}__nulls"),
+            distinct.alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.stack(
+            F.lit(len(cols)),
+            *[
+                e
+                for c in cols
+                for e in (
+                    F.lit(c),
+                    F.col(f"{c}__n"),
+                    F.col(f"{c}__nulls"),
+                    F.col(f"{c}__distinct"),
+                    F.col(f"{c}__min"),
+                    F.col(f"{c}__max"),
+                )
+            ],
+        ).alias("column", "n_values", "n_nulls", "n_distinct", "min_value", "max_value")
+    )
+    return stacked
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over [lo, hi).
+
+    Bin index = ``floor((v - lo) / width)`` clamped into
+    [-1, nbins]: -1 collects underflow, ``nbins`` collects overflow,
+    nulls are dropped. Closed-form arithmetic (no SQL width_bucket),
+    so any engine reproduces the exact bin edges.
+    """
+    width = (hi - lo) / nbins
+    v = F.col(value_col)
+    raw = F.floor((v - F.lit(lo)) / F.lit(width))
+    bin_id = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(nbins))
+        .otherwise(raw)
+        .cast("long")
+    )
+    keys = [F.col(c) for c in (group_cols or [])]
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+) -> DataFrame:
+    """Exact (or t-digest approximate) per-group quantiles.
+
+    Exact mode buffers each group's values on its reducer — right for
+    bounded-cardinality groups; ``approx=True`` switches to
+    ``approx_percentile`` for the constant-memory mergeable path.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    aggs = [
+        F.expr(f"{fn}({value_col}, {q})").alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"), *aggs
+    )

@@ -1,0 +1,111 @@
+"""Parity catalog for the data-profiling operators
+(operators/profiling.py).
+
+The profile oracle re-derives each column's stats as an explicit
+UNION ALL; the histogram oracle repeats the closed-form bin
+arithmetic; the percentile oracle leans on the fact that
+quantile_cont at q ∈ {.25,.5,.75} over integer cents interpolates
+exactly in binary floating point, so Spark's ``percentile`` and
+DuckDB's ``quantile_cont`` agree bit-for-bit.
+
+The profile gate sticks to integer/varchar columns: cross-engine
+*string rendering* of doubles/timestamps differs (1e7 vs 10000000.0),
+which is a formatting concern, not a stats one — the operator itself
+profiles any type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import profiling as pr
+from tabular_to_parquet_spark.parity.catalog import register
+from tabular_to_parquet_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# pr01 — per-column table profile
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _profile_arm(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT({c}) AS BIGINT) AS n_values,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN({c})::VARCHAR AS min_value,
+       MAX({c})::VARCHAR AS max_value
+FROM orders"""
+
+
+@register(
+    "pr01_profile_orders",
+    "\nUNION ALL\n".join(_profile_arm(c) for c in _PROFILE_COLS),
+)
+def _q_profile(spark, sf_dir):
+    """Column profile of the orders table — one aggregation job for
+    all columns (the exact-distinct Expand is bounded by 4 columns
+    here; approx=True is the wide-table path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = pr.profile_table(orders, _PROFILE_COLS)
+    return out.withColumnRenamed("column", "col_name")
+
+
+# ---------------------------------------------------------------------------
+# pr02 — grouped fixed-width histogram
+
+_H_LO, _H_HI, _H_BINS = 0.0, 500.0, 25
+
+
+@register(
+    "pr02_value_histogram",
+    f"""
+SELECT event_type,
+       CAST(CASE WHEN value < {_H_LO} THEN -1
+                 WHEN value >= {_H_HI} THEN {_H_BINS}
+                 ELSE floor((value - {_H_LO}) / {(_H_HI - _H_LO) / _H_BINS})
+            END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def _q_histogram(spark, sf_dir):
+    """25-bin histogram of event values per event type: closed-form
+    bin arithmetic (identical doubles on both engines) + one
+    map-side-combined hash agg on (type, bin)."""
+    events = load_table(spark, sf_dir, "events")
+    return pr.histogram(
+        events, "value", _H_LO, _H_HI, _H_BINS, group_cols=["event_type"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr03 — exact per-group percentiles
+
+@register(
+    "pr03_event_percentiles",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_value,
+       CAST(MAX(cents) AS BIGINT) AS max_value,
+       quantile_cont(cents, 0.25) AS p25,
+       quantile_cont(cents, 0.5) AS p50,
+       quantile_cont(cents, 0.75) AS p75
+FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+GROUP BY event_type
+""",
+)
+def _q_percentiles(spark, sf_dir):
+    """Exact quartiles of integer event cents per event type.
+    Bounded group cardinality -> exact percentile is safe; the
+    100 TB/high-cardinality path is approx_percentile (documented,
+    not oracle-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return pr.group_percentiles(cents, "cents", "event_type")

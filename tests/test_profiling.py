@@ -1,0 +1,54 @@
+"""Unit tests for the profiling operators (operators/profiling.py).
+Cross-engine value parity is covered by the pr01–pr03 oracle gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import profiling as pr
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (i, None if i % 10 == 0 else f"s{i % 7}", float(i) / 2) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "id long, s string, v double")
+
+
+def test_profile_table_stats(spark, table):
+    got = {r["column"]: r for r in pr.profile_table(table).collect()}
+    assert got["id"]["n_values"] == 100 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 100
+    assert got["id"]["min_value"] == "0" and got["id"]["max_value"] == "99"
+    assert got["s"]["n_nulls"] == 10 and got["s"]["n_values"] == 90
+    assert got["s"]["n_distinct"] == 7
+    # approx mode still produces one row per column with sane counts
+    ap = {r["column"]: r for r in pr.profile_table(table, approx=True).collect()}
+    assert ap["id"]["n_values"] == 100 and ap["id"]["n_distinct"] > 80
+
+
+def test_profile_single_job(spark, table):
+    # exact mode: one aggregate (with Expand for the distincts), no join
+    plan = pr.profile_table(table)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_histogram_bins_and_clamps(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (19.9,), (25.0,), (None,)], "v double"
+    )
+    got = {r["bin"]: r["n"] for r in pr.histogram(df, "v", 0.0, 20.0, 4).collect()}
+    assert got == {-1: 1, 0: 2, 1: 1, 3: 1, 4: 1}  # null dropped
+
+
+def test_group_percentiles_exact_and_approx(spark):
+    rows = [("a", i) for i in range(1, 102)] + [("b", 10), ("b", 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in pr.group_percentiles(df, "v", "g").collect()}
+    assert got["a"]["p25"] == 26.0 and got["a"]["p50"] == 51.0 and got["a"]["p75"] == 76.0
+    assert got["b"]["p50"] == 15.0  # interpolated midpoint
+    assert got["a"]["n"] == 101 and got["a"]["min_value"] == 1
+    ap = {r["g"]: r for r in pr.group_percentiles(df, "v", "g", approx=True).collect()}
+    assert abs(ap["a"]["p50"] - 51) <= 2
