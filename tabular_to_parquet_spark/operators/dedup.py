@@ -390,8 +390,12 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is deterministic per pair, so filter BEFORE the
+        # pair-dedup shuffle: band-colliding pairs above max_hamming (the
+        # large majority at scale) never ride the dedup Exchange — same
+        # order minhash_pairs uses for its threshold filter
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     if cache_signatures:
         out._signature_cache = sims
