@@ -1,13 +1,20 @@
 """Canonical loaders for the testdata star schema.
 
-One quirk handled here once: ``events.ts`` is parquet TIMESTAMP(NANOS),
-which Spark's parquet reader rejects. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
-column arrives as a raw ns BIGINT; we convert to TIMESTAMP (µs, UTC
-session — watermarks require TIMESTAMP, not NTZ) with exact integer
-division (``DIV`` — a double division would lose precision above
-2^53 ns). DuckDB truncates ns→µs the same
-way on CAST, so oracle comparisons line up.
+Two timestamp quirks handled here once, so every query sees plain
+TIMESTAMP (µs, UTC session — watermarks and unix_micros require
+TIMESTAMP, not NTZ):
+
+- parquet TIMESTAMP(NANOS) (older testdata generations), which Spark's
+  parquet reader rejects: with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
+  column arrives as a raw ns BIGINT; we convert with exact integer
+  division (``DIV`` — a double division would lose precision above
+  2^53 ns). DuckDB truncates ns→µs the same way on CAST.
+- parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (current testdata),
+  which Spark 4 reads as TIMESTAMP_NTZ under
+  ``inferTimestampNTZ.enabled=true``: cast NTZ→TIMESTAMP, which under
+  the UTC session timezone is value-preserving (same wall-clock
+  micros), so oracle hash comparisons are unchanged.
 """
 
 from __future__ import annotations
@@ -42,6 +49,15 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (UTC session ⇒ identical
+    micros values). A pure projection — no shuffle, pushdown-safe."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -50,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")),
         )
-    return df
+    return _normalize_ts(df)
 
 
 def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -71,4 +87,4 @@ def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")),
         )
-    return df
+    return _normalize_ts(df)
