@@ -156,6 +156,18 @@ def main() -> None:
         l = ta.lang_id(docs)
         _noop(q.join(l, "doc_id"))
 
+    # -- real BPE token counting (64-merge replace chain, codegen'd) --------
+    @timed("bpe_token_count_real")
+    def _():
+        from tabular_to_parquet_spark.functions import bpe
+
+        _noop(
+            docs.select(
+                "doc_id",
+                bpe.bpe_token_count(F.col("text"), bpe.BPE_MERGES).alias("n"),
+            )
+        )
+
     # -- winnowing fingerprints (rolling hash + window-min) ------------------
     @timed("winnow_fingerprints")
     def _():

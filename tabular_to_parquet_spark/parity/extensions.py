@@ -109,6 +109,32 @@ FROM documents
 """)(_q_bpe_token_count)
 
 
+def _q_bpe_real(spark, sf_dir):
+    """Real learned-merges BPE token counts (functions/bpe.py): the
+    64-entry merge table rides into the plan as literals and the whole
+    encode is one codegen'd chain of built-in ``replace`` calls — no
+    UDF, no shuffle. This count is the packing-budget contract
+    (pl05-compatible token column)."""
+    from tabular_to_parquet_spark.functions import bpe
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bpe.bpe_token_count(F.col("text"), bpe.BPE_MERGES).alias("n_bpe_real"),
+    )
+
+
+def _x11_sql() -> str:
+    from tabular_to_parquet_spark.functions import bpe
+
+    cnt = bpe.bpe_token_count_sql("text", bpe.BPE_MERGES, _BPE_RE_SQL)
+    return f"""
+SELECT doc_id, CAST({cnt} AS BIGINT) AS n_bpe_real FROM documents
+"""
+
+
+register("x11_bpe_token_counts", _x11_sql())(_q_bpe_real)
+
+
 def _q_fingerprint(spark, sf_dir):
     return ta.fingerprint(_docs(spark, sf_dir))
 
