@@ -200,6 +200,38 @@ def _minhash_components(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """LSH-banded signature rows: (id, _mh0.._mhK-1, band, band_key) —
+    BANDS rows per doc. The join-side layout shared by
+    :func:`minhash_pairs` and the persisted band index
+    (pipeline.build_minhash_band_index)."""
+    comps = _minhash_components(df, text_col, id_col, fast=fast)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_mh{b * MINHASH_ROWS + r}").cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                )
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return comps.select(
+        F.col(id_col),
+        *[F.col(f"_mh{j}") for j in range(MINHASH_K)],
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+
+
 def unpersist_cache(result: DataFrame) -> None:
     """Release the signature cache attached by ``cache_signatures=True``
     (no-op for frames built without one)."""
@@ -234,26 +266,7 @@ def minhash_pairs(
     cache afterwards with :func:`unpersist_cache` (the persisted frame
     rides on the result as ``_signature_cache``).
     """
-    comps = _minhash_components(df, text_col, id_col, fast=fast)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"_mh{b * MINHASH_ROWS + r}").cast("string")
-                        for r in range(MINHASH_ROWS)
-                    ],
-                )
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    banded = comps.select(
-        F.col(id_col),
-        *[F.col(f"_mh{j}") for j in range(MINHASH_K)],
-        F.posexplode(band_keys).alias("band", "band_key"),
-    )
+    banded = minhash_banded(df, text_col, id_col, fast=fast)
     if cache_signatures:
         banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")

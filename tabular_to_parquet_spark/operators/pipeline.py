@@ -325,6 +325,143 @@ def dedup_against(
 
 
 # ---------------------------------------------------------------------------
+# bucketed fingerprint index — the zero-shuffle refresh path
+
+def build_fingerprint_index(
+    corpus: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Materialize the corpus's DISTINCT content fingerprints as a
+    parquet table hash-BUCKETED by ``fp``.
+
+    The nightly-refresh trick :func:`dedup_against` names, made real
+    (same pattern as similarity.build_ivf_index): the corpus — the big
+    side — is written once; every subsequent batch anti-join reads it
+    WITHOUT an Exchange, because the bucketed layout already satisfies
+    the join's required distribution. Only the (small) batch side
+    shuffles to meet the buckets. At 100 TB the index is one short row
+    per distinct document and appends incrementally with
+    ``INSERT INTO`` semantics (re-distinct on compaction).
+    """
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    fp = F.md5(normalized_text(F.col(text_col)))
+    (
+        corpus.select(fp.alias("fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def dedup_against_bucketed(
+    spark,
+    new: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_against` probing a :func:`build_fingerprint_index`
+    table — identical output, no corpus-side shuffle (plan-tested)."""
+    from tabular_to_parquet_spark.operators.dedup import dedup_exact
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    fp = F.md5(normalized_text(F.col(text_col)))
+    batch = dedup_exact(new, text_col, id_col)
+    return (
+        batch.withColumn("fp", fp)
+        .join(spark.table(table_name), on="fp", how="left_anti")
+        .drop("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup incremental refresh — banded minhash against a corpus index
+
+def build_minhash_band_index(
+    corpus: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Materialize the corpus's LSH-banded MinHash signatures, bucketed
+    by the probe join's exact key set ``(band, band_key)`` — bucketing
+    on the full key set is what lets EnsureRequirements co-partition
+    the probe join against the stored layout without a corpus-side
+    Exchange (a subset key would make the layouts incompatible and
+    Spark would re-shuffle both sides).
+
+    The near-dup twin of :func:`build_fingerprint_index`: BANDS short
+    rows per corpus doc, written once; nightly batches probe it with
+    an equi-join that shuffles only the batch side."""
+    from tabular_to_parquet_spark.operators.dedup import minhash_banded
+
+    (
+        minhash_banded(corpus, text_col, id_col)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def dedup_near_against(
+    new: DataFrame,
+    corpus_banded: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop batch rows with a NEAR-duplicate (est-Jaccard ≥ threshold)
+    already in the corpus; ``corpus_banded`` is any frame with the
+    :func:`~tabular_to_parquet_spark.operators.dedup.minhash_banded`
+    layout — pass ``spark.table(...)`` over a
+    :func:`build_minhash_band_index` table for the zero-corpus-shuffle
+    path.
+
+    Plan shape (must survive 100×): in-batch exact dedup first; batch
+    signatures are one explode+agg; candidate generation is the banded
+    equi-join (never all-pairs); scoring is K codegen'd component
+    equalities BEFORE the distinct, so the matched-id shuffle carries
+    bare ids bounded by batch size; the final anti-join removes
+    matched batch rows.
+    """
+    from tabular_to_parquet_spark.operators.dedup import (
+        MINHASH_K,
+        dedup_exact,
+        minhash_banded,
+    )
+
+    batch = dedup_exact(new, text_col, id_col)
+    a = minhash_banded(batch, text_col, id_col).alias("a")
+    b = corpus_banded.alias("b")
+    n_eq = None
+    for j in range(MINHASH_K):
+        term = F.col(f"a._mh{j}").eqNullSafe(F.col(f"b._mh{j}")).cast("int")
+        n_eq = term if n_eq is None else n_eq + term
+    est = n_eq.cast("double") / F.lit(float(MINHASH_K))
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(est >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return batch.join(matched, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # prepare_corpus — the composed preparation pipeline
 
 def prepare_corpus(

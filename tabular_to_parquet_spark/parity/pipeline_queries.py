@@ -277,6 +277,118 @@ def _q_dedup_against(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pl09 — dedup_against probing a bucketed fingerprint index
+
+_PL09_IDX = "pl09_fp_idx"
+
+
+@register(
+    "pl09_dedup_against_bucketed",
+    f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp),
+corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+SELECT k.doc_id
+FROM keepers k LEFT JOIN corp c ON k.fp = c.fp
+WHERE c.fp IS NULL
+""",
+)
+def _q_dedup_against_bucketed(spark, sf_dir):
+    """pl07 with the corpus fingerprint set MATERIALIZED as a table
+    bucketed by fp (built here, probed immediately): identical rows to
+    pl07, but the probe join reads the corpus side with NO Exchange —
+    the plan shape a nightly 100 TB refresh wants. Plan-asserted in
+    test_pipeline.py; this row proves the values."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    pl.build_fingerprint_index(corpus, _PL09_IDX)
+    return pl.dedup_against_bucketed(spark, batch, _PL09_IDX).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pl10 — near-dup incremental refresh (banded minhash vs corpus index)
+
+_PL10_IDX = "pl10_band_idx"
+_PL10_THRESHOLD = 0.5
+
+
+def _sig_sql(rel: str) -> str:
+    """Signature CTE body over relation ``rel(doc_id, text)`` — the
+    same affine-permutation construction as extensions._SIG_CTE."""
+    from tabular_to_parquet_spark.operators import dedup
+    from tabular_to_parquet_spark.parity.extensions import _TOKS, _shingles
+
+    comps = ", ".join(
+        f"list_min(list_transform(bases, h -> "
+        f"({a} * (h & {dedup.MINHASH_LO_MASK}) + {b} * (h >> 30) + {c}) "
+        f"% {dedup.MINHASH_P61})) AS mh_{j}"
+        for j, (a, b, c) in enumerate(dedup.minhash_params())
+    )
+    md5i = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    return (
+        f"SELECT doc_id, {comps} FROM "
+        f"(SELECT doc_id, list_transform({_shingles(_TOKS)}, s -> {md5i}) AS bases"
+        f" FROM {rel})"
+    )
+
+
+def _pl10_sql() -> str:
+    from tabular_to_parquet_spark.operators import dedup
+
+    bands, rows, k = dedup.MINHASH_BANDS, dedup.MINHASH_ROWS, dedup.MINHASH_K
+
+    def band_key(b: int) -> str:
+        cols = ", ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows))
+        return f"md5(concat_ws('|', {cols}))"
+
+    case = " ".join(f"WHEN {b} THEN {band_key(b)}" for b in range(bands))
+    eq = " + ".join(
+        f"(CASE WHEN a.mh_{j} IS NOT DISTINCT FROM b.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(k)
+    )
+    return f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp
+            WHERE doc_id % 5 = 0 GROUP BY fp),
+batchdocs AS (SELECT d.doc_id, d.text FROM documents d
+              JOIN keepers k ON d.doc_id = k.doc_id),
+corpdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+sigs_b AS ({_sig_sql('batchdocs')}),
+sigs_c AS ({_sig_sql('corpdocs')}),
+banded_b AS (SELECT sigs_b.*, band, (CASE band {case} END) AS band_key
+             FROM sigs_b, (SELECT unnest(range(0, {bands})) AS band)),
+banded_c AS (SELECT sigs_c.*, band, (CASE band {case} END) AS band_key
+             FROM sigs_c, (SELECT unnest(range(0, {bands})) AS band)),
+matched AS (SELECT DISTINCT a.doc_id
+            FROM banded_b a JOIN banded_c b
+              ON a.band = b.band AND a.band_key = b.band_key
+            WHERE (({eq})::DOUBLE / {float(k)}) >= {_PL10_THRESHOLD})
+SELECT k.doc_id FROM keepers k LEFT JOIN matched m ON k.doc_id = m.doc_id
+WHERE m.doc_id IS NULL
+"""
+
+
+@register("pl10_dedup_near_against", _pl10_sql())
+def _q_dedup_near_against(spark, sf_dir):
+    """Near-dup corpus refresh: the batch (doc_id % 5 = 0) exact-dedups
+    in-batch, then drops rows whose banded-MinHash est-Jaccard against
+    the EXISTING corpus clears the threshold. The corpus side is the
+    persisted band index (bucketed by band_key — no corpus Exchange on
+    the probe join); candidates come from the band equi-join, never an
+    all-pairs product."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    pl.build_minhash_band_index(corpus, _PL10_IDX)
+    out = pl.dedup_near_against(
+        batch, spark.table(_PL10_IDX), threshold=_PL10_THRESHOLD
+    )
+    return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # pl08 — the composed preparation pipeline
 
 _PREP_LANGS = ("en", "fr", "de", "es")

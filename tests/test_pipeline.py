@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tabular_to_parquet_spark.operators import pipeline as pl
+from tabular_to_parquet_spark.operators.dedup import minhash_banded
 
 
 @pytest.fixture(scope="module")
@@ -160,6 +161,111 @@ def test_dedup_against_drops_batch_and_corpus_dups(spark):
     )
     kept = sorted(r["doc_id"] for r in pl.dedup_against(batch, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_dedup_against_bucketed_matches_and_skips_corpus_shuffle(spark, tmp_path):
+    """build_fingerprint_index + dedup_against_bucketed: identical rows
+    to dedup_against, and the bucketed corpus side of the anti-join
+    reads with NO Exchange (the nightly-refresh plan shape)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS fpidx LOCATION '{tmp_path}/fpidx'")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        batch = docs.where(F.col("doc_id") % 5 == 0)
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        pl.build_fingerprint_index(corpus, "fpidx.fps")
+        bucketed = pl.dedup_against_bucketed(spark, batch, "fpidx.fps")
+        plain = pl.dedup_against(batch, corpus)
+        assert sorted(r["doc_id"] for r in bucketed.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        )
+        # probing the SAME files without bucket metadata needs exactly
+        # one more Exchange — the corpus-side shuffle the bucketed
+        # layout eliminates (the batch side's own shuffles are equal in
+        # both plans and cancel out of the comparison). Compare fresh,
+        # un-executed frames: AQE re-prints stage Exchanges after a
+        # collect, which would skew the counts.
+        plan = (
+            pl.dedup_against_bucketed(spark, batch, "fpidx.fps")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        flat = spark.read.parquet(f"{tmp_path}/fpidx/fps")
+        from tabular_to_parquet_spark.operators.dedup import dedup_exact
+        from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+        fp = F.md5(normalized_text(F.col("text")))
+        flat_probe = (
+            dedup_exact(batch)
+            .withColumn("fp", fp)
+            .join(flat, on="fp", how="left_anti")
+            .drop("fp")
+        )
+        flat_plan = flat_probe._jdf.queryExecution().executedPlan().toString()
+        assert flat_plan.count("Exchange") == plan.count("Exchange") + 1, (
+            plan,
+            flat_plan,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP DATABASE IF EXISTS fpidx CASCADE")
+
+
+def test_dedup_near_against_drops_near_dups_and_uses_band_join(spark, tmp_path):
+    """Near-dup refresh: a batch doc whose shingle set mostly overlaps
+    a corpus doc is dropped; unrelated docs survive; the probe join on
+    the bucketed band index leaves the corpus side Exchange-free."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " lambda"),  # near-dup of corpus doc 1
+            (11, "completely different words with no shared shingles at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in pl.dedup_near_against(
+            batch, minhash_banded(corpus), threshold=0.3
+        ).collect()
+    )
+    assert kept == [11]
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bandidx LOCATION '{tmp_path}/bandidx'")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pl.build_minhash_band_index(corpus, "bandidx.bands")
+        out = pl.dedup_near_against(
+            batch, spark.table("bandidx.bands"), threshold=0.3
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [11]
+        # fresh un-executed frame for the plan compare (AQE re-prints
+        # stage Exchanges after a collect)
+        plan = (
+            pl.dedup_near_against(batch, spark.table("bandidx.bands"), threshold=0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        # same probe over the same files WITHOUT bucket metadata: one
+        # extra Exchange (the corpus-side shuffle the index removes)
+        flat = spark.read.parquet(f"{tmp_path}/bandidx/bands")
+        flat_plan = (
+            pl.dedup_near_against(batch, flat, threshold=0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert flat_plan.count("Exchange") == plan.count("Exchange") + 1, (
+            plan,
+            flat_plan,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP DATABASE IF EXISTS bandidx CASCADE")
 
 
 def test_prepare_corpus_composition_adds_no_shuffles(spark, docs):
