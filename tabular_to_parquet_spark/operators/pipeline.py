@@ -238,12 +238,24 @@ def pack_sequences(
 
     Without ``shard_col`` the window is global — correct but
     single-reducer; always pass a shard column at scale (pack quality
-    is unaffected: packs never span shards by construction).
+    is unaffected: packs never span shards by construction). The
+    global mode warns, loudly — it is the x09-class plan shape that
+    cannot survive 100× (same guard style as the uint64 lowering
+    warning in functions/parsers.py).
 
     Adds ``pack_start`` (token offset of the document's head) and
     ``pack_id`` (= ``shard * 2^32 + floor(pack_start / budget)`` when
     sharded, else the plain chunk index).
     """
+    if shard_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences without shard_col plans a GLOBAL window — "
+            "one reducer sorts the whole corpus. Pass shard_col (e.g. "
+            "from shard_assign) for the partitioned, scale-safe plan.",
+            stacklevel=2,
+        )
     part = [F.col(shard_col)] if shard_col else []
     w = (
         W.partitionBy(*part)

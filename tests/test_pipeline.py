@@ -146,6 +146,22 @@ def test_pack_sequences_single_shuffle(spark, docs):
 # shard_assign
 
 
+def test_pack_sequences_global_window_warns(spark, docs):
+    """shard_col=None plans a single-reducer global window — it must
+    warn so the 100 TB caller notices (x09-class shape)."""
+    import warnings
+
+    staged = docs.select("doc_id", F.lit(10).alias("tok"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pl.pack_sequences(staged, "tok", budget=100, order_col="doc_id")
+    assert any("GLOBAL window" in str(w.message) for w in caught), caught
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pl.pack_sequences(staged, "tok", budget=100, order_col="doc_id", shard_col="doc_id")
+    assert not caught
+
+
 def test_dedup_against_drops_batch_and_corpus_dups(spark):
     corpus = spark.createDataFrame(
         [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"

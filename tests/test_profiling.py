@@ -52,3 +52,30 @@ def test_group_percentiles_exact_and_approx(spark):
     assert got["a"]["n"] == 101 and got["a"]["min_value"] == 1
     ap = {r["g"]: r for r in pr.group_percentiles(df, "v", "g", approx=True).collect()}
     assert abs(ap["a"]["p50"] - 51) <= 2
+
+
+def test_profile_approx_plan_has_no_expand(spark, table):
+    """The 100 TB claim in the docstring, plan-gated: exact distinct
+    counts multiply input via Expand; approx=True (HLL) must not."""
+    exact = pr.profile_table(table)._jdf.queryExecution().executedPlan().toString()
+    approx = pr.profile_table(table, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact, exact
+    assert "Expand" not in approx, approx
+
+
+def test_group_percentiles_approx_plan_uses_tdigest(spark):
+    """approx=True must plan approx_percentile (mergeable, constant
+    memory) — not the exact per-group value buffer."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)], "g string, v long"
+    )
+    exact = (
+        pr.group_percentiles(df, "v", "g")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    approx = (
+        pr.group_percentiles(df, "v", "g", approx=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "approx_percentile" not in exact, exact
+    assert "approx_percentile" in approx, approx
