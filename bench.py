@@ -40,6 +40,13 @@ from tabular_to_parquet_spark.sources.text import (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: repetitions per query; "queries" reports the MIN (the number that
+#: extrapolates to a warm long-running cluster), "queries_mean" the
+#: mean. Query order is pinned (source order) so round-over-round
+#: comparisons aren't confounded by JVM warm-up drift — the r3→r4
+#: phantom 1.4× swings were exactly that.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
 
 def _sf() -> float:
     name = os.path.basename(SF_DIR.rstrip("/"))
@@ -57,12 +64,17 @@ def main() -> None:
     spark = get_spark("bench")
     work = tempfile.mkdtemp(prefix="bench_")
     timings: dict[str, float] = {}
+    timings_mean: dict[str, float] = {}
 
     def timed(name):
         def deco(fn):
-            t0 = time.monotonic()
-            fn()
-            timings[name] = round(time.monotonic() - t0, 3)
+            runs: list[float] = []
+            for _ in range(REPS):
+                t0 = time.monotonic()
+                fn()
+                runs.append(time.monotonic() - t0)
+            timings[name] = round(min(runs), 3)
+            timings_mean[name] = round(sum(runs) / len(runs), 3)
 
         return deco
 
@@ -223,6 +235,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": timings_mean,
+                "reps": REPS,
                 "sf": _sf(),
                 "lines": n_lines,
                 "convert_lines_per_sec": round(n_lines / conv),
