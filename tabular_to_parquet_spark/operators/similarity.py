@@ -236,11 +236,14 @@ def _ivf_probe_join(
     vec_col: str,
     id_col: str,
     anchors: list[list[float]] | None,
+    probes: int = IVF_PROBES,
 ) -> DataFrame:
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(ivf_probe_cells(F.col(vec_col), anchors=anchors)).alias("cell"),
+        F.explode(
+            ivf_probe_cells(F.col(vec_col), probes=probes, anchors=anchors)
+        ).alias("cell"),
     )
     # no pair-dedup needed: each corpus vector lives in exactly one cell,
     # so a (query, neighbor) pair matches at most once
@@ -268,6 +271,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     anchors: list[list[float]] | None = None,
+    probes: int = IVF_PROBES,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is bucketed by nearest
     anchor (one projection); each query probes its IVF_PROBES best
@@ -284,7 +288,7 @@ def knn_ivf(
     """
     return _ivf_probe_join(
         ivf_corpus_frame(df, vec_col, id_col, anchors),
-        queries, k, vec_col, id_col, anchors,
+        queries, k, vec_col, id_col, anchors, probes=probes,
     )
 
 
@@ -323,11 +327,13 @@ def knn_ivf_bucketed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     anchors: list[list[float]] | None = None,
+    probes: int = IVF_PROBES,
 ) -> DataFrame:
     """Probe a :func:`build_ivf_index` table — same results as
     :func:`knn_ivf`, corpus side co-located (no shuffle)."""
     return _ivf_probe_join(
-        spark.table(table_name), queries, k, vec_col, id_col, anchors
+        spark.table(table_name), queries, k, vec_col, id_col, anchors,
+        probes=probes,
     )
 
 

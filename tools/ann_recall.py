@@ -1,0 +1,77 @@
+"""Measure ANN recall@k against brute-force ground truth at bench scale.
+
+Usage:
+    python tools/ann_recall.py [sf_dir] [k]
+
+Prints a markdown table (pasted into SCALE.md §3) comparing
+knn_lsh / knn_ivf (md5 anchors) / knn_ivf (kmeans anchors) recall and
+candidate-set cost at the default cells/probes, over the same query
+set bench.py uses (vec_id % 50 = 0).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import similarity as sim
+from tabular_to_parquet_spark.session import get_spark
+from tabular_to_parquet_spark.sources.tables import load_table
+
+
+def pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("ann_recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr("vec_id % 50 = 0"))
+    n_corpus = emb.count()
+    n_q = queries.count()
+    exact = pairs(sim.knn_bruteforce(emb, queries, k=k))
+
+    rows = [("knn_bruteforce", exact, n_corpus)]
+    rows.append(
+        ("knn_lsh", pairs(sim.knn_lsh(emb, queries, k=k)), None)
+    )
+    rows.append(
+        ("knn_ivf (md5 anchors)", pairs(sim.knn_ivf(emb, queries, k=k)), None)
+    )
+    centers = sim.kmeans_anchors(emb)
+    rows.append(
+        (
+            "knn_ivf (kmeans anchors)",
+            pairs(sim.knn_ivf(emb, queries, k=k, anchors=centers)),
+            None,
+        )
+    )
+    for probes in (8, 12):
+        rows.append(
+            (
+                f"knn_ivf (kmeans, probes={probes})",
+                pairs(sim.knn_ivf(emb, queries, k=k, anchors=centers, probes=probes)),
+                None,
+            )
+        )
+
+    print(f"sf_dir={sf_dir} corpus={n_corpus} queries={n_q} k={k}")
+    print(f"cells={sim.IVF_CELLS} probes={sim.IVF_PROBES} "
+          f"lsh_bits={sim.LSH_BITS} lsh_bands={sim.LSH_BANDS}")
+    print()
+    print("| method | recall@%d | found pairs |" % k)
+    print("|---|---|---|")
+    for name, got, _ in rows:
+        recall = len(exact & got) / len(exact) if exact else 1.0
+        print(f"| {name} | {recall:.3f} | {len(got)} |")
+
+
+if __name__ == "__main__":
+    main()
