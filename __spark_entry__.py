@@ -83,10 +83,11 @@ _PRIORITY = [
     "a6_rollup_order_counts",
     "a7_moving_sum_frame",
     "a8_asof_join",
-    # new in round 4 — no prior driver row by construction
+    # new in round 5 — no prior driver row by construction
     "x11_bpe_token_counts",
     "pl09_dedup_against_bucketed",
     "pl10_dedup_near_against",
+    "st2_stream_dedup_ingest",
 ]
 
 

@@ -716,6 +716,59 @@ FROM lineitem
 """)(_q_stream_convert)
 
 
+def _q_stream_dedup_ingest(spark, sf_dir):
+    """Streaming corpus ingest with incremental dedup: the batch docs
+    (doc_id % 5 = 0) arrive as TWO single-file micro-batches (split at
+    the median id, ascending — so the min-id keeper of every dup group
+    lands first); each micro-batch anti-joins the bucketed fingerprint
+    index seeded from the corpus (doc_id % 5 <> 0) and appends its
+    survivors' fingerprints for the next batch. The drained output
+    equals the one-shot pl09/pl07 result — same oracle."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_to_parquet_spark.operators.pipeline import build_fingerprint_index
+    from tabular_to_parquet_spark.streaming.streams import stream_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    build_fingerprint_index(corpus, "st2_fp_idx")
+
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    mid = len(batch) // 2
+    tmp = tempfile.mkdtemp(prefix="st2_ingest_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i, wave in enumerate((batch.iloc[:mid], batch.iloc[mid:])):
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False),
+                       os.path.join(in_dir, f"w{i}.parquet"))
+    q = stream_dedup_ingest(
+        spark, in_dir, "st2_fp_idx",
+        os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, "out")).select("doc_id")
+
+
+register("st2_stream_dedup_ingest", f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp),
+corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0)
+SELECT k.doc_id
+FROM keepers k LEFT JOIN corp c ON k.fp = c.fp
+WHERE c.fp IS NULL
+""")(_q_stream_dedup_ingest)
+
+
 def _q_sessionize(spark, sf_dir):
     return sessionize_frame(load_table(spark, sf_dir, "events"), gap_minutes=240)
 

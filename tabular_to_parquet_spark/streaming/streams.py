@@ -61,6 +61,70 @@ def stream_convert_directory(
     )
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    index_table: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    max_files_per_trigger: int | None = 1,
+):
+    """Continuous corpus ingest with incremental dedup: new parquet
+    files landing in ``input_dir`` are exact-deduped in-batch, then
+    anti-joined against the bucketed fingerprint index
+    (``pipeline.build_fingerprint_index``) with NO corpus-side shuffle;
+    survivors append to ``output_dir`` and their fingerprints append to
+    the index, so later micro-batches — and later runs — dedup against
+    everything already ingested.
+
+    The 100 TB/day corpus-refresh shape: per micro-batch cost is
+    bounded by the batch (the corpus participates only through its
+    bucketed fingerprint table). Delivery note: ``foreachBatch`` is
+    at-least-once — the index append runs AFTER the output append, so
+    a micro-batch retried between the two writes re-drops rows already
+    in the index (duplicate-free output preferred over at-most-once
+    loss; a transactional table format upgrades this to exactly-once).
+
+    Returns the started StreamingQuery (``availableNow`` trigger).
+    """
+    from tabular_to_parquet_spark.operators.pipeline import dedup_against_bucketed
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_against_bucketed(
+            spark, batch_df, index_table, text_col, id_col
+        ).persist()
+        try:
+            kept.write.mode("append").parquet(output_dir)
+            fp = F.md5(normalized_text(F.col(text_col)))
+            (
+                kept.select(fp.alias("fp"))
+                .write.mode("append")
+                .bucketBy(buckets, "fp")
+                .sortBy("fp")
+                .format("parquet")
+                .saveAsTable(index_table)
+            )
+        finally:
+            kept.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_stats_frame(events: DataFrame, window: str = "5 minutes") -> DataFrame:
     """The windowed aggregation shared by streaming and batch modes.
 

@@ -75,3 +75,58 @@ def test_sessionize_stream_subset_of_batch(spark):
     assert 0 < metrics["numRowsTotal"] <= n_users
     assert metrics["memoryUsedBytes"] > 0
     assert metrics["numRowsUpdated"] > 0
+
+
+def test_stream_dedup_ingest_across_micro_batches(spark, tmp_path):
+    """Two single-file micro-batches: wave 2 carries an in-wave dup, a
+    dup of a wave-1 doc, and a dup of the seeded corpus — all dropped;
+    the index accumulates the survivors' fingerprints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_to_parquet_spark.operators.pipeline import build_fingerprint_index
+    from tabular_to_parquet_spark.streaming.streams import stream_dedup_ingest
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sdi LOCATION '{tmp_path}/sdi'")
+    try:
+        build_fingerprint_index(corpus, "sdi.fps")
+        n_fp0 = spark.table("sdi.fps").count()
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": [10, 11], "text": ["epsilon zeta", "eta theta"]}),
+            str(in_dir / "w0.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [12, 13, 14, 15],
+                    "text": [
+                        "epsilon  zeta",   # dup of wave-1 doc 10 (normalized)
+                        "alpha beta",      # dup of corpus doc 1
+                        "iota kappa",      # new
+                        "iota  kappa",     # in-wave dup of 14
+                    ],
+                }
+            ),
+            str(in_dir / "w1.parquet"),
+        )
+        q = stream_dedup_ingest(
+            spark, str(in_dir), "sdi.fps", str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert sorted(r["doc_id"] for r in out.collect()) == [10, 11, 14]
+        assert spark.table("sdi.fps").count() == n_fp0 + 3
+        # restart on the same directory: nothing new, nothing re-ingested
+        q2 = stream_dedup_ingest(
+            spark, str(in_dir), "sdi.fps", str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q2.awaitTermination()
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sdi CASCADE")
