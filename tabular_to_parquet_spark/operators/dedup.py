@@ -508,3 +508,66 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023): cluster-then-prune
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.7,
+    anchors: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs, blocked by IVF cell.
+
+    The SemDeDup recipe: partition the embedding space into k cells
+    (here the deterministic IVF anchor assignment — one argmax-of-dots
+    projection per row), then compare pairs only WITHIN a cell. The
+    quadratic cost drops from |N|² to Σ|cell|², and the join is an
+    equi-join on a small int — shuffle on ``cell``, never all-pairs.
+    Cross-cell near-dups are missed by construction (the documented
+    recall trade of the method; more cells = cheaper and lower recall).
+
+    Output: ``(id_a, id_b, cell, cosine)`` with ``id_a < id_b``,
+    cosine ≥ threshold.
+    """
+    from tabular_to_parquet_spark.operators.similarity import ivf_cell
+
+    docs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        ivf_cell(F.col(vec_col), anchors).alias("cell"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.7,
+    anchors: list[list[float]] | None = None,
+) -> DataFrame:
+    """Drop every vector that has a smaller-id near-duplicate in its
+    cell (one deterministic pass — the greedy keep-lowest-id variant of
+    SemDeDup's one-representative-per-cluster; no iterative closure)."""
+    pairs = semantic_dup_pairs(df, vec_col, id_col, threshold, anchors)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")

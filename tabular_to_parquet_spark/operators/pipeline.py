@@ -337,6 +337,63 @@ def dedup_against(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontamination_hits(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document count of word n-grams shared with an eval set.
+
+    The standard benchmark-decontamination rule (GPT-3 appx. C / PaLM /
+    Llama): a training document is contaminated if any of its word
+    n-grams also appears in an evaluation benchmark. Returns
+    ``(id_col, n_hits)`` for contaminated documents only.
+
+    100 TB shape: eval benchmarks are tiny (≤ millions of n-grams), so
+    the distinct eval-gram set is **broadcast** — the corpus side is a
+    pure projection (tokenize → n-gram fold → md5) probed against the
+    in-memory hash set, no corpus shuffle; the only exchange is the
+    final per-doc count on ``id_col``. N-grams travel as 60-bit md5
+    ints, never as strings.
+    """
+    from tabular_to_parquet_spark.operators.text_analysis import word_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        ).select(F.col(id_col), md5_i64(F.col("_g")).alias("_gh"))
+
+    eval_grams = grams(eval_df).select("_gh").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(eval_grams), on="_gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_hits`` word n-grams with
+    the eval set (left-anti against :func:`decontamination_hits`)."""
+    hits = decontamination_hits(corpus, eval_df, text_col, id_col, n)
+    flagged = hits.where(F.col("n_hits") >= min_hits).select(id_col)
+    return corpus.join(flagged, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # bucketed fingerprint index — the zero-shuffle refresh path
 
 def build_fingerprint_index(

@@ -58,8 +58,9 @@ def bpe_token_count(c: Column) -> Column:
     return F.size(bpe_tokens(c))
 
 
-def word_shingles(c: Column, w: int = 3) -> Column:
-    """Distinct w-word shingles as strings (basis for Jaccard/MinHash).
+def word_ngrams(c: Column, w: int = 3) -> Column:
+    """ALL w-word n-grams, in document order, duplicates kept (basis for
+    repetition stats and decontamination hit counting).
 
     Built as ``zip_with`` folds over the token array and its slices —
     NOT as ``transform(sequence(...), i -> element_at(toks, i+j))``.
@@ -79,8 +80,13 @@ def word_shingles(c: Column, w: int = 3) -> Column:
         # NULLs, so tail entries are partial shingles — sliced off below
         folded = F.zip_with(folded, F.slice(toks, j + 1, n - j), glue)
     return F.when(
-        n >= w, F.array_distinct(F.slice(folded, 1, n - (w - 1)))
+        n >= w, F.slice(folded, 1, n - (w - 1))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(c: Column, w: int = 3) -> Column:
+    """Distinct w-word shingles as strings (basis for Jaccard/MinHash)."""
+    return F.array_distinct(word_ngrams(c, w))
 
 
 def punct_ratio(c: Column) -> Column:
@@ -121,6 +127,80 @@ def quality_columns(text: Column) -> dict[str, Column]:
 
 def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     cols = quality_columns(F.col(text_col))
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
+
+
+def _top_multiplicity(sorted_arr: Column) -> Column:
+    """Highest multiplicity of any element of a SORTED array, as one
+    linear fold (``F.aggregate``) — equal elements are adjacent after
+    the sort, so the longest run IS the mode's count. Per-row, no
+    shuffle; the lambda touches only the accumulator and the element
+    (never re-evaluates the input expression — cf. word_ngrams note).
+    Empty array → 0.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        ).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+#: repetition flags only apply to docs of at least this many tokens —
+#: short docs trivially max the top-fraction signals (a 4-token
+#: all-distinct doc already has top_token_frac 0.25). Gopher applies
+#: its repetition cuts after a min-length filter for the same reason.
+REP_MIN_TOKENS = 5
+
+
+def repetition_columns(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1):
+    distinct-token fraction, top-token fraction, top-bigram fraction.
+    Heavily repeated boilerplate (nav bars, SEO spam, generation loops)
+    scores high on the top-n-gram fractions and low on distinct-frac.
+
+    All per-row array folds — a pure projection, zero shuffles at any
+    scale. Ratios are single exact-integer divisions (oracle-stable).
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top_tok = _top_multiplicity(F.sort_array(toks))
+    bigrams = word_ngrams(text, 2)
+    n_bigrams = F.size(bigrams)
+    top_bigram = _top_multiplicity(F.sort_array(bigrams))
+    distinct_frac = F.when(n_tok > 0, n_distinct.cast("double") / n_tok).otherwise(0.0)
+    top_token_frac = F.when(n_tok > 0, top_tok.cast("double") / n_tok).otherwise(0.0)
+    top_bigram_frac = F.when(
+        n_bigrams > 0, top_bigram.cast("double") / n_bigrams
+    ).otherwise(0.0)
+    is_repetitive = (n_tok >= REP_MIN_TOKENS) & (
+        (top_token_frac > 0.20) | (top_bigram_frac > 0.18) | (distinct_frac < 0.30)
+    )
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "distinct_frac": distinct_frac,
+        "top_token_frac": top_token_frac,
+        "top_bigram_frac": top_bigram_frac,
+        "is_repetitive": is_repetitive,
+    }
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    cols = repetition_columns(F.col(text_col))
     return df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
 
 

@@ -270,6 +270,54 @@ WHERE rank <= 20
 """)(_q_top_tokens)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (x12): distinct-token /
+    top-token / top-bigram fractions, one per-row array fold each —
+    a pure projection (zero shuffles at any scale). The oracle
+    recomputes the mode counts the relational way (unnest + GROUP BY +
+    MAX) — two independent algorithms, same numbers."""
+    return ta.repetition_stats(_docs(spark, sf_dir))
+
+
+def _repetition_oracle() -> str:
+    dfrac = "CASE WHEN n_tok > 0 THEN n_dist::DOUBLE / n_tok ELSE 0.0 END"
+    tfrac = "CASE WHEN n_tok > 0 THEN top_tok::DOUBLE / n_tok ELSE 0.0 END"
+    bfrac = "CASE WHEN n_big > 0 THEN top_big::DOUBLE / n_big ELSE 0.0 END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_dist
+         FROM t),
+tokc AS (SELECT doc_id, MAX(n) AS top_tok
+         FROM (SELECT doc_id, g, COUNT(*) AS n
+               FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2)
+         GROUP BY 1),
+bgc AS (SELECT doc_id, MAX(n) AS top_big, SUM(n) AS n_big
+        FROM (SELECT doc_id, g, COUNT(*) AS n
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                                 i -> toks[i] || ' ' || toks[i+1])) AS g
+                    FROM t WHERE len(toks) >= 2) GROUP BY 1, 2)
+        GROUP BY 1),
+j AS (SELECT b.doc_id, b.n_tok, b.n_dist,
+             COALESCE(tokc.top_tok, 0) AS top_tok,
+             COALESCE(bgc.top_big, 0) AS top_big,
+             COALESCE(bgc.n_big, 0) AS n_big
+      FROM base b LEFT JOIN tokc USING (doc_id) LEFT JOIN bgc USING (doc_id))
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       {dfrac} AS distinct_frac,
+       {tfrac} AS top_token_frac,
+       {bfrac} AS top_bigram_frac,
+       (n_tok >= {ta.REP_MIN_TOKENS}
+        AND (({tfrac}) > 0.20 OR ({bfrac}) > 0.18 OR ({dfrac}) < 0.30))
+           AS is_repetitive
+FROM j
+"""
+
+
+register("x12_repetition_stats", _repetition_oracle())(_q_repetition)
+
+
 def _q_source_stats(spark, sf_dir):
     return ta.source_stats(_docs(spark, sf_dir))
 
@@ -479,6 +527,48 @@ WITH pairs AS (
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
 """)(_q_embedding_pairs)
+
+
+_SEMANTIC_THRESHOLD = 0.4
+
+
+def _q_semantic_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) candidate pairs: embeddings
+    partitioned into IVF cells by one argmax-of-dots projection, pairs
+    compared only within a cell — Σ|cell|² work instead of |N|², and
+    the join is an equi-join on a small int. The 0.4 threshold is
+    calibrated to this synthetic corpus (max observed cosine ≈ 0.47)
+    so the gate carries real rows."""
+    return dedup.semantic_dup_pairs(
+        _emb(spark, sf_dir), threshold=_SEMANTIC_THRESHOLD
+    ).withColumn("cell", F.col("cell").cast("long"))
+
+
+def _semantic_oracle() -> str:
+    anchors = similarity.ivf_anchors()
+    dots = [
+        _dot("embedding", "[" + ", ".join(repr(v) for v in a) + "]")
+        for a in anchors
+    ]
+    score_cols = ", ".join(f"{d} AS s_{c}" for c, d in enumerate(dots))
+    best = "greatest(" + ", ".join(f"s_{c}" for c in range(len(anchors))) + ")"
+    cell_case = " ".join(
+        f"WHEN s_{c} = {best} THEN {c}" for c in range(len(anchors))
+    )
+    return f"""
+WITH cells AS (
+    SELECT vec_id, embedding, (CASE {cell_case} END) AS cell
+    FROM (SELECT vec_id, embedding, {score_cols} FROM embeddings)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(a.cell AS BIGINT) AS cell,
+       {_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_cosine('a.embedding', 'b.embedding')} >= {_SEMANTIC_THRESHOLD}
+"""
+
+
+register("d09_semantic_dup_pairs", _semantic_oracle())(_q_semantic_pairs)
 
 
 # ---------------------------------------------------------------------------

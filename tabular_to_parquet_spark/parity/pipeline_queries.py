@@ -17,7 +17,12 @@ from tabular_to_parquet_spark.functions.hashing import md5_i64
 from tabular_to_parquet_spark.operators import pipeline as pl
 from tabular_to_parquet_spark.operators import text_analysis as ta
 from tabular_to_parquet_spark.parity.catalog import register
-from tabular_to_parquet_spark.parity.extensions import _NORM, _PUNCT_RE, _TOKS
+from tabular_to_parquet_spark.parity.extensions import (
+    _NORM,
+    _PUNCT_RE,
+    _TOKS,
+    _shingles,
+)
 from tabular_to_parquet_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -386,6 +391,43 @@ def _q_dedup_near_against(spark, sf_dir):
         batch, spark.table(_PL10_IDX), threshold=_PL10_THRESHOLD
     )
     return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pl11 — benchmark decontamination
+
+#: 4-word grams: the decontamination literature uses 8–13-gram overlap
+#: on web text; this synthetic corpus has short small-vocab docs, so 4
+#: is the n where the sf0.01 gate carries a non-trivial row set.
+_DECON_N = 4
+_DECON_EVAL = "doc_id % 97 = 0"
+
+
+@register(
+    "pl11_decontamination_hits",
+    f"""
+WITH h AS (SELECT doc_id, {pl.md5_i64_sql('g')} AS gh
+           FROM (SELECT doc_id, unnest({_shingles(_TOKS, _DECON_N)}) AS g
+                 FROM documents)),
+ev AS (SELECT DISTINCT gh FROM h WHERE {_DECON_EVAL})
+SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM h JOIN ev USING (gh)
+WHERE NOT ({_DECON_EVAL.replace('doc_id', 'h.doc_id')})
+GROUP BY 1
+""",
+)
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx. C): flag training docs
+    sharing any word 4-gram with the eval slice (doc_id % 97 = 0).
+    The distinct eval-gram set is BROADCAST (eval benchmarks are tiny
+    relative to the corpus), so the corpus side never shuffles — grams
+    travel as 60-bit md5 ints probed against the in-memory set; the
+    only exchange is the per-doc hit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.expr(_DECON_EVAL))
+    corpus = docs.where(~F.expr(_DECON_EVAL))
+    hits = pl.decontamination_hits(corpus, eval_df, n=_DECON_N)
+    return hits.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
 # ---------------------------------------------------------------------------

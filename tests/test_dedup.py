@@ -171,3 +171,41 @@ def test_warm_codegen_runs_tiny_slice_plans(spark, docs):
     # the real (full-input) plan still returns the same pairs after warm
     n = dedup.minhash_pairs(docs).count()
     assert n == dedup.minhash_pairs(docs).count()
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+
+
+def _unit(i: int, dim: int = 64) -> list[float]:
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    return v
+
+
+def test_semantic_dup_pairs_finds_planted_dup(spark):
+    # vectors 1 and 2 are identical (cosine 1.0) — must land in the
+    # same cell and be reported; vector 3 is orthogonal to both
+    emb = spark.createDataFrame(
+        [(1, _unit(0)), (2, _unit(0)), (3, _unit(17))],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = dedup.semantic_dup_pairs(emb, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert abs(pairs[0]["cosine"] - 1.0) < 1e-12
+
+    kept = dedup.semantic_dedup(emb, threshold=0.99)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_semantic_pairs_join_is_cell_blocked(spark):
+    emb = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        dedup.semantic_dup_pairs(emb, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # blocked by the cell equi-key — never a cartesian/BNL product
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan

@@ -308,3 +308,37 @@ def test_shard_assign_range_and_no_shuffle(spark, docs):
     assert len(shards) == 16  # 600 ids fill all 16 shards w.h.p.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+
+
+def test_decontamination_hits_counts_shared_ngrams(spark):
+    # eval doc holds "a b c d e"; corpus doc 1 contains two of its
+    # 4-grams ("a b c d", "b c d e"), doc 2 contains none
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "x a b c d e y"), (2, "p q r s t u v")],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            pl.decontamination_hits(corpus, eval_df, n=4).collect()}
+    assert hits == {1: 2}
+
+    kept = pl.decontaminate(corpus, eval_df, n=4)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    eval_df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c d f")], "doc_id long, text string")
+    plan = (
+        pl.decontamination_hits(corpus, eval_df, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the eval-gram probe must be a broadcast hash join — the corpus
+    # side never shuffles for the probe (only the per-doc count agg)
+    assert "BroadcastHashJoin" in plan, plan

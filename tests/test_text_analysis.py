@@ -144,3 +144,41 @@ def test_winnow_rolling_matches_expression_path(spark, docs):
     assert roll_fps == expr_fps and len(expr_fps) > 0
     plan = roll._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),       # top token 'a'×4, bigram 'a a'×3/4
+            (2, "x y z w"),          # all distinct
+            (3, "solo"),             # one token, no bigrams
+            (4, "  "),               # zero tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ta.repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["distinct_frac"] == 2 / 5
+    assert r1["top_token_frac"] == 4 / 5
+    assert r1["top_bigram_frac"] == 3 / 4
+    assert r1["is_repetitive"]
+    r2 = rows[2]
+    assert r2["distinct_frac"] == 1.0
+    assert r2["top_token_frac"] == 1 / 4
+    assert r2["top_bigram_frac"] == 1 / 3
+    assert not r2["is_repetitive"]
+    r3 = rows[3]
+    assert r3["n_tokens"] == 1 and r3["top_bigram_frac"] == 0.0
+    assert not r3["is_repetitive"]  # below the REP_MIN_TOKENS floor
+    r4 = rows[4]
+    assert r4["n_tokens"] == 0
+    assert (r4["distinct_frac"], r4["top_token_frac"], r4["top_bigram_frac"]) == (
+        0.0, 0.0, 0.0,
+    )
+    assert not r4["is_repetitive"]
+
+
+def test_repetition_stats_is_pure_projection(spark, docs):
+    plan = ta.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
