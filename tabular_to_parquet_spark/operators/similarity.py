@@ -292,6 +292,57 @@ def knn_ivf(
     )
 
 
+def tune_probes(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    recall_slo: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchors: list[list[float]] | None = None,
+    max_probes: int | None = None,
+) -> tuple[int, float]:
+    """Smallest IVF probe count whose recall@k meets ``recall_slo``.
+
+    Completes the ANN story: instead of hand-picking ``probes``, give a
+    recall target and a SAMPLED query set; the tuner measures recall
+    against brute-force ground truth at increasing probe counts and
+    returns ``(probes, measured_recall)`` — or
+    ``(max_probes, best_recall)`` if the SLO is unreachable (then raise
+    IVF_CELLS or bits instead).
+
+    Deliberately driver-side: tuning runs once on a bounded sample
+    (hundreds of queries — the ground-truth brute force is |Q|·|C|
+    dots, so the sample bound is what makes this affordable), and the
+    chosen value is then applied to the corpus-scale query load. The
+    per-trial cost is one extra probe join over the SAME corpus frame;
+    trials stop at the first probe count that clears the SLO.
+    """
+    anchors = anchors or ivf_anchors()
+    max_probes = max_probes or len(anchors)
+    truth_df = knn_bruteforce(df, queries, k, vec_col, id_col)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in truth_df.select("query_id", "neighbor_id").collect()
+    }
+    if not truth:
+        return 1, 1.0
+    corpus = ivf_corpus_frame(df, vec_col, id_col, anchors)
+    best = 0.0
+    for probes in range(1, max_probes + 1):
+        got_df = _ivf_probe_join(
+            corpus, queries, k, vec_col, id_col, anchors, probes=probes
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in got_df.select("query_id", "neighbor_id").collect()
+        }
+        best = len(got & truth) / len(truth)
+        if best >= recall_slo:
+            return probes, best
+    return max_probes, best
+
+
 def build_ivf_index(
     spark,
     df: DataFrame,

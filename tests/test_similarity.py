@@ -170,3 +170,22 @@ def test_ivf_bucketed_probe_join_corpus_shuffle_free(spark, embeddings, queries,
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_tune_probes_meets_slo_and_is_minimal(embeddings, queries):
+    # a loose SLO is satisfiable with few probes; the returned recall
+    # must actually meet it, and fewer probes must NOT meet it
+    probes, recall = sim.tune_probes(embeddings, queries, k=5, recall_slo=0.6)
+    assert recall >= 0.6
+    assert 1 <= probes <= sim.IVF_CELLS
+    if probes > 1:
+        fewer = sim.knn_ivf(embeddings, queries, k=5, probes=probes - 1)
+        truth = sim.knn_bruteforce(embeddings, queries, k=5)
+        t = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+        f = {(r["query_id"], r["neighbor_id"]) for r in fewer.collect()}
+        assert len(f & t) / len(t) < 0.6
+
+    # probing every cell is exhaustive → recall 1.0, so an SLO of 1.0
+    # always terminates with probes <= IVF_CELLS
+    probes_all, recall_all = sim.tune_probes(embeddings, queries, k=5, recall_slo=1.0)
+    assert recall_all == 1.0 and probes_all <= sim.IVF_CELLS

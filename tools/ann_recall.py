@@ -72,6 +72,11 @@ def main() -> None:
         recall = len(exact & got) / len(exact) if exact else 1.0
         print(f"| {name} | {recall:.3f} | {len(got)} |")
 
+    print()
+    for slo in (0.8, 0.9):
+        p, r = sim.tune_probes(emb, queries, k=k, recall_slo=slo, anchors=centers)
+        print(f"tune_probes(slo={slo}, kmeans anchors) -> probes={p} recall={r:.3f}")
+
 
 if __name__ == "__main__":
     main()
