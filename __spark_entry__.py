@@ -97,6 +97,7 @@ _PRIORITY = [
     "x12_repetition_stats",
     "pl11_decontamination_hits",
     "d09_semantic_dup_pairs",
+    "fw1_fixed_width_roundtrip",
 ]
 
 

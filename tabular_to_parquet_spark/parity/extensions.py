@@ -1102,6 +1102,68 @@ WHERE (l_orderkey * 10 + l_linenumber) % 13 <> 0
 
 
 # ---------------------------------------------------------------------------
+# FW1 — fixed-width source through the full conversion pipeline: a
+# fixed-width rendering of orders (right-aligned numerics, left-aligned
+# strings, ISO dates) → substring/trim scan → shared inference + casts
+# → typed parquet. The oracle reads the original orders table — the
+# round-trip must reproduce every typed value.
+
+
+def _q_fixed_width_conversion(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.fixed_width import (
+        convert_fixed_width_to_parquet,
+        fields_from_widths,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
+        F.lpad(F.col("o_custkey").cast("string"), 12, " "),
+        F.col("o_orderstatus"),
+        F.lpad(F.format_string("%.2f", F.col("o_totalprice")), 14, " "),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+        F.rpad(F.col("o_orderpriority"), 16, " "),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw1_")
+    txt_dir = os.path.join(tmp, "txt")
+    orders.sort("o_orderkey").select(line.alias("value")).coalesce(1).write.text(
+        txt_dir
+    )
+    txt_file = glob.glob(os.path.join(txt_dir, "part-*.txt"))[0]
+    out = os.path.join(tmp, "fw.parquet")
+    fields = fields_from_widths(
+        [
+            ("o_orderkey", 12),
+            ("o_custkey", 12),
+            ("o_orderstatus", 1),
+            ("o_totalprice", 14),
+            ("o_orderdate", 10),
+            ("o_orderpriority", 16),
+        ]
+    )
+    convert_fixed_width_to_parquet(spark, txt_file, out, fields)
+    # the parquet column IS DateType (inference picked date); compare
+    # as timestamp because pandas maps Spark dates to objects but both
+    # engines' timestamps to datetime64
+    return spark.read.parquet(out).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+
+
+register("fw1_fixed_width_roundtrip", """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       o_orderdate,
+       o_orderpriority
+FROM orders
+""")(_q_fixed_width_conversion)
+
+
+# ---------------------------------------------------------------------------
 # A* — multi-table analytics (beyond the single-table reference:
 # joins, aggregates, ranking over the star schema — the Spark-native
 # query surface a training-data pipeline gets for free). Money stays
