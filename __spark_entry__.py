@@ -98,6 +98,7 @@ _PRIORITY = [
     "pl11_decontamination_hits",
     "d09_semantic_dup_pairs",
     "fw1_fixed_width_roundtrip",
+    "d10_dup_clusters",
 ]
 
 

@@ -220,6 +220,35 @@ def main() -> None:
             multimodal.decode_image_features(multimodal.attach_bmp_payload(docs))
         )
 
+    # -- repetition filters (per-row array folds, pure projection) ----------
+    @timed("repetition_stats")
+    def _():
+        _noop(ta.repetition_stats(docs))
+
+    # -- benchmark decontamination (broadcast eval-gram anti-join) ----------
+    @timed("decontaminate")
+    def _():
+        from tabular_to_parquet_spark.operators import pipeline as pl
+
+        eval_df = docs.where(F.expr("doc_id % 97 = 0"))
+        corpus = docs.where(~F.expr("doc_id % 97 = 0"))
+        _noop(pl.decontaminate(corpus, eval_df, n=4))
+
+    # -- SemDeDup cell-blocked near-dup pairs -------------------------------
+    @timed("semantic_dup_pairs")
+    def _():
+        _noop(dedup.semantic_dup_pairs(emb, threshold=0.4))
+
+    # -- conversion without parse-error accounting (observe opt-out) --------
+    @timed("convert_csv_noobserve")
+    def _():
+        convert_delimited_to_parquet(
+            spark,
+            csv_file,
+            os.path.join(work, "lineitem_noobs.parquet"),
+            observe_errors=False,
+        )
+
     total = round(sum(timings.values()), 3)
     conv = timings["convert_csv_to_parquet"]
     print(

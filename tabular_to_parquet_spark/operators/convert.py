@@ -138,6 +138,25 @@ def observed_typed_frame(
     return typed, obs
 
 
+def counted_typed_frame(
+    raw: DataFrame, types: list[LogicalType], preserve_order: bool = False
+):
+    """Typed frame + row count only — the ``observe_errors=False``
+    path: the accounting aggregate re-trims every fallible value
+    (~15% of the conversion projection, measured at sf0.1), so bulk
+    callers that don't read ``parse_errors`` can skip it. The lone
+    count(1) metric is free by comparison."""
+    from pyspark.sql import Observation
+
+    names = list(raw.columns)
+    staged = typed_frame(raw, types, preserve_order=preserve_order)
+    if preserve_order:
+        staged = staged.sort(*_ORDER_KEY)
+    obs = Observation("row_count")
+    staged = staged.observe(obs, F.count(F.lit(1)).alias("__rows"))
+    return staged.select(*names), obs
+
+
 @dataclass
 class ConvertResult:
     output_path: str
@@ -195,6 +214,7 @@ def convert_delimited_to_parquet(
     single_file: bool = False,
     delimiter: str | None = None,
     strict_drop: bool = False,
+    observe_errors: bool = True,
 ) -> ConvertResult:
     """End-to-end conversion (the product surface, main.rs:39-83).
 
@@ -217,6 +237,12 @@ def convert_delimited_to_parquet(
     keeps Spark's PERMISSIVE repair semantics (documented divergence).
     Known approximation: a file legitimately containing encoded U+FFFD,
     or invalid bytes confined to an extra (dropped) field, diverges.
+
+    ``observe_errors=False`` skips the per-column parse-error
+    accounting (``parse_errors`` reports zeros; ``rows`` stays exact).
+    The accounting rides the write job but re-trims every fallible
+    value — ~15% of the projection — so bulk callers that don't read
+    the counters can opt out.
     """
     t0 = time.monotonic()
     from tabular_to_parquet_spark.session import ensure_utc, restore_timezone
@@ -275,7 +301,14 @@ def convert_delimited_to_parquet(
             raw = drop_replacement_char_rows(raw, names)
         # ordering (when requested) happens inside observed_typed_frame,
         # below the observation point
-        typed, obs = observed_typed_frame(raw, types, preserve_order=preserve_order)
+        if observe_errors:
+            typed, obs = observed_typed_frame(
+                raw, types, preserve_order=preserve_order
+            )
+        else:
+            typed, obs = counted_typed_frame(
+                raw, types, preserve_order=preserve_order
+            )
 
         if single_file:
             typed = typed.coalesce(1)

@@ -558,6 +558,92 @@ def semantic_dup_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    hops: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster id per document = MIN document id reachable within
+    ``hops`` hops of the near-dup pair graph (min-label propagation,
+    bounded). Turns a pair list (:func:`minhash_pairs`,
+    :func:`semantic_dup_pairs`, …) into dedup groups: keep one
+    representative per ``cluster_id``, e.g. the row where
+    ``doc_id == cluster_id``.
+
+    Each hop is one equi-join + min-aggregate on the edge list — a
+    shuffle on node ids, never on content. Near-dup clusters are
+    star/clique-shaped in practice (tiny diameter), so a small fixed
+    ``hops`` reaches the true connected component; for adversarial
+    chain topologies use :func:`dup_clusters_fixpoint`. The bounded
+    variant is what the cross-engine oracle checks (both engines run
+    the same ``hops`` rounds, so parity holds by construction).
+    """
+    edges = _undirected(pairs)
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(hops):
+        labels = _propagate_min_label(edges, labels, id_col)
+    return labels
+
+
+def _undirected(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+
+def _propagate_min_label(
+    edges: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """One round: label := min(own label, neighbors' labels)."""
+    neighbor_min = (
+        edges.join(labels, edges["dst"] == labels[id_col])
+        .groupBy("src")
+        .agg(F.min("cluster_id").alias("_nmin"))
+    )
+    return (
+        labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
+        .select(
+            F.col(id_col),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+    )
+
+
+def dup_clusters_fixpoint(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """:func:`dup_clusters` iterated to convergence: min-label rounds
+    until no label changes (the driver checks one count per round —
+    the standard distributed connected-components loop; O(diameter)
+    rounds, each fully parallel). ``localCheckpoint`` truncates the
+    per-round lineage so late rounds don't replay the whole chain.
+    ``max_iters`` bounds adversarial chains; dup graphs converge in a
+    handful of rounds."""
+    edges = _undirected(pairs).localCheckpoint()
+    labels = ids.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nxt = _propagate_min_label(edges, labels, id_col).localCheckpoint()
+        changed = (
+            labels.alias("a")
+            .join(nxt.alias("b"), id_col)
+            .where(F.col("a.cluster_id") != F.col("b.cluster_id"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

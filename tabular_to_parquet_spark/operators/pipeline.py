@@ -416,7 +416,9 @@ def build_fingerprint_index(
     ``INSERT INTO`` semantics (re-distinct on compaction).
     """
     from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+    from tabular_to_parquet_spark.sources.tables import reset_managed_table
 
+    reset_managed_table(corpus.sparkSession, table_name)
     fp = F.md5(normalized_text(F.col(text_col)))
     (
         corpus.select(fp.alias("fp"))
@@ -471,7 +473,9 @@ def build_minhash_band_index(
     rows per corpus doc, written once; nightly batches probe it with
     an equi-join that shuffles only the batch side."""
     from tabular_to_parquet_spark.operators.dedup import minhash_banded
+    from tabular_to_parquet_spark.sources.tables import reset_managed_table
 
+    reset_managed_table(corpus.sparkSession, table_name)
     (
         minhash_banded(corpus, text_col, id_col)
         .write.mode("overwrite")

@@ -360,6 +360,9 @@ def build_ivf_index(
     to meet the bucket layout (verified by
     test_ivf_bucketed_probe_join_corpus_shuffle_free).
     """
+    from tabular_to_parquet_spark.sources.tables import reset_managed_table
+
+    reset_managed_table(spark, table_name)
     (
         ivf_corpus_frame(df, vec_col, id_col, anchors)
         .write.mode("overwrite")

@@ -571,6 +571,43 @@ WHERE {_cosine('a.embedding', 'b.embedding')} >= {_SEMANTIC_THRESHOLD}
 register("d09_semantic_dup_pairs", _semantic_oracle())(_q_semantic_pairs)
 
 
+_D10_HOPS = 2
+
+
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: min-label propagation (bounded at
+    2 hops — enough for the star/clique topologies dup graphs have)
+    over the d04 minhash pair list. Each hop is one equi-join +
+    min-agg on node ids; the oracle replays the same two rounds
+    relationally on top of its own d04 pair derivation."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(pairs, docs.select("doc_id"), hops=_D10_HOPS)
+
+
+def _d10_oracle() -> str:
+    d04 = CATALOG["d04_minhash_pairs"].oracle
+    prop = """
+SELECT l.doc_id, LEAST(l.cluster_id, COALESCE(m._nmin, l.cluster_id)) AS cluster_id
+FROM {prev} l LEFT JOIN (
+    SELECT e.src, MIN(l2.cluster_id) AS _nmin
+    FROM edges e JOIN {prev} l2 ON e.dst = l2.doc_id
+    GROUP BY e.src) m ON l.doc_id = m.src
+"""
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({d04})),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+l1 AS ({prop.format(prev='l0')}),
+l2 AS ({prop.format(prev='l1')})
+SELECT doc_id, cluster_id FROM l2
+"""
+
+
+register("d10_dup_clusters", _d10_oracle())(_q_dup_clusters)
+
+
 # ---------------------------------------------------------------------------
 # similarity search — brute-force and LSH top-k
 # query set: every 50th vector (deterministic, scale-proportional)

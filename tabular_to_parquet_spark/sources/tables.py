@@ -32,6 +32,28 @@ TABLE_NAMES = (
 )
 
 
+def reset_managed_table(spark: SparkSession, table_name: str) -> None:
+    """Make ``saveAsTable(table_name)`` safe to run from ANY process
+    state: drop the catalog entry if present, then remove an ORPHANED
+    warehouse directory if one is left over. A previous process that
+    wrote the managed table leaves its data directory behind in
+    ``spark.sql.warehouse.dir``; a fresh session has no catalog entry
+    for it, so a plain ``mode("overwrite")`` write dies with
+    LOCATION_ALREADY_EXISTS instead of overwriting."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    leaf = table_name.split(".")[-1].lower()
+    orphan = os.path.join(warehouse, leaf)
+    if warehouse and os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make a caller-provided session (e.g. the driver harness's) safe
     for these tables: ns-parquet read path and UTC timestamp rendering.

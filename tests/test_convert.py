@@ -282,3 +282,22 @@ def test_strict_full_inference_skips_invalid_utf8(spark, tmp_path):
     assert res.rows == 90
     got = duckdb.sql(f"SELECT sum(v) FROM '{out}/*.parquet'").fetchone()[0]
     assert got == sum(i * 10 for i in range(100) if i % 10)
+
+
+def test_observe_errors_opt_out(spark, tmp_path):
+    # observe_errors=False: identical typed output and exact row count,
+    # parse_errors all zero (the accounting was skipped)
+    src = tmp_path / "noobs.csv"
+    src.write_text("i,f\n" + "\n".join(f"{i},{i}.5" for i in range(50)) + "\nbad,9.5\n")
+    out_a = tmp_path / "a.parquet"
+    out_b = tmp_path / "b.parquet"
+    res_a = convert_delimited_to_parquet(spark, str(src), str(out_a))
+    res_b = convert_delimited_to_parquet(
+        spark, str(src), str(out_b), observe_errors=False
+    )
+    assert res_b.rows == res_a.rows == 51
+    assert res_a.parse_errors == {"i": 1, "f": 0}
+    assert res_b.parse_errors == {"i": 0, "f": 0}
+    a = sorted(map(repr, spark.read.parquet(str(out_a)).collect()))
+    b = sorted(map(repr, spark.read.parquet(str(out_b)).collect()))
+    assert a == b

@@ -209,3 +209,27 @@ def test_semantic_pairs_join_is_cell_blocked(spark):
     )
     # blocked by the cell equi-key — never a cartesian/BNL product
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# dup cluster assignment (min-label propagation)
+
+
+def test_dup_clusters_bounded_and_fixpoint(spark):
+    # components: {1,2,3} (star via 1), chain {10-11-12-13}, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 13, 99)],
+                                "doc_id long")
+    two_hop = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dup_clusters(pairs, ids, hops=2).collect()}
+    assert two_hop[1] == two_hop[2] == two_hop[3] == 1
+    assert two_hop[99] == 99
+    # the 4-chain needs 3 hops to pull 13 down to 10; 2 hops reaches 11
+    assert two_hop[10] == 10 and two_hop[13] == 11
+
+    fix = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dup_clusters_fixpoint(pairs, ids).collect()}
+    assert fix == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
