@@ -249,6 +249,11 @@ def main() -> None:
             observe_errors=False,
         )
 
+    # the Arrow-vectorized scorer (non-oracle scale path)
+    @timed("semantic_dup_pairs_fast")
+    def _():
+        _noop(dedup.semantic_dup_pairs(emb, threshold=0.4, fast=True))
+
     total = round(sum(timings.values()), 3)
     conv = timings["convert_csv_to_parquet"]
     print(

