@@ -99,6 +99,8 @@ _PRIORITY = [
     "d09_semantic_dup_pairs",
     "fw1_fixed_width_roundtrip",
     "d10_dup_clusters",
+    "d11_dup_clusters_fixpoint",
+    "x13_vocab_coverage",
 ]
 
 

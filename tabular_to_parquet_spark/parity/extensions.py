@@ -270,6 +270,64 @@ WHERE rank <= 20
 """)(_q_top_tokens)
 
 
+_X13_V = 50
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-design query: what fraction of all token OCCURRENCES
+    does a top-V vocabulary cover? Same TakeOrderedAndProject shape as
+    x09 (no partition ever holds more than V vocabulary rows); the
+    corpus-wide occurrence total is one scalar agg broadcast into the
+    V-row result, and the cumulative fraction is a window over those V
+    rows only. cum_frac is a single division of exact BIGINTs."""
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(ta.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(_X13_V)
+    w = (
+        W.orderBy(F.col("n").desc(), F.col("token"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("token")))
+            .cast("long")
+            .alias("rank"),
+            (F.col("cum_n").cast("double") / F.col("total")).alias("cum_frac"),
+        )
+    )
+
+
+register("x13_vocab_coverage", f"""
+WITH counts AS (
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)
+    GROUP BY t
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token) AS rank,
+           SUM(n) OVER (ORDER BY n DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n
+    FROM counts
+)
+SELECT token, n, CAST(rank AS BIGINT) AS rank,
+       CAST(cum_n AS DOUBLE) / total AS cum_frac
+FROM ranked, total WHERE rank <= {_X13_V}
+""")(_q_vocab_coverage)
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style repetition filters (x12): distinct-token /
     top-token / top-bigram fractions, one per-row array fold each —
@@ -606,6 +664,38 @@ SELECT doc_id, cluster_id FROM l2
 
 
 register("d10_dup_clusters", _d10_oracle())(_q_dup_clusters)
+
+
+def _q_dup_clusters_fixpoint(spark, sf_dir):
+    """True connected components: the driver-side convergence loop
+    (min-label rounds + localCheckpoint until no label changes)
+    checked against a genuinely different algorithm — DuckDB computes
+    the same fixpoint as a RECURSIVE transitive closure and takes the
+    min reachable id per node. Iterative Spark vs recursive SQL, same
+    clusters."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters_fixpoint(pairs, docs.select("doc_id"))
+
+
+def _d11_oracle() -> str:
+    d04 = CATALOG["d04_minhash_pairs"].oracle
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({d04})),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, target) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.node, e.dst FROM reach r JOIN edges e ON r.target = e.src
+)
+SELECT node AS doc_id, MIN(target) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+register("d11_dup_clusters_fixpoint", _d11_oracle())(_q_dup_clusters_fixpoint)
 
 
 # ---------------------------------------------------------------------------

@@ -342,3 +342,26 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     # the eval-gram probe must be a broadcast hash join — the corpus
     # side never shuffles for the probe (only the per-doc count agg)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_build_index_survives_orphaned_warehouse_dir(spark, docs):
+    """A previous process's managed-table directory (warehouse leftover
+    with no catalog entry in THIS session) must not break the index
+    builders — reset_managed_table removes the orphan first."""
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    orphan = os.path.join(warehouse, "orphan_fp_idx")
+    spark.sql("DROP TABLE IF EXISTS orphan_fp_idx")
+    os.makedirs(os.path.join(orphan, "not_a_table"), exist_ok=True)
+    try:
+        pl.build_fingerprint_index(docs.limit(50), "orphan_fp_idx")
+        assert spark.table("orphan_fp_idx").count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orphan_fp_idx")
+        shutil.rmtree(orphan, ignore_errors=True)
