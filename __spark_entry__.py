@@ -101,6 +101,7 @@ _PRIORITY = [
     "d10_dup_clusters",
     "d11_dup_clusters_fixpoint",
     "x13_vocab_coverage",
+    "st3_stream_decontaminated_ingest",
 ]
 
 

@@ -298,6 +298,24 @@ def knn_ivf(
     )
 
 
+def suggest_cells(
+    n_rows: int,
+    target_rows_per_cell: int = 1 << 18,
+    min_cells: int = 4,
+    max_cells: int = 1 << 20,
+) -> int:
+    """IVF cell count for a corpus of ``n_rows``: the power of two
+    whose expected occupancy is closest to ``target_rows_per_cell``
+    (default 256k rows ≈ a few hundred MB of 64-d floats — an
+    executor-task-sized bucket). Completes the sizing story next to
+    :func:`tune_probes`: cells bound memory per probe task, probes
+    buy recall. Clamped to [min_cells, max_cells]."""
+    cells = min_cells
+    while cells < max_cells and n_rows / cells > target_rows_per_cell * 1.5:
+        cells *= 2
+    return cells
+
+
 def tune_probes(
     df: DataFrame,
     queries: DataFrame,

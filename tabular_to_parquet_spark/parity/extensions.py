@@ -986,6 +986,74 @@ WHERE c.fp IS NULL
 """)(_q_stream_dedup_ingest)
 
 
+def _q_stream_decontaminated_ingest(spark, sf_dir):
+    """st2's ingest with the decontamination stage composed in: each
+    micro-batch's dedup survivors are additionally dropped if they
+    share any word 4-gram with the (static, broadcast) eval slice.
+    Consistency note: exact dups share identical text, hence identical
+    grams, so contamination is uniform within a dup group — the
+    non-streaming oracle (survivors minus contaminated) matches the
+    per-batch index-append semantics exactly."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_to_parquet_spark.operators.pipeline import build_fingerprint_index
+    from tabular_to_parquet_spark.streaming.streams import stream_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    build_fingerprint_index(corpus, "st3_fp_idx")
+
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    mid = len(batch) // 2
+    tmp = tempfile.mkdtemp(prefix="st3_ingest_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i, wave in enumerate((batch.iloc[:mid], batch.iloc[mid:])):
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False),
+                       os.path.join(in_dir, f"w{i}.parquet"))
+    q = stream_dedup_ingest(
+        spark, in_dir, "st3_fp_idx",
+        os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
+        eval_df=eval_df, decontaminate_n=4,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, "out")).select("doc_id")
+
+
+def _st3_oracle() -> str:
+    from tabular_to_parquet_spark.functions.hashing import md5_i64_sql
+
+    return f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp),
+corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+survivors AS (SELECT k.doc_id FROM keepers k LEFT JOIN corp c ON k.fp = c.fp
+              WHERE c.fp IS NULL),
+g AS (SELECT doc_id, {md5_i64_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest({_shingles(_TOKS, 4)}) AS g FROM documents)),
+ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gh))
+SELECT s.doc_id FROM survivors s LEFT JOIN dirty d ON s.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
+register("st3_stream_decontaminated_ingest", _st3_oracle())(
+    _q_stream_decontaminated_ingest
+)
+
+
 def _q_sessionize(spark, sf_dir):
     return sessionize_frame(load_table(spark, sf_dir, "events"), gap_minutes=240)
 

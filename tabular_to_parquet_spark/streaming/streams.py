@@ -71,6 +71,8 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     buckets: int = 64,
     max_files_per_trigger: int | None = 1,
+    eval_df: DataFrame | None = None,
+    decontaminate_n: int = 4,
 ):
     """Continuous corpus ingest with incremental dedup: new parquet
     files landing in ``input_dir`` are exact-deduped in-batch, then
@@ -79,6 +81,12 @@ def stream_dedup_ingest(
     survivors append to ``output_dir`` and their fingerprints append to
     the index, so later micro-batches — and later runs — dedup against
     everything already ingested.
+
+    ``eval_df`` additionally DECONTAMINATES each micro-batch: dedup
+    survivors sharing any word ``decontaminate_n``-gram with the eval
+    set are dropped before the output/index appends (the eval-gram set
+    is broadcast per batch — it is tiny and static, the right trade
+    against pinning cluster memory for the stream's lifetime).
 
     The 100 TB/day corpus-refresh shape: per micro-batch cost is
     bounded by the batch (the corpus participates only through its
@@ -90,7 +98,10 @@ def stream_dedup_ingest(
 
     Returns the started StreamingQuery (``availableNow`` trigger).
     """
-    from tabular_to_parquet_spark.operators.pipeline import dedup_against_bucketed
+    from tabular_to_parquet_spark.operators.pipeline import (
+        decontaminate,
+        dedup_against_bucketed,
+    )
     from tabular_to_parquet_spark.operators.text_analysis import normalized_text
 
     schema = spark.read.parquet(input_dir).schema
@@ -98,7 +109,12 @@ def stream_dedup_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         kept = dedup_against_bucketed(
             spark, batch_df, index_table, text_col, id_col
-        ).persist()
+        )
+        if eval_df is not None:
+            kept = decontaminate(
+                kept, eval_df, text_col, id_col, n=decontaminate_n
+            )
+        kept = kept.persist()
         try:
             kept.write.mode("append").parquet(output_dir)
             fp = F.md5(normalized_text(F.col(text_col)))

@@ -189,3 +189,11 @@ def test_tune_probes_meets_slo_and_is_minimal(embeddings, queries):
     # always terminates with probes <= IVF_CELLS
     probes_all, recall_all = sim.tune_probes(embeddings, queries, k=5, recall_slo=1.0)
     assert recall_all == 1.0 and probes_all <= sim.IVF_CELLS
+
+
+def test_suggest_cells_scaling():
+    assert sim.suggest_cells(1000) == 4                      # floor
+    assert sim.suggest_cells(10_000_000) == 32               # ~312k/cell
+    assert sim.suggest_cells(1_000_000_000) == 4096          # ~244k/cell
+    # monotone in corpus size, clamped at the top
+    assert sim.suggest_cells(10**13) == 1 << 20

@@ -182,3 +182,16 @@ def test_repetition_stats_known_values(spark):
 def test_repetition_stats_is_pure_projection(spark, docs):
     plan = ta.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_vocab_coverage_plan_is_take_ordered(spark, docs):
+    """x13 must plan the top-V as TakeOrderedAndProject (per-partition
+    top-V + driver merge), never a global sort — the x09 lesson."""
+    from tabular_to_parquet_spark.parity.extensions import _q_vocab_coverage
+
+    sf = "/root/testdata/sf0.001"
+    plan = (
+        _q_vocab_coverage(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
