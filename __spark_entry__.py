@@ -102,6 +102,8 @@ _PRIORITY = [
     "d11_dup_clusters_fixpoint",
     "x13_vocab_coverage",
     "st3_stream_decontaminated_ingest",
+    "pl12_chunk_documents",
+    "a14_funnel_stages",
 ]
 
 

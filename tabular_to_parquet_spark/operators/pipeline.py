@@ -337,6 +337,56 @@ def dedup_against(
 
 
 # ---------------------------------------------------------------------------
+# chunking (RAG / context-window preparation)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    RAG-ingest / context-window preparation step).
+
+    ``n_chunks = 1 + ceil(max(0, n - chunk_tokens) / stride)`` with
+    ``stride = chunk_tokens - overlap``: chunk *i* covers tokens
+    ``[i·stride, i·stride + chunk_tokens)``; the last chunk may be
+    short but every token is covered. Zero-token documents yield no
+    rows. All integer math (exact on both engines); the whole operator
+    is tokenize → per-row ``sequence``/``posexplode`` → ``slice`` —
+    a linear projection + explode, zero shuffles at any scale.
+    """
+    from tabular_to_parquet_spark.operators.text_analysis import tokens
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    extra = F.greatest(F.lit(0), F.size("_toks") - chunk_tokens)
+    n_chunks = F.lit(1) + F.floor(
+        (extra + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    exploded = staged.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(
+            F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+        ).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 
 

@@ -1692,6 +1692,75 @@ GROUP BY p_type, s_nationkey
 """)(_q_star_join)
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase per user): stage N's
+    timestamp is the earliest qualifying event STRICTLY AFTER stage
+    N−1 — the sequential dependency that conditional aggregation
+    cannot express, so the canonical plan is a cascade of per-stage
+    min-aggregates joined on user_id (each stage one hash-agg + one
+    equi-join on the user key; skew-bounded by per-user event counts).
+    Output: one row per user who reached stage 1, with per-stage
+    times (NULL = never reached) and the stage count."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type, prev, prev_t):
+        s = (
+            ev.where(F.col("event_type") == event_type)
+            .join(prev.where(F.col(prev_t).isNotNull()), "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("_t"))
+        )
+        return s
+
+    f1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    f2 = f1.join(
+        stage("click", f1, "t_view").select("user_id", F.col("_t").alias("t_click")),
+        "user_id",
+        "left",
+    )
+    f3 = f2.join(
+        stage("purchase", f2, "t_click").select(
+            "user_id", F.col("_t").alias("t_purchase")
+        ),
+        "user_id",
+        "left",
+    )
+    reached = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return f3.select(
+        "user_id", "t_view", "t_click", "t_purchase",
+        reached.cast("long").alias("stages_reached"),
+    )
+
+
+register("a14_funnel_stages", """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + (c.t_click IS NOT NULL)::INT
+              + (p.t_purchase IS NOT NULL)::INT AS BIGINT)
+           AS stages_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""")(_q_funnel)
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation on a 5-key (maximally hot)
     grouping column — identical results to the plain groupBy, no

@@ -431,6 +431,46 @@ def _q_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pl12 — RAG chunking
+
+_CHUNK_T = 32
+_CHUNK_O = 8
+_CHUNK_S = _CHUNK_T - _CHUNK_O
+
+
+@register(
+    "pl12_chunk_documents",
+    f"""
+WITH s AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM s WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+             1 + (greatest(0, n - {_CHUNK_T}) + {_CHUNK_S - 1}) // {_CHUNK_S}
+                 AS n_chunks
+      FROM n),
+e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                  chunk_idx * {_CHUNK_S} + {_CHUNK_T}), ' ')
+           AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                           chunk_idx * {_CHUNK_S} + {_CHUNK_T})) AS BIGINT)
+           AS n_chunk_tokens
+FROM e
+""",
+)
+def _q_chunk(spark, sf_dir):
+    """RAG chunking: overlapping 32-token windows, stride 24. A linear
+    projection + explode (zero shuffles); every token covered, last
+    chunk may be short. The oracle re-derives the window arithmetic
+    with DuckDB list functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.chunk_documents(
+        docs, chunk_tokens=_CHUNK_T, overlap=_CHUNK_O
+    )
+
+
+# ---------------------------------------------------------------------------
 # pl08 — the composed preparation pipeline
 
 _PREP_LANGS = ("en", "fr", "de", "es")

@@ -365,3 +365,31 @@ def test_build_index_survives_orphaned_warehouse_dir(spark, docs):
     finally:
         spark.sql("DROP TABLE IF EXISTS orphan_fp_idx")
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(33))),  # 33 toks -> 2 chunks
+            (2, "a b c"),                                # short -> 1 chunk
+            (3, "  "),                                   # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = pl.chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"]) for r in out.collect())
+    )
+    assert rows == [(1, 0, 32), (1, 1, 9), (2, 0, 3)]
+    chunks = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in out.collect()}
+    # stride 24: second chunk starts at token 24
+    assert chunks[(1, 1)].split() == [f"w{i}" for i in range(24, 33)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark, docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pl.chunk_documents(docs, chunk_tokens=8, overlap=8)
