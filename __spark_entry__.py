@@ -104,6 +104,8 @@ _PRIORITY = [
     "st3_stream_decontaminated_ingest",
     "pl12_chunk_documents",
     "a14_funnel_stages",
+    "pr04_embedding_norm_histogram",
+    "m10_audio_energy_windows",
 ]
 
 

@@ -464,6 +464,54 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("window_idx", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+
+def audio_energy_windows(df: DataFrame, window: int = 32) -> DataFrame:
+    """Windowed audio energy: sum of SQUARED int16 PCM samples per
+    fixed-size sample window (the framing step under VAD / silence
+    trimming / loudness features). Sums of squared ints are EXACT
+    integers — deterministic under any evaluation order, so the gate
+    is oracle-stable where a float RMS would not be. Each document's
+    windows are produced inside its Arrow batch (mapInPandas over the
+    real RIFF/PCM decode) — one row in, n/window rows out, no shuffle.
+    """
+    from tabular_to_parquet_spark.operators.codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    _rate, samples = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                for start in range(0, len(samples), window):
+                    chunk = samples[start : start + window]
+                    rows.append(
+                        (
+                            mid,
+                            start // window,
+                            len(chunk),
+                            sum(s * s for s in chunk),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "n_samples", "energy"]
+            )
+
+    return df.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -2126,6 +2126,30 @@ GROUP BY doc_id
 """)(_q_wav_decode)
 
 
+_M10_WIN = 32
+
+
+def _q_audio_energy(spark, sf_dir):
+    """Windowed audio energy over the real WAV decode: per 32-sample
+    window, the exact-integer sum of squared PCM values. The oracle
+    regenerates the synthetic samples from the fixture rule and
+    re-windows them relationally."""
+    media = multimodal.attach_wav_payload(_docs(spark, sf_dir))
+    return multimodal.audio_energy_windows(media, window=_M10_WIN)
+
+
+register("m10_audio_energy_windows", f"""
+SELECT doc_id AS media_id,
+       CAST(i // {_M10_WIN} AS BIGINT) AS window_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(((i * (doc_id + 7)) % 2003 - 1001)
+                * ((i * (doc_id + 7)) % 2003 - 1001)) AS BIGINT) AS energy
+FROM (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+     LATERAL (SELECT unnest(range(0, n)) AS i)
+GROUP BY 1, 2
+""")(_q_audio_energy)
+
+
 register("m02_media_sample_frames", """
 SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
        lower(hex(substr(text, i * 64 + 1, 64))) AS frame_hex

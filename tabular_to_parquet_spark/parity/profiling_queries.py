@@ -109,3 +109,43 @@ def _q_percentiles(spark, sf_dir):
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
     )
     return pr.group_percentiles(cents, "cents", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# pr04 — embedding-norm histogram (vector profiling)
+
+from tabular_to_parquet_spark.parity.extensions import _dot
+
+
+@register(
+    "pr04_embedding_norm_histogram",
+    f"""
+SELECT CAST(floor(sqrt({_dot('embedding', 'embedding')}) * 10) AS BIGINT)
+           AS norm_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM embeddings GROUP BY 1
+""",
+)
+def _q_norm_histogram(spark, sf_dir):
+    """Vector-column profiling: histogram of embedding L2 norms in
+    0.1-wide bins. floor(norm*10) is computed PER ROW (one fold + one
+    sqrt + one multiply — deterministic, no cross-row float
+    accumulation), so the group keys are exact integers and the
+    hash-agg is oracle-stable. The id checksum pins the exact
+    row→bin assignment. One map-side-combined shuffle on ≤ a few
+    dozen bins."""
+    from tabular_to_parquet_spark.operators.dedup import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select(
+            F.floor(norm * 10).cast("long").alias("norm_bin"), "vec_id"
+        )
+        .groupBy("norm_bin")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("vec_id").alias("id_checksum"),
+        )
+    )

@@ -91,6 +91,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_ts(df)
 
 
+def create_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register the star schema as temp views so users drive the engine
+    with raw ``spark.sql(...)`` — the same table names the DuckDB
+    oracle sees, with the canonical timestamp normalization applied.
+    Temp views are lazy: no data moves until a query runs, and every
+    Catalyst optimization (pushdown, pruning, join planning) applies
+    to SQL text exactly as to the DataFrame API."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming variant of the events loader (same ns→µs conversion).
 

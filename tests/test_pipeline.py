@@ -393,3 +393,20 @@ def test_chunk_documents_rejects_bad_overlap(spark, docs):
 
     with _pytest.raises(ValueError):
         pl.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_create_views_sql_surface(spark):
+    """Raw spark.sql over the registered star schema — the SQL twin of
+    the DataFrame surface, same session normalizations."""
+    from tabular_to_parquet_spark.sources.tables import create_views
+
+    create_views(spark, "/root/testdata/sf0.001")
+    row = spark.sql("""
+        SELECT o.o_orderstatus AS st, COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY n DESC LIMIT 1
+    """).collect()[0]
+    assert row["n"] > 0 and row["st"] is not None
+    # events.ts must arrive as TIMESTAMP (not NTZ / raw ns) through SQL
+    t = spark.sql("SELECT unix_micros(ts) AS us FROM events LIMIT 1").collect()
+    assert t and t[0]["us"] > 0
