@@ -106,6 +106,7 @@ _PRIORITY = [
     "a14_funnel_stages",
     "pr04_embedding_norm_histogram",
     "m10_audio_energy_windows",
+    "a15_interval_overlap_join",
 ]
 
 

@@ -132,3 +132,59 @@ def range_join_binned(
         .filter((F.col(point_col) >= F.col(lo_col)) & upper)
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Join interval rows that OVERLAP: ``l_lo < r_hi AND r_lo < l_hi``
+    (half-open intervals), the interval×interval sibling of
+    :func:`range_join_binned`.
+
+    Scale shape: both sides explode to the integer bins their interval
+    covers, equi-join on (bin [+ extra_keys]), then keep only the pair
+    whose overlap STARTS in the joined bin — the standard
+    dedup-by-construction trick, so no ``dropDuplicates`` shuffle is
+    needed. Candidate volume is bounded by bins-per-interval ×
+    rows-per-bin; pick ``bin_width`` near the typical interval length.
+    All bound columns must be integer-valued (``unix_micros`` first).
+    """
+    extra_keys = extra_keys or []
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / bin_width),
+                F.floor(F.col(left_hi) / bin_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bin_width),
+                F.floor(F.col(right_hi) / bin_width),
+            )
+        ),
+    )
+    overlap_start = F.greatest(F.col(left_lo), F.col(right_lo))
+    return (
+        lb.join(rb, ["__bin", *extra_keys])
+        .filter(
+            (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+            # emit the pair only from the bin where its overlap starts:
+            # exactly one joined bin satisfies this, so the pair appears
+            # exactly once without any dedup shuffle
+            & (F.floor(overlap_start / bin_width) == F.col("__bin"))
+        )
+        .drop("__bin")
+    )

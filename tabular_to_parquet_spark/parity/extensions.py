@@ -1761,6 +1761,58 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 """)(_q_funnel)
 
 
+def _q_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join: error windows [ts, ts+value·60s)
+    vs purchase windows [ts, ts+600s) per user. The engine bins both
+    sides to 1-hour buckets and equi-joins on (bin, user); a pair is
+    emitted only from the bin where its overlap STARTS, so it appears
+    exactly once with NO dedup shuffle. The oracle joins directly on
+    the overlap predicate — different algorithm, same rows."""
+    from tabular_to_parquet_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        us.alias("a_lo"),
+        (us + F.floor(F.col("value") * 60).cast("long") * 1_000_000).alias("a_hi"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("b_id"),
+        us.alias("b_lo"),
+        (us + F.lit(600_000_000)).alias("b_hi"),
+    )
+    joined = interval_overlap_join(
+        err,
+        pur.withColumnRenamed("p_user_id", "user_id"),
+        "a_lo", "a_hi", "b_lo", "b_hi",
+        bin_width=3_600_000_000,
+        extra_keys=["user_id"],
+    )
+    return joined.select(
+        "user_id", "a_id", "b_id",
+        (
+            F.least(F.col("a_hi"), F.col("b_hi"))
+            - F.greatest(F.col("a_lo"), F.col("b_lo"))
+        ).alias("overlap_us"),
+    )
+
+
+register("a15_interval_overlap_join", """
+WITH e AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS lo,
+                  epoch_us(ts) + (floor(value * 60))::BIGINT * 1000000 AS hi
+           FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 600000000 AS hi
+      FROM events WHERE event_type = 'purchase')
+SELECT e.user_id, a_id, b_id,
+       LEAST(e.hi, p.hi) - GREATEST(e.lo, p.lo) AS overlap_us
+FROM e JOIN p ON e.user_id = p.user_id AND e.lo < p.hi AND p.lo < e.hi
+""")(_q_interval_overlap)
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation on a 5-key (maximally hot)
     grouping column — identical results to the plain groupBy, no

@@ -72,3 +72,30 @@ def test_asof_rejects_colliding_matched_col(spark):
     with pytest.raises(ValueError, match="reserved"):
         asof_join(left2.withColumnRenamed("__on", "__x").withColumn("ts", F.lit(1)),
                   right, on="ts", by="user_id")
+
+
+def test_interval_overlap_join_exactness(spark):
+    from tabular_to_parquet_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 500, 900), (3, 1000, 2500)],
+        "a_id long, a_lo long, a_hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 50, 60),     # inside interval 1
+            (11, 100, 200),   # touches 1's end: NOT an overlap (half-open)
+            (12, 450, 505),   # overlaps 2's start
+            (13, 2400, 3000), # overlaps 3; both spans cross a bin edge
+        ],
+        "b_id long, b_lo long, b_hi long",
+    )
+    out = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=1000
+    )
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out.collect())
+    assert pairs == [(1, 10), (2, 12), (3, 13)]
+    # multi-bin intervals emit each pair exactly once, with no
+    # dropDuplicates in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Deduplicate" not in plan
