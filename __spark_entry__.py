@@ -46,15 +46,30 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
 # Priority order for the capped (~50-row) driver sweep. First: the
 # three queries that ERRORED in CORRECTNESS_r04 (TIMESTAMP_NTZ events
 # parquet — fixed in sources/tables.py the same round, local sweep
-# green since; the driver has never confirmed the fix). Then every
-# query with no r4 row (the r4 run covered the first 50; these last
-# ran green in r3), then the queries NEW this round. The r4-green rest
-# follows in registration order.
+# green since; the driver has never confirmed the fix). Second: the
+# 13 queries NEW this round (no driver row exists at all). Third:
+# every query with no r4 row (the r4 run covered the first 50; these
+# ran green in r3 — if the cap cuts anything, it cuts from this
+# lowest-risk group). The r4-green rest follows in registration order.
 _PRIORITY = [
     # errored in r4 (NTZ), fixed — confirm first
     "ev02_event_window_stats_streaming",
     "ev03_sessionize",
     "ev04_sessionize_streaming",
+    # new in round 5 — no prior driver row by construction
+    "x12_repetition_stats",
+    "pl11_decontamination_hits",
+    "d09_semantic_dup_pairs",
+    "fw1_fixed_width_roundtrip",
+    "d10_dup_clusters",
+    "d11_dup_clusters_fixpoint",
+    "x13_vocab_coverage",
+    "st3_stream_decontaminated_ingest",
+    "pl12_chunk_documents",
+    "a14_funnel_stages",
+    "pr04_embedding_norm_histogram",
+    "m10_audio_energy_windows",
+    "a15_interval_overlap_join",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",
@@ -93,20 +108,6 @@ _PRIORITY = [
     "x08_props_json_extract",
     "x10_winnow_rolling",
     "x11_bpe_token_counts",
-    # new in round 5 — no prior driver row by construction
-    "x12_repetition_stats",
-    "pl11_decontamination_hits",
-    "d09_semantic_dup_pairs",
-    "fw1_fixed_width_roundtrip",
-    "d10_dup_clusters",
-    "d11_dup_clusters_fixpoint",
-    "x13_vocab_coverage",
-    "st3_stream_decontaminated_ingest",
-    "pl12_chunk_documents",
-    "a14_funnel_stages",
-    "pr04_embedding_norm_histogram",
-    "m10_audio_energy_windows",
-    "a15_interval_overlap_join",
 ]
 
 
