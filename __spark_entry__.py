@@ -70,6 +70,8 @@ _PRIORITY = [
     "pr04_embedding_norm_histogram",
     "m10_audio_energy_windows",
     "a15_interval_overlap_join",
+    "a16_decile_stats",
+    "pl13_partitioned_shard_read",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -336,6 +336,26 @@ def dedup_against(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize the corpus as a shard-partitioned parquet layout:
+    :func:`shard_assign` (pure projection) feeding
+    ``partitionBy("shard")`` — one directory per training shard, so a
+    reader filtering ``shard = k`` PRUNES to one directory at plan
+    time (PartitionFilters in the scan, no data skipped row-by-row).
+    ``max_records_per_file`` bounds file sizes inside each shard."""
+    sharded = shard_assign(df, id_col, n_shards)
+    writer = sharded.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # chunking (RAG / context-window preparation)
 

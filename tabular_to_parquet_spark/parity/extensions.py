@@ -1761,6 +1761,55 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 """)(_q_funnel)
 
 
+def _q_decile_stats(spark, sf_dir):
+    """Window-function breadth: ntile deciles over a total order plus
+    lead/lag deltas, then per-decile aggregates. ntile needs a GLOBAL
+    total order — fine here because the downstream agg collapses to 10
+    rows; at 100 TB you'd decile by approx quantile boundaries
+    (pr03's percentile machinery) instead of a global sort, which is
+    the documented trade."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = W.orderBy(cents.asc(), F.col("o_orderkey").asc())
+    staged = orders.select(
+        cents.alias("cents"),
+        F.ntile(10).over(w).alias("decile"),
+        (cents - F.lag(cents, 1).over(w)).alias("gap"),
+    )
+    return staged.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("gap").alias("sum_gaps"),
+    ).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        "sum_cents", "min_cents", "max_cents", "sum_gaps",
+    )
+
+
+register("a16_decile_stats", """
+WITH t AS (
+    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+    FROM orders),
+w AS (
+    SELECT cents,
+           ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile,
+           cents - lag(cents, 1) OVER (ORDER BY cents, o_orderkey) AS gap
+    FROM t)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(gap) AS BIGINT) AS sum_gaps
+FROM w GROUP BY decile
+""")(_q_decile_stats)
+
+
 def _q_interval_overlap(spark, sf_dir):
     """Interval×interval overlap join: error windows [ts, ts+value·60s)
     vs purchase windows [ts, ts+600s) per user. The engine bins both

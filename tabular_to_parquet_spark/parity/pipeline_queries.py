@@ -471,6 +471,36 @@ def _q_chunk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pl13 — partitioned shard sink + pruned read-back
+
+_PL13_SHARD = 3
+
+
+@register(
+    "pl13_partitioned_shard_read",
+    f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST({pl.shard_sql('doc_id', _N_SHARDS)} AS INTEGER) = {_PL13_SHARD}
+""",
+)
+def _q_partitioned_shard_read(spark, sf_dir):
+    """The physical training-shard layout, value-proven end to end:
+    write documents partitioned by the 16-way shard hash, read back
+    ONE shard with a partition filter (plan-time directory pruning —
+    asserted in test_pipeline), and hash-match the oracle's row set
+    for the same shard expression over the original table."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="pl13_"), "shards")
+    pl.write_training_shards(docs, out, n_shards=_N_SHARDS)
+    got = spark.read.parquet(out).where(F.col("shard") == _PL13_SHARD)
+    return got.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
 # pl08 — the composed preparation pipeline
 
 _PREP_LANGS = ("en", "fr", "de", "es")

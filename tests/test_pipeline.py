@@ -410,3 +410,16 @@ def test_create_views_sql_surface(spark):
     # events.ts must arrive as TIMESTAMP (not NTZ / raw ns) through SQL
     t = spark.sql("SELECT unix_micros(ts) AS us FROM events LIMIT 1").collect()
     assert t and t[0]["us"] > 0
+
+
+def test_write_training_shards_prunes_partitions(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    pl.write_training_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    one = back.where(F.col("shard") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # plan-time directory pruning, not a row filter over all shards
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan
+    expected = {r["doc_id"] for r in pl.shard_assign(docs, "doc_id", 8)
+                .where(F.col("shard") == 2).collect()}
+    assert {r["doc_id"] for r in one.collect()} == expected and expected
