@@ -254,6 +254,19 @@ def main() -> None:
     def _():
         _noop(dedup.semantic_dup_pairs(emb, threshold=0.4, fast=True))
 
+    # -- RAG chunking (linear explode, zero shuffle) ------------------------
+    @timed("chunk_documents")
+    def _():
+        from tabular_to_parquet_spark.operators import pipeline as pl
+
+        _noop(pl.chunk_documents(docs, chunk_tokens=32, overlap=8))
+
+    # -- dup-cluster assignment (2-hop min-label over minhash pairs) --------
+    @timed("dup_clusters")
+    def _():
+        pairs = dedup.minhash_pairs(docs, threshold=0.5)
+        _noop(dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2))
+
     total = round(sum(timings.values()), 3)
     conv = timings["convert_csv_to_parquet"]
     print(
