@@ -302,3 +302,37 @@ def test_inference_driver_vs_distributed(spark, cols, tmp_path_factory):
     assert [
         (t.kind, t.unit, t.uint_exceeds_i64) for t in driver_types
     ] == [(t.kind, t.unit, t.uint_exceeds_i64) for t in dist_types]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents window arithmetic vs a direct Python reference
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_window_formula_covers_all_tokens(n, chunk, data):
+    """The closed-form chunk count / start positions must cover every
+    token exactly like the obvious Python loop: starts every `stride`
+    while any token remains uncovered."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    stride = chunk - overlap
+    extra = max(0, n - chunk)
+    n_chunks = 1 + (extra + stride - 1) // stride
+
+    # reference: greedy cover
+    ref_starts = [0]
+    while ref_starts[-1] + chunk < n:
+        ref_starts.append(ref_starts[-1] + stride)
+    starts = [i * stride for i in range(n_chunks)]
+    assert starts == ref_starts
+    # full coverage, no empty chunks
+    covered = set()
+    for s in starts:
+        piece = range(s, min(n, s + chunk))
+        assert len(piece) > 0
+        covered.update(piece)
+    assert covered == set(range(n))
