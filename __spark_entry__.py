@@ -72,6 +72,7 @@ _PRIORITY = [
     "a15_interval_overlap_join",
     "a16_decile_stats",
     "pl13_partitioned_shard_read",
+    "pl14_corpus_checksum",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -336,6 +336,33 @@ def dedup_against(
     )
 
 
+def corpus_checksum(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row content checksum of a corpus: doc count plus an
+    ORDER-INDEPENDENT sum of per-document 60-bit content hashes
+    (md5 of id + normalized text), all exact integer math — the same
+    value from any partitioning, any engine. The primitive for "did
+    this refresh/migration change anything": compare two checksums
+    instead of two full corpora. One map-side-combined agg to a
+    single row; at 100 TB the shuffle is one row per partition."""
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    h = md5_i64(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), normalized_text(F.col(text_col))
+        )
+    )
+    # mod a prime before summing: 500+ raw 60-bit hashes overflow i64;
+    # residues keep the running sum exact out to ~10^12 documents
+    return df.select(F.pmod(h, F.lit(1_000_003)).alias("_h")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_h").cast("long").alias("content_checksum"),
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

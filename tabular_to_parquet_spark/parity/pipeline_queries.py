@@ -471,6 +471,28 @@ def _q_chunk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pl14 — order-independent corpus checksum
+
+
+@register(
+    "pl14_corpus_checksum",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({pl.md5_i64_sql(f"(doc_id::VARCHAR || '#' || {_NORM})")}
+                % 1000003) AS BIGINT) AS content_checksum
+FROM documents
+""",
+)
+def _q_corpus_checksum(spark, sf_dir):
+    """The refresh-verification primitive: count + order-independent
+    sum of per-doc content hashes (exact integers — identical from
+    any partitioning or engine). Changing, adding, or dropping any
+    single document changes the pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.corpus_checksum(docs)
+
+
+# ---------------------------------------------------------------------------
 # pl13 — partitioned shard sink + pruned read-back
 
 _PL13_SHARD = 3
