@@ -73,6 +73,8 @@ _PRIORITY = [
     "a16_decile_stats",
     "pl13_partitioned_shard_read",
     "pl14_corpus_checksum",
+    "x14_lang_source_pivot",
+    "lf1_logfmt_roundtrip",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -270,6 +270,36 @@ WHERE rank <= 20
 """)(_q_top_tokens)
 
 
+def _q_lang_source_pivot(spark, sf_dir):
+    """PIVOT coverage: language × source crosstab with explicit pivot
+    values (explicit values keep the plan a single pass — Spark skips
+    the extra distinct-scan job it needs to discover them — and pin
+    the output schema, which is what a production crosstab wants).
+    Oracle: conditional aggregation, the relational spelling of the
+    same table."""
+    docs = _docs(spark, sf_dir)
+    langs = ["en", "fr", "de", "es"]
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+    )
+    return out.select(
+        "source", *[F.col(l).cast("long").alias(f"n_{l}") for l in langs]
+    )
+
+
+register("x14_lang_source_pivot", """
+SELECT source,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es
+FROM documents GROUP BY source
+""")(_q_lang_source_pivot)
+
+
 _X13_V = 50
 
 
@@ -1356,6 +1386,51 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
        o_orderpriority
 FROM orders
 """)(_q_fixed_width_conversion)
+
+
+# ---------------------------------------------------------------------------
+# LF1 — logfmt source through the full conversion pipeline
+
+
+def _q_logfmt_conversion(spark, sf_dir):
+    """logfmt rendering of orders (bare numerics/dates, quoted
+    priority with inner spaces) → regexp scan → shared inference +
+    casts → typed parquet. Oracle reads the original table."""
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.logfmt import convert_logfmt_to_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("id="), F.col("o_orderkey").cast("string"),
+        F.lit(" cust="), F.col("o_custkey").cast("string"),
+        F.lit(" status="), F.col("o_orderstatus"),
+        F.lit(" price="), F.format_string("%.2f", F.col("o_totalprice")),
+        F.lit(" date="), F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+        F.lit(' priority="'), F.col("o_orderpriority"), F.lit('"'),
+    )
+    tmp = tempfile.mkdtemp(prefix="lf1_")
+    txt_dir = os.path.join(tmp, "txt")
+    orders.sort("o_orderkey").select(line.alias("value")).coalesce(1).write.text(
+        txt_dir
+    )
+    txt_file = glob.glob(os.path.join(txt_dir, "part-*.txt"))[0]
+    out = os.path.join(tmp, "lf.parquet")
+    convert_logfmt_to_parquet(spark, txt_file, out)
+    return spark.read.parquet(out).withColumn(
+        "date", F.col("date").cast("timestamp")
+    )
+
+
+register("lf1_logfmt_roundtrip", """
+SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       o_orderdate AS date,
+       o_orderpriority AS priority
+FROM orders
+""")(_q_logfmt_conversion)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,40 @@
+"""logfmt source: key discovery, quoted/bare/missing values, and the
+shared inference pipeline (cross-engine parity is the lf1 gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from tabular_to_parquet_spark.sources.logfmt import (
+    convert_logfmt_to_parquet,
+    read_logfmt_as_strings,
+    read_logfmt_keys,
+)
+
+
+def test_logfmt_keys_and_values(spark, tmp_path):
+    src = tmp_path / "app.log"
+    src.write_text(
+        'level=info msg="hello world" n=1 took=1.5\n'
+        'level=warn msg="x=y inside" n=2\n'          # '=' inside quotes
+        'n=3 level=error msg=""\n'                    # empty quoted, reordered
+    )
+    keys = read_logfmt_keys(str(src))
+    assert keys == ["level", "msg", "n", "took"]
+    rows = read_logfmt_as_strings(spark, str(src), keys).collect()
+    by_n = {r["n"]: r for r in rows}
+    assert by_n["1"]["msg"] == "hello world"
+    assert by_n["2"]["msg"] == "x=y inside"
+    assert by_n["3"]["msg"] == ""        # empty == missing == null token
+    assert by_n["2"]["took"] == ""       # missing key
+    assert by_n["3"]["level"] == "error" # order-independent extraction
+
+    out = str(tmp_path / "app.parquet")
+    names, types, _ = convert_logfmt_to_parquet(spark, str(src), out)
+    got = spark.read.parquet(out)
+    schema = {f.name: f.dataType for f in got.schema.fields}
+    assert schema["n"] == T.LongType()
+    assert schema["took"] == T.DoubleType()
+    typed = {r["n"]: r for r in got.collect()}
+    assert typed[2]["took"] is None and typed[1]["took"] == 1.5
+    assert typed[3]["msg"] is None
