@@ -300,6 +300,45 @@ FROM documents GROUP BY source
 """)(_q_lang_source_pivot)
 
 
+def _q_measures_unpivot(spark, sf_dir):
+    """UNPIVOT coverage (the melt inverse of x14's pivot): three order
+    measures stacked into (measure, value) rows via ``stack`` — a
+    pure projection (rows × 3, no shuffle) — then one hash-agg per
+    measure. Oracle: the UNION ALL spelling."""
+    orders = load_table(spark, sf_dir, "orders")
+    stacked = orders.select(
+        F.expr(
+            "stack(3,"
+            " 'total_cents', CAST(floor(o_totalprice * 100) AS BIGINT),"
+            " 'custkey', o_custkey,"
+            " 'orderkey', o_orderkey) AS (measure, value)"
+        )
+    )
+    return stacked.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(
+        "measure", F.col("n").cast("long").alias("n"),
+        "sum_value", "min_value", "max_value",
+    )
+
+
+register("x15_measures_unpivot", """
+WITH stacked AS (
+    SELECT 'total_cents' AS measure,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS value FROM orders
+    UNION ALL SELECT 'custkey', o_custkey FROM orders
+    UNION ALL SELECT 'orderkey', o_orderkey FROM orders)
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       CAST(MIN(value) AS BIGINT) AS min_value,
+       CAST(MAX(value) AS BIGINT) AS max_value
+FROM stacked GROUP BY measure
+""")(_q_measures_unpivot)
+
+
 _X13_V = 50
 
 
