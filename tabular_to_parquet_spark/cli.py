@@ -66,6 +66,19 @@ def main(argv: list[str] | None = None) -> int:
         "them (reference parity, conversion.rs:208 / analyse.rs:42-61)",
     )
     ap.add_argument("--output", help="override the derived output path")
+    ap.add_argument(
+        "--format",
+        choices=["delimited", "jsonl", "orc", "avro", "fixed-width", "logfmt"],
+        default="delimited",
+        help="input wire format (default: delimited text with sniffed "
+        "delimiter); every format runs the same inference + lenient-cast "
+        "pipeline",
+    )
+    ap.add_argument(
+        "--fixed-width-spec",
+        help="comma-separated name:width pairs for --format fixed-width, "
+        "e.g. 'id:6,name:20,price:10'",
+    )
     args = ap.parse_args(argv)
 
     if not args.input:
@@ -88,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
     from tabular_to_parquet_spark.session import get_spark
 
     spark = get_spark("tabular_to_parquet_cli")
+    if args.format != "delimited":
+        return _convert_other_format(spark, args, input_path, output_path)
     res = convert_delimited_to_parquet(
         spark,
         input_path,
@@ -114,6 +129,62 @@ def main(argv: list[str] | None = None) -> int:
         f"({rate:,.0f} lines/s): {res.output_path}",
         file=sys.stderr,
     )
+    return 0
+
+
+def _convert_other_format(spark, args, input_path: str, output_path: str) -> int:
+    """Non-delimited wire formats — same inference + casts, one flag."""
+    if args.format == "jsonl":
+        from tabular_to_parquet_spark.sources.json_lines import (
+            convert_json_to_parquet,
+        )
+
+        names, types, _ = convert_json_to_parquet(
+            spark, input_path, output_path, infer_full=args.infer_full_schema
+        )
+    elif args.format in ("orc", "avro"):
+        from tabular_to_parquet_spark.sources.columnar import (
+            convert_columnar_to_parquet,
+        )
+
+        names, types, _rows = convert_columnar_to_parquet(
+            spark, input_path, output_path, fmt=args.format
+        )
+    elif args.format == "fixed-width":
+        if not args.fixed_width_spec:
+            print("error: --format fixed-width requires --fixed-width-spec",
+                  file=sys.stderr)
+            return 1
+        from tabular_to_parquet_spark.sources.fixed_width import (
+            convert_fixed_width_to_parquet,
+            fields_from_widths,
+        )
+
+        pairs = []
+        for part in args.fixed_width_spec.split(","):
+            name, _, width = part.partition(":")
+            pairs.append((name.strip(), int(width)))
+        names, types, _ = convert_fixed_width_to_parquet(
+            spark, input_path, output_path, fields_from_widths(pairs),
+            infer_full=args.infer_full_schema,
+        )
+    else:  # logfmt
+        from tabular_to_parquet_spark.sources.logfmt import (
+            convert_logfmt_to_parquet,
+        )
+
+        names, types, _ = convert_logfmt_to_parquet(
+            spark, input_path, output_path, infer_full=args.infer_full_schema
+        )
+    if types is not None:
+        schema_desc = ", ".join(
+            f"{n}:{t.kind}{'[' + t.unit + ']' if t.unit else ''}"
+            for n, t in zip(names, types)
+        )
+    else:
+        schema_desc = ", ".join(names) + " (typed passthrough)"
+    print(f"schema: {schema_desc}", file=sys.stderr)
+    print(f"conversion done: {output_path}", file=sys.stderr)
     return 0
 
 

@@ -38,3 +38,19 @@ def test_logfmt_keys_and_values(spark, tmp_path):
     typed = {r["n"]: r for r in got.collect()}
     assert typed[2]["took"] is None and typed[1]["took"] == 1.5
     assert typed[3]["msg"] is None
+
+
+def test_cli_format_flag(tmp_path):
+    import subprocess
+    import sys
+
+    src = tmp_path / "a.log"
+    src.write_text("k=1 v=2.5\nk=2 v=3.5\n")
+    out = tmp_path / "a.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "tabular_to_parquet_spark.cli", str(src),
+         "--format", "logfmt", "--output", str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "k:uint64" in r.stderr and "v:float64" in r.stderr
