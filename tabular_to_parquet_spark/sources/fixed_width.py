@@ -81,6 +81,8 @@ def convert_fixed_width_to_parquet(
     )
     from tabular_to_parquet_spark.session import ensure_utc, restore_timezone
 
+    from tabular_to_parquet_spark.operators.convert import first_data_file
+
     prior_tz = ensure_utc(spark)
     try:
         raw = read_fixed_width_as_strings(spark, input_path, fields)
@@ -88,8 +90,10 @@ def convert_fixed_width_to_parquet(
             types = infer_schema_distributed(raw)
         else:
             # driver-side sample in file order, like the delimited default
+            # (directory inputs sample the lexicographically-first file)
             rows = []
-            with open(input_path, encoding="utf-8", errors="replace") as fh:
+            with open(first_data_file(input_path), encoding="utf-8",
+                      errors="replace") as fh:
                 for line in fh:
                     if len(rows) >= 1000:
                         break

@@ -80,14 +80,17 @@ def convert_json_to_parquet(
     # finally below because everything here executes eagerly
     prior_tz = ensure_utc(spark)
     try:
-        names = read_json_header(input_path)
+        from tabular_to_parquet_spark.operators.convert import first_data_file
+
+        head_file = first_data_file(input_path)
+        names = read_json_header(head_file)
         raw = read_json_as_strings(spark, input_path, names)
         if infer_full:
             types = infer_schema_distributed(raw)
         else:
             # driver-side sample in file order, like the delimited default
             rows = []
-            with open(input_path, encoding="utf-8", errors="replace") as fh:
+            with open(head_file, encoding="utf-8", errors="replace") as fh:
                 for i, line in enumerate(fh):
                     if len(rows) >= 1000:
                         break

@@ -92,15 +92,18 @@ def convert_logfmt_to_parquet(
     )
     from tabular_to_parquet_spark.session import ensure_utc, restore_timezone
 
+    from tabular_to_parquet_spark.operators.convert import first_data_file
+
     prior_tz = ensure_utc(spark)
     try:
-        keys = read_logfmt_keys(input_path)
+        head = first_data_file(input_path)
+        keys = read_logfmt_keys(head)
         raw = read_logfmt_as_strings(spark, input_path, keys)
         if infer_full:
             types = infer_schema_distributed(raw)
         else:
             rows = []
-            with open(input_path, encoding="utf-8", errors="replace") as fh:
+            with open(head, encoding="utf-8", errors="replace") as fh:
                 for line in fh:
                     if len(rows) >= 1000:
                         break

@@ -54,3 +54,39 @@ def test_cli_format_flag(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "k:uint64" in r.stderr and "v:float64" in r.stderr
+
+
+def test_logfmt_extraction_differential(spark, tmp_path):
+    """The driver-side sampling twin must agree with the distributed
+    regexp projection on randomized lines (seeded): shuffled key
+    order, missing keys, bare vs quoted values, '='/spaces inside
+    quotes — the regex-subset parity the inference sample depends on."""
+    import random
+
+    from tabular_to_parquet_spark.sources.logfmt import _extract_line
+
+    rng = random.Random(42)
+    keys = ["alpha", "b2", "c_c", "dd"]
+    bare_chars = "abc019.:-/"
+    quoted_chars = bare_chars + " ="
+    lines = []
+    for _ in range(200):
+        parts = []
+        for k in rng.sample(keys, k=rng.randint(0, len(keys))):
+            if rng.random() < 0.5:
+                v = "".join(rng.choices(bare_chars, k=rng.randint(0, 8)))
+                parts.append(f"{k}={v}")
+            else:
+                v = "".join(rng.choices(quoted_chars, k=rng.randint(0, 8)))
+                parts.append(f'{k}="{v}"')
+        lines.append(" ".join(parts))
+    src = tmp_path / "fuzz.log"
+    src.write_text("\n".join(lines) + "\n")
+
+    got = [
+        tuple(r)
+        for r in read_logfmt_as_strings(spark, str(src), keys)
+        .toPandas().itertuples(index=False)
+    ]
+    expected = [tuple(_extract_line(l, keys)) for l in lines]
+    assert sorted(got) == sorted(expected)
