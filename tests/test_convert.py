@@ -301,3 +301,22 @@ def test_observe_errors_opt_out(spark, tmp_path):
     a = sorted(map(repr, spark.read.parquet(str(out_a)).collect()))
     b = sorted(map(repr, spark.read.parquet(str(out_b)).collect()))
     assert a == b
+
+
+def test_sink_storage_contract(spark, tmp_path):
+    """S6 sink contract, verified from the parquet footers: zstd codec
+    on every column chunk and row groups capped at the width-adaptive
+    block size (<=20 cols -> 250k rows; here rows < cap -> 1 group)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from storage_report import report
+
+    src = tmp_path / "s.csv"
+    src.write_text("i,f\n" + "\n".join(f"{i},{i}.5" for i in range(5000)) + "\n")
+    out = tmp_path / "s.parquet"
+    convert_delimited_to_parquet(spark, str(src), str(out))
+    rep = report(str(out))
+    assert rep["rows"] == 5000
+    assert rep["codecs"] == ["ZSTD"]
+    assert rep["max_row_group_rows"] <= 250_000
+    assert rep["ratio"] and rep["ratio"] > 1.0
