@@ -149,3 +149,58 @@ def _q_norm_histogram(spark, sf_dir):
             F.sum("vec_id").alias("id_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pr05 — exact-sum Pearson correlation (statistical profiling)
+
+
+@register(
+    "pr05_price_qty_correlation",
+    """
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM t)
+SELECT n, sx, sy, sxy,
+       (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+       / (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+          * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE))
+           AS pearson_r
+FROM s
+""",
+)
+def _q_correlation(spark, sf_dir):
+    """Pearson correlation with a deterministic float story: Spark's
+    ``corr()`` accumulates doubles in partition order (unverifiable),
+    so the engine computes the five sufficient statistics as EXACT
+    integer sums (quantity × price-cents fit i64 at any SF) and forms
+    r in one fixed-order double expression — bit-identical on both
+    engines, one map-side-combined agg to a single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    s = li.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # final products exceed i64 (n·Σy² ≈ 10^23): do them in exact wide
+    # integers — DECIMAL(38,0) here, HUGEINT in the oracle — and convert
+    # to double exactly once (same IEEE rounding on both engines)
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = F.sqrt((d("n") * d("sxx") - d("sx") * d("sx")).cast("double")) * F.sqrt(
+        (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
+    )
+    return s.select("n", "sx", "sy", "sxy", (num / den).alias("pearson_r"))
