@@ -77,6 +77,7 @@ _PRIORITY = [
     "lf1_logfmt_roundtrip",
     "x15_measures_unpivot",
     "pr05_price_qty_correlation",
+    "a17_grouping_sets",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -1976,6 +1976,40 @@ FROM e JOIN p ON e.user_id = p.user_id AND e.lo < p.hi AND p.lo < e.hi
 """)(_q_interval_overlap)
 
 
+def _q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under a6's ROLLUP and
+    a10's CUBE) through the raw SQL surface — the star schema is
+    registered as temp views (sources/tables.create_views) and the
+    query is plain ANSI SQL, optimized by Catalyst exactly like the
+    DataFrame API (one Expand + one hash-agg)."""
+    from tabular_to_parquet_spark.sources.tables import create_views
+
+    create_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+    """)
+
+
+register("a17_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+           AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+""")(_q_grouping_sets)
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation on a 5-key (maximally hot)
     grouping column — identical results to the plain groupBy, no
