@@ -78,6 +78,7 @@ _PRIORITY = [
     "x15_measures_unpivot",
     "pr05_price_qty_correlation",
     "a17_grouping_sets",
+    "m11_video_motion_energy",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

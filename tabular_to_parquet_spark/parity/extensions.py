@@ -2375,6 +2375,32 @@ GROUP BY doc_id
 """)(_q_wav_decode)
 
 
+def _q_video_motion(spark, sf_dir):
+    """Frame-difference motion energy over the real AVI decode (m11):
+    Σ|frame_f − frame_{f−1}| per byte, exact integers. The oracle
+    regenerates every pixel from the fixture rule and re-derives the
+    same absolute differences relationally."""
+    media = multimodal.attach_avi_payload(_docs(spark, sf_dir))
+    return multimodal.video_motion_energy(media)
+
+
+register("m11_video_motion_energy", """
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST(3 * SUM(CASE WHEN f = 0 THEN 0
+                         ELSE abs(((x + y + f + doc_id) % 256)
+                                  - ((x + y + f - 1 + doc_id) % 256)) END)
+            AS BIGINT) AS motion_energy
+FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+             2 + doc_id % 4 AS n
+      FROM documents),
+     LATERAL (SELECT unnest(range(0, n)) AS f),
+     LATERAL (SELECT unnest(range(0, w)) AS x),
+     LATERAL (SELECT unnest(range(0, h)) AS y)
+GROUP BY doc_id
+""")(_q_video_motion)
+
+
 _M10_WIN = 32
 
 
