@@ -79,6 +79,7 @@ _PRIORITY = [
     "pr05_price_qty_correlation",
     "a17_grouping_sets",
     "m11_video_motion_energy",
+    "a18_event_debounce",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -1976,6 +1976,51 @@ FROM e JOIN p ON e.user_id = p.user_id AND e.lo < p.hi AND p.lo < e.hi
 """)(_q_interval_overlap)
 
 
+_A18_WINDOW_US = 30_000_000  # 30 s
+
+
+def _q_event_debounce(spark, sf_dir):
+    """Telemetry debounce: drop an event when the SAME (user, type)
+    fired within the last 30 s — the standard client-retry/duplicate-
+    beacon cleanup. One lag() over a (user_id, event_type) window;
+    per-key state, never global. Emitted: the surviving events'
+    per-user counts + id checksum (pins the exact survivor set)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        us.asc(), F.col("event_id").asc()
+    )
+    kept = (
+        ev.withColumn("_prev", F.lag(us, 1).over(w))
+        .where(
+            F.col("_prev").isNull() | ((us - F.col("_prev")) > _A18_WINDOW_US)
+        )
+    )
+    return kept.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("event_id").alias("id_checksum"),
+    ).select(
+        "user_id", F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("id_checksum").cast("long").alias("id_checksum"),
+    )
+
+
+register("a18_event_debounce", f"""
+WITH lagged AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS delta
+    FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM lagged WHERE delta IS NULL OR delta > {_A18_WINDOW_US}
+GROUP BY user_id
+""")(_q_event_debounce)
+
+
 def _q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (the general form under a6's ROLLUP and
     a10's CUBE) through the raw SQL surface — the star schema is
