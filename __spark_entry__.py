@@ -80,6 +80,7 @@ _PRIORITY = [
     "a17_grouping_sets",
     "m11_video_motion_energy",
     "a18_event_debounce",
+    "x16_feature_hashing",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

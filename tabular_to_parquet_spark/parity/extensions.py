@@ -339,6 +339,39 @@ FROM stacked GROUP BY measure
 """)(_q_measures_unpivot)
 
 
+_X16_DIMS = 16
+
+
+def _q_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization (x16): each token maps to
+    ``md5 % k`` and the doc's sparse feature vector is the count per
+    bucket — the classic fixed-width text featurizer (Weinberger et
+    al. 2009; sklearn HashingVectorizer). Emitted in sparse triplet
+    form (doc_id, dim, n) so the gate checks every non-zero entry.
+    One explode + one hash-agg on (doc, dim) — map-side combined."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(ta.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    from tabular_to_parquet_spark.functions.hashing import md5_i64
+
+    dim = F.pmod(md5_i64(F.col("tok")), F.lit(_X16_DIMS))
+    return (
+        toks.select("doc_id", dim.cast("long").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("n"))
+        .select("doc_id", "dim", F.col("n").cast("long").alias("n"))
+    )
+
+
+register("x16_feature_hashing", f"""
+SELECT doc_id, CAST({_md5i('t')} % {_X16_DIMS} AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)
+GROUP BY 1, 2
+""")(_q_feature_hashing)
+
+
 _X13_V = 50
 
 
