@@ -68,3 +68,31 @@ def test_date_column_infers_date(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.schema.fields[0].dataType == T.DateType()
     assert got.count() == 2
+
+
+def test_fixed_width_slicing_differential(spark, tmp_path):
+    """The driver-side sampling twin must agree with the distributed
+    substring/trim projection on randomized lines (seeded): ragged
+    short lines, all-space fields, values touching field boundaries."""
+    import random
+
+    from tabular_to_parquet_spark.sources.fixed_width import _slice_line
+
+    rng = random.Random(7)
+    fields = fields_from_widths([("a", 4), ("b", 7), ("c", 3), ("d", 9)])
+    chars = "xy9. -"
+    lines = []
+    for _ in range(200):
+        # random total length: shorter, exact, or longer than the spec
+        ln = "".join(rng.choices(chars, k=rng.randint(0, 28)))
+        lines.append(ln)
+    src = tmp_path / "fuzz.txt"
+    src.write_text("\n".join(lines) + "\n")
+
+    got = sorted(
+        tuple(r)
+        for r in read_fixed_width_as_strings(spark, str(src), fields)
+        .toPandas().itertuples(index=False)
+    )
+    expected = sorted(tuple(_slice_line(l, fields)) for l in lines)
+    assert got == expected
