@@ -81,6 +81,7 @@ _PRIORITY = [
     "m11_video_motion_energy",
     "a18_event_debounce",
     "x16_feature_hashing",
+    "a19_resample_ffill",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -2009,6 +2009,70 @@ FROM e JOIN p ON e.user_id = p.user_id AND e.lo < p.hi AND p.lo < e.hi
 """)(_q_interval_overlap)
 
 
+_DAY_US = 86_400_000_000
+
+
+def _q_resample_ffill(spark, sf_dir):
+    """Time-series resample with forward fill (a19): each user's
+    `value` snapshotted at every end-of-day grid point between their
+    first and last event — grid generation is a per-user ``sequence``
+    + explode, the fill is the SAME union+window as-of machinery as a8
+    (one shuffle on the user key, no point-per-observation join blowup).
+    The oracle uses DuckDB's native ASOF JOIN — different algorithm,
+    same rows. Cents exact; simultaneous observations pre-aggregated
+    (max) so 'latest at ts' is well-defined on both engines."""
+    from tabular_to_parquet_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    obs = (
+        ev.select(
+            "user_id", us.alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("cents").alias("cents"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_lo") / _DAY_US),
+                F.floor(F.col("_hi") / _DAY_US),
+            )
+        ).alias("day"),
+    ).select(
+        "user_id", F.col("day").cast("long").alias("day"),
+        ((F.col("day") + 1) * _DAY_US - 1).alias("ts_us"),
+    )
+    out = asof_join(grid, obs, on="ts_us", by="user_id", matched_col="m")
+    return out.select(
+        "user_id", "day", F.col("m.cents").alias("cents")
+    )
+
+
+register("a19_resample_ffill", f"""
+WITH obs AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           MAX(CAST(floor(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY user_id, epoch_us(ts)),
+bounds AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+    FROM events GROUP BY user_id),
+grid AS (
+    SELECT user_id, CAST(d AS BIGINT) AS day,
+           (d + 1) * {_DAY_US} - 1 AS ts_us
+    FROM bounds, LATERAL (SELECT unnest(range(lo // {_DAY_US},
+                                              hi // {_DAY_US} + 1)) AS d))
+SELECT g.user_id, g.day, o.cents
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.ts_us >= o.ts_us
+""")(_q_resample_ffill)
+
+
 _A18_WINDOW_US = 30_000_000  # 30 s
 
 
