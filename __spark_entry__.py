@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tabular_to_parquet_spark.parity import extensions as _extensions  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity import profiling_queries as _profiling_queries  # noqa: F401  (registers)
+from tabular_to_parquet_spark.parity import tpch_queries as _tpch_queries  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity.catalog import CATALOG
 
 
@@ -45,18 +46,17 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Priority order for the capped (~50-row) driver sweep. First: the
 # three queries that ERRORED in CORRECTNESS_r04 (TIMESTAMP_NTZ events
-# parquet — fixed in sources/tables.py the same round, local sweep
-# green since; the driver has never confirmed the fix). Second: the
-# 13 queries NEW this round (no driver row exists at all). Third:
-# every query with no r4 row (the r4 run covered the first 50; these
-# ran green in r3 — if the cap cuts anything, it cuts from this
-# lowest-risk group). The r4-green rest follows in registration order.
+# parquet — fixed in sources/tables.py the same round; local sweep
+# green since). Second: every query that has never had a green
+# driver row (the 29 registered after the r4 cap cut off, then the
+# adapted TPC-H suite new this round). The rest — green in r4 or
+# earlier — follows in registration order.
 _PRIORITY = [
     # errored in r4 (NTZ), fixed — confirm first
     "ev02_event_window_stats_streaming",
     "ev03_sessionize",
     "ev04_sessionize_streaming",
-    # new in round 5 — no prior driver row by construction
+    # no driver row yet (registered after the r4 cap)
     "x12_repetition_stats",
     "pl11_decontamination_hits",
     "d09_semantic_dup_pairs",
@@ -82,6 +82,28 @@ _PRIORITY = [
     "a18_event_debounce",
     "x16_feature_hashing",
     "a19_resample_ffill",
+    # adapted TPC-H suite — new this round, no driver row yet
+    "h02_min_cost_supplier",
+    "h03_shipping_priority",
+    "h04_priority_late_orders",
+    "h05_local_supplier_volume",
+    "h06_forecast_revenue",
+    "h07_bilateral_volume",
+    "h08_market_share",
+    "h09_product_profit",
+    "h10_returned_items",
+    "h11_important_parts",
+    "h12_lateness_priority",
+    "h13_order_count_distribution",
+    "h14_promo_effect",
+    "h15_top_supplier",
+    "h16_brand_supplier_count",
+    "h17_small_qty_revenue",
+    "h18_large_volume_customers",
+    "h19_branch_discount_revenue",
+    "h20_red_part_shippers",
+    "h21_waiting_suppliers",
+    "h22_sales_opportunity",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -267,6 +267,22 @@ def main() -> None:
         pairs = dedup.minhash_pairs(docs, threshold=0.5)
         _noop(dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2))
 
+    # -- adapted TPC-H joins (parity/tpch_queries.py; appended at the
+    # end per the pinned-order rule) ---------------------------------------
+    from tabular_to_parquet_spark.parity import tpch_queries as _tpch  # noqa: F401
+    from tabular_to_parquet_spark.parity.catalog import CATALOG as _CAT
+
+    for _hq in (
+        "h03_shipping_priority",
+        "h05_local_supplier_volume",
+        "h09_product_profit",
+        "h18_large_volume_customers",
+        "h21_waiting_suppliers",
+    ):
+        @timed(_hq)
+        def _(q=_hq):
+            _noop(_CAT[q].spark(spark, SF_DIR))
+
     total = round(sum(timings.values()), 3)
     conv = timings["convert_csv_to_parquet"]
     print(
