@@ -2716,3 +2716,83 @@ FROM (SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
      LATERAL (SELECT unnest(range(0, hb)) AS by)
 GROUP BY doc_id
 """)(_q_mjpeg_decode)
+
+
+# ---------------------------------------------------------------------------
+# lexical retrieval (operators/retrieval.py): BM25 top-k + TF-IDF terms.
+# Rational idf (NO ln — measured 198/2000 last-ulp ln() mismatches
+# between JVM Math.log and DuckDB libm, see retrieval.py docstring),
+# fixed-point micro-unit scores summed as BIGINT.
+
+
+def _q_bm25(spark, sf_dir):
+    from tabular_to_parquet_spark.operators import retrieval
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return retrieval.bm25_topk(docs, queries, k1=1.2, b=0.75, top_k=10)
+
+
+register("x17_bm25_topk", f"""
+WITH tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS_LC}) AS term FROM documents)
+    GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(len({_TOKS_LC}) AS BIGINT) AS dl FROM documents),
+scalars AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+qterms AS (SELECT doc_id AS query_id, term
+           FROM (SELECT doc_id, unnest(list_distinct({_TOKS_LC})) AS term
+                 FROM documents WHERE doc_id % 97 = 0)),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+scored AS (
+    SELECT query_id, tf.doc_id,
+           CAST(SUM(CAST(floor(
+               (n_docs - df + 0.5) / (df + 0.5)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM tf
+    JOIN qterms USING (term)
+    JOIN dfs USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN scalars
+    GROUP BY query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+""")(_q_bm25)
+
+
+def _q_tfidf(spark, sf_dir):
+    from tabular_to_parquet_spark.operators import retrieval
+
+    return retrieval.tfidf_top_terms(_docs(spark, sf_dir), top_t=3)
+
+
+register("x18_tfidf_top_terms", f"""
+WITH tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS_LC}) AS term FROM documents)
+    GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+weighted AS (
+    SELECT doc_id, term,
+           CAST(floor(tf * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df)
+                      * 1000000.0) AS BIGINT) AS weight_micro
+    FROM tf JOIN dfs USING (term)
+)
+SELECT doc_id, term, weight_micro, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY weight_micro DESC, term) AS rank
+      FROM weighted)
+WHERE rank <= 3
+""")(_q_tfidf)
