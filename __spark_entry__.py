@@ -104,9 +104,12 @@ _PRIORITY = [
     "h20_red_part_shippers",
     "h21_waiting_suppliers",
     "h22_sales_opportunity",
-    # lexical retrieval — new this round
+    # lexical retrieval, merge, cohort, stream-stream join — new this round
     "x17_bm25_topk",
     "x18_tfidf_top_terms",
+    "pl15_merge_upsert",
+    "a20_cohort_retention",
+    "st4_stream_click_purchase_join",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -663,3 +663,42 @@ def prepare_corpus(
         out = out.where(F.col("lang").isin(*langs))
     out = hash_split(out, id_col, weights)
     return shard_assign(out, id_col, n_shards)
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics, natively over frames (no table-format jar
+    needed in this container — Delta/Iceberg MERGE is exactly this
+    plan plus transactional file replacement):
+
+    - key matched in both → the UPDATE row wins;
+    - key only in target → target row kept;
+    - key only in updates → inserted.
+
+    Implementation: union tagged with a source priority, one window
+    per key taking the lowest tag (update=0 beats target=1).  A single
+    shuffle on the merge key — the same cost MERGE pays anywhere.
+    ``updates`` must carry the target's columns (enforced by
+    ``unionByName``).  Updates must be key-unique (standard MERGE
+    precondition; duplicate update keys would be nondeterministic in
+    any engine — Delta raises there too), which the per-key window
+    makes cheap to assert upstream.
+
+    At 100 TB: if the target is maintained as a bucketed table on the
+    merge key (sources/tables.py:reset_managed_table machinery), the
+    target side of this union arrives pre-partitioned and only the
+    (small) update stream shuffles — the same trick the bucketed
+    fingerprint index proves in dedup_against_bucketed."""
+    cols = target.columns
+    tagged = updates.select(*cols).withColumn("_src", F.lit(0)).unionByName(
+        target.select(*cols).withColumn("_src", F.lit(1))
+    )
+    w = W.partitionBy(*keys).orderBy("_src")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
+    )

@@ -2796,3 +2796,72 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM weighted)
 WHERE rank <= 3
 """)(_q_tfidf)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (a20): cohort = epoch-day of a user's first event;
+# retention cell = distinct users active k days later.  All integer
+# day arithmetic (unix_micros div 86400e6 — the testdata spans one
+# month, so daily grain is the meaningful one; no interval/datediff
+# engine semantics to diverge on).
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Two hash-aggs and one equi-join on user_id: per-user first
+    day (min), then distinct (user, day) pairs joined back and
+    counted per (cohort, offset).  At scale both aggs map-side
+    combine; the join key is the natural user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.expr("unix_micros(ts) div 86400000000").cast("long")
+    user_d = ev.select(F.col("user_id"), d.alias("d")).distinct()
+    first = user_d.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        user_d.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            (F.col("d") - F.col("cohort_day")).cast("long").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+register("a20_cohort_retention", """
+WITH user_d AS (
+    SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+    FROM events
+),
+first AS (SELECT user_id, MIN(d) AS cohort_day FROM user_d GROUP BY user_id)
+SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS days_since,
+       CAST(COUNT(DISTINCT user_d.user_id) AS BIGINT) AS n_users
+FROM user_d JOIN first ON user_d.user_id = first.user_id
+GROUP BY 1, 2
+""")(_q_cohort_retention)
+
+
+# ---------------------------------------------------------------------------
+# st4 — stream-stream attribution join (click → purchase within 30 min)
+
+
+def _q_stream_click_purchase(spark, sf_dir):
+    """REAL stream-stream self-join (two watermarked sides of one file
+    stream, inner join on user + event-time interval, append mode).
+    The oracle is the identical batch join — on static input the
+    drained append stream emits exactly the batch row set."""
+    from tabular_to_parquet_spark.streaming.streams import stream_click_purchase_join
+
+    return stream_click_purchase_join(
+        spark, f"{sf_dir}/events.parquet", query_name="st4_stream"
+    )
+
+
+register("st4_stream_click_purchase_join", """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(floor(epoch(p.ts - c.ts)) AS BIGINT) AS delay_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")(_q_stream_click_purchase)

@@ -564,3 +564,56 @@ def _q_prepare(spark, sf_dir):
     return out.groupBy("split", "shard").agg(
         F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum")
     )
+
+
+# ---------------------------------------------------------------------------
+# pl15 — MERGE INTO semantics (upsert), natively over frames
+
+
+@register(
+    "pl15_merge_upsert",
+    """
+WITH updates AS (
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'I' AS o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 11 = 0
+),
+merged AS (
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def _q_merge_upsert(spark, sf_dir):
+    """MERGE: update every 7th order (status 'U', price +1) and insert
+    shifted copies of every 11th (status 'I').  The per-status
+    aggregate pins all three MERGE branches: updated rows moved, and
+    only they; inserts present; everything else byte-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    updated = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    ).withColumn("o_orderstatus", F.lit("I"))
+    merged = pl.merge_upsert(
+        orders, updated.unionByName(inserts), keys=["o_orderkey"]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )

@@ -374,3 +374,79 @@ def windowed_event_stats(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def click_purchase_join_frame(
+    clicks: DataFrame, purchases: DataFrame, within_minutes: int = 30
+) -> DataFrame:
+    """Attribution join: every (click, purchase) pair for the same
+    user with the purchase in ``(click_ts, click_ts + within]``.
+    Works on static frames AND on watermarked streams (the interval
+    condition is exactly the event-time-bound join Structured
+    Streaming requires to expire state)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    j = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+    )
+    return j.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        ((F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))) / 1_000_000)
+        .cast("long")
+        .alias("delay_sec"),
+    )
+
+
+def stream_click_purchase_join(
+    spark: SparkSession,
+    events_path: str,
+    within_minutes: int = 30,
+    watermark: str = "10 minutes",
+    query_name: str = "click_purchase_join",
+) -> DataFrame:
+    """The attribution join as a REAL stream-stream self-join: one
+    file stream filtered into two watermarked sides, inner-joined on
+    user + event-time interval, drained append-mode into a memory
+    sink.
+
+    Scale shape: stream-stream join state is keyed by user and expired
+    by the watermark + interval bound — state size is (events within
+    the watermark horizon), not the full history.  On a cluster the
+    state store shards by the join key across executors; the same
+    plan runs unchanged against Kafka sources."""
+    from tabular_to_parquet_spark.sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, events_path)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", watermark
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    j = click_purchase_join_frame(clicks, purchases, within_minutes)
+    q = (
+        j.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

@@ -423,3 +423,31 @@ def test_write_training_shards_prunes_partitions(spark, docs, tmp_path):
     expected = {r["doc_id"] for r in pl.shard_assign(docs, "doc_id", 8)
                 .where(F.col("shard") == 2).collect()}
     assert {r["doc_id"] for r in one.collect()} == expected and expected
+
+
+def test_merge_upsert_three_branches(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0), (9, "new", 90.0)], "k long, name string, v double"
+    )
+    out = {r["k"]: (r["name"], r["v"]) for r in pl.merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {
+        1: ("a", 10.0),     # untouched
+        2: ("b2", 22.0),    # update wins
+        3: ("c", 30.0),     # untouched
+        9: ("new", 90.0),   # insert
+    }
+
+
+def test_merge_upsert_single_shuffle(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    updates = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    plan = (
+        pl.merge_upsert(target, updates, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hashpartitioning exchange on the merge key feeds the window
+    assert plan.count("Exchange hashpartitioning") == 1, plan

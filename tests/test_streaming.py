@@ -130,3 +130,30 @@ def test_stream_dedup_ingest_across_micro_batches(spark, tmp_path):
         assert spark.read.parquet(str(tmp_path / "out")).count() == 3
     finally:
         spark.sql("DROP DATABASE IF EXISTS sdi CASCADE")
+
+
+def test_click_purchase_join_interval_bounds(spark):
+    from tabular_to_parquet_spark.streaming.streams import click_purchase_join_frame
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, ts_off_min, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=ts_off_min), user, etype)
+
+    rows = [
+        ev(1, 0, 7, "click"),
+        ev(2, 30, 7, "purchase"),   # exactly +30 min → included
+        ev(3, 31, 7, "purchase"),   # past the bound → excluded
+        ev(4, 0, 7, "purchase"),    # same instant → excluded (strict >)
+        ev(5, 10, 8, "purchase"),   # other user → excluded
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    clicks = events.filter("event_type = 'click'")
+    purchases = events.filter("event_type = 'purchase'")
+    out = click_purchase_join_frame(clicks, purchases, within_minutes=30).collect()
+    assert [(r["click_id"], r["purchase_id"], r["delay_sec"]) for r in out] == [
+        (1, 2, 1800)
+    ]
