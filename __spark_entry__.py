@@ -110,6 +110,9 @@ _PRIORITY = [
     "pl15_merge_upsert",
     "a20_cohort_retention",
     "st4_stream_click_purchase_join",
+    "pr06_value_outliers",
+    "pl16_snapshot_diff",
+    "a21_scd2_intervals",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

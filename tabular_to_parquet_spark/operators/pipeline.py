@@ -702,3 +702,59 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .select(*cols)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots: one full-outer join
+    on the key, classifying every key as ``added`` (new only),
+    ``removed`` (old only), or ``changed`` (present in both with any
+    non-key column differing — null-safe compare).  Unchanged keys are
+    dropped pre-shuffle-output, so the result is |changes|, not
+    |table|.
+
+    Returns the key columns + ``change`` + the new-side row values
+    (null for removed).  One shuffle on the key — and like
+    ``merge_upsert``, a bucketed snapshot layout removes even that.
+    This is the inverse of merge_upsert: ``merge_upsert(old,
+    changes)`` replays the diff."""
+    val_cols = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in val_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in val_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    differs = None
+    for c in val_cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+            *[F.col(f"_n_{c}").alias(c) for c in val_cols],
+        )
+    )

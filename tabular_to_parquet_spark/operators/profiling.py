@@ -132,3 +132,41 @@ def group_percentiles(
         F.count(F.lit(1)).alias("n"), F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"), *aggs
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outliers in two passes over one shuffle key:
+    a grouped aggregate of exact-integer sufficient statistics (sum of
+    cents, sum of squared cents — both BIGINT, order-independent),
+    broadcast back onto the rows, then a pure projection computes
+    ``z = (x - mean) / stddev`` and filters ``|z| > threshold``.
+
+    Cross-engine determinism: mean/var derive from exact integers via
+    single divisions (``sumsq/n - (sum/n)^2``); sqrt is IEEE-correctly
+    rounded on both engines; the z expression is one identical tree.
+    Degenerate groups (stddev = 0) emit nothing.
+
+    At 100 TB the stats aggregate map-side combines to |groups| rows
+    (broadcast-sized for any real group key), so the fact table is
+    scanned twice but never shuffled."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(cents).alias("_sum_c"),
+        F.sum(cents * cents).alias("_sumsq_c"),
+    )
+    mean = F.col("_sum_c").cast("double") / F.col("_n")
+    var = F.col("_sumsq_c").cast("double") / F.col("_n") - mean * mean
+    joined = df.join(F.broadcast(stats), group_cols)
+    z = (cents.cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.select(*group_cols, *[c for c in df.columns if c not in group_cols],
+                      z.alias("z"))
+        .filter(F.sqrt(var) > 0)
+        .filter(F.abs(F.col("z")) > threshold)
+    )

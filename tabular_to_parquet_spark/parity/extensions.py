@@ -2865,3 +2865,46 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND p.ts > c.ts
  AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """)(_q_stream_click_purchase)
+
+
+# ---------------------------------------------------------------------------
+# a21 — SCD2 compressed history build (validity intervals per user)
+
+
+def _q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from an event log: per
+    user, keep only rows where event_type CHANGES (lag compare), then
+    close each surviving row's validity interval with the next
+    survivor's timestamp (lead; NULL = current).  Two windows over the
+    SAME (user_id, ts, event_id) ordering — one shuffle on user_id,
+    the second window reuses the partitioning and sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+register("a21_scd2_intervals", """
+WITH base AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+    FROM events
+),
+ch AS (SELECT user_id, ts, event_id, event_type
+       FROM base WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM ch
+""")(_q_scd2)

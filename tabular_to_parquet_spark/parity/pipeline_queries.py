@@ -617,3 +617,73 @@ def _q_merge_upsert(spark, sf_dir):
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl16 — CDC snapshot diff
+
+
+@register(
+    "pl16_snapshot_diff",
+    """
+WITH new_snap AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'I', o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 11 = 0
+),
+diff AS (
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_custkey IS DISTINCT FROM n.o_custkey
+                  OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                  OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'changed' END AS change
+    FROM orders o FULL OUTER JOIN new_snap n USING (o_orderkey)
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM diff WHERE change IS NOT NULL GROUP BY change
+""",
+)
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC between the orders snapshot and a derived v2 (every 7th
+    updated, every 13th deleted, shifted copies of every 11th added):
+    pipeline.snapshot_diff classifies added/removed/changed in one
+    full-outer join; the aggregate pins each class's row set by key
+    checksum."""
+    orders = load_table(spark, sf_dir, "orders")
+    upd = F.col("o_orderkey") % 7 == 0
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(upd, F.lit("U")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(upd, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+            .withColumn("o_orderstatus", F.lit("I"))
+        )
+    )
+    diff = pl.snapshot_diff(orders, new_snap, keys=["o_orderkey"])
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )

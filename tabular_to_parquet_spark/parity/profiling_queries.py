@@ -204,3 +204,34 @@ def _q_correlation(spark, sf_dir):
         (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
     )
     return s.select("n", "sx", "sy", "sxy", (num / den).alias("pearson_r"))
+
+
+@register(
+    "pr06_value_outliers",
+    """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+stats AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s,
+                 CAST(SUM(cents * cents) AS BIGINT) AS sq
+          FROM c GROUP BY event_type)
+SELECT event_id, event_type,
+       (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt(CAST(sq AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+FROM c JOIN stats USING (event_type)
+WHERE sqrt(CAST(sq AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+  AND abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          / sqrt(CAST(sq AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) > 3.0
+""",
+)
+def _q_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| > 3) from exact-integer
+    sufficient statistics — profiling.zscore_outliers."""
+    ev = load_table(spark, sf_dir, "events")
+    return pr.zscore_outliers(
+        ev, value_col="value", group_cols=["event_type"], threshold=3.0
+    ).select("event_id", "event_type", "z")

@@ -451,3 +451,31 @@ def test_merge_upsert_single_shuffle(spark):
     )
     # one hashpartitioning exchange on the merge key feeds the window
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, name string, v double",
+    )
+    out = {r["k"]: r["change"] for r in pl.snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 unchanged nulls
+    # (null-safe compare), 5 added
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_merge_roundtrip(spark):
+    """merge_upsert(old, changed+added rows of the diff) == new minus
+    removals — the documented inverse property."""
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 11.0), (3, 30.0)], "k long, v double")
+    d = pl.snapshot_diff(old, new, ["k"])
+    changes = d.filter("change != 'removed'").select("k", "v")
+    replayed = pl.merge_upsert(old, changes, ["k"])
+    assert {(r["k"], r["v"]) for r in replayed.collect()} == {
+        (1, 11.0), (2, 20.0), (3, 30.0)
+    }

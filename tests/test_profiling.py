@@ -79,3 +79,22 @@ def test_group_percentiles_approx_plan_uses_tdigest(spark):
     )
     assert "approx_percentile" not in exact, exact
     assert "approx_percentile" in approx, approx
+
+
+def test_zscore_outliers_flags_the_planted_point(spark):
+    import tabular_to_parquet_spark.operators.profiling as prof
+
+    rows = [(i, "g", 10.0 + (i % 3) * 0.02) for i in range(50)] + [(99, "g", 500.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = prof.zscore_outliers(df, "value", ["event_type"], threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 3.0
+
+
+def test_zscore_outliers_skips_degenerate_groups(spark):
+    import tabular_to_parquet_spark.operators.profiling as prof
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 5.0)], "event_id long, event_type string, value double"
+    )
+    assert prof.zscore_outliers(df, "value", ["event_type"]).count() == 0
