@@ -113,6 +113,8 @@ _PRIORITY = [
     "pr06_value_outliers",
     "pl16_snapshot_diff",
     "a21_scd2_intervals",
+    "xml1_typed_roundtrip",
+    "a22_recursive_hierarchy",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", help="override the derived output path")
     ap.add_argument(
         "--format",
-        choices=["delimited", "jsonl", "orc", "avro", "fixed-width", "logfmt"],
+        choices=["delimited", "jsonl", "orc", "avro", "fixed-width", "logfmt", "xml"],
         default="delimited",
         help="input wire format (default: delimited text with sniffed "
         "delimiter); every format runs the same inference + lenient-cast "
@@ -167,6 +167,14 @@ def _convert_other_format(spark, args, input_path: str, output_path: str) -> int
         names, types, _ = convert_fixed_width_to_parquet(
             spark, input_path, output_path, fields_from_widths(pairs),
             infer_full=args.infer_full_schema,
+        )
+    elif args.format == "xml":
+        from tabular_to_parquet_spark.sources.xml_source import (
+            convert_xml_to_parquet,
+        )
+
+        names, types, _ = convert_xml_to_parquet(
+            spark, input_path, output_path, infer_full=args.infer_full_schema
         )
     else:  # logfmt
         from tabular_to_parquet_spark.sources.logfmt import (

@@ -2908,3 +2908,90 @@ SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
 FROM ch
 """)(_q_scd2)
+
+
+# ---------------------------------------------------------------------------
+# XML1 — native XML source through the full conversion pipeline
+
+
+def _q_xml_conversion(spark, sf_dir):
+    """XML rendering of orders (child elements per field) → Spark 4
+    native XML scan (all-string schema) → shared inference + casts →
+    typed parquet. Oracle reads the original table — a fifth wire
+    format through the one format-agnostic pipeline."""
+    import glob
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.xml_source import convert_xml_to_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    rec = F.concat(
+        F.lit("<row><id>"), F.col("o_orderkey").cast("string"),
+        F.lit("</id><cust>"), F.col("o_custkey").cast("string"),
+        F.lit("</cust><status>"), F.col("o_orderstatus"),
+        F.lit("</status><price>"), F.format_string("%.2f", F.col("o_totalprice")),
+        F.lit("</price><date>"), F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+        F.lit("</date><priority>"), F.col("o_orderpriority"),
+        F.lit("</priority></row>"),
+    )
+    tmp = tempfile.mkdtemp(prefix="xml1_")
+    txt_dir = os.path.join(tmp, "txt")
+    orders.sort("o_orderkey").select(rec.alias("value")).coalesce(1).write.text(txt_dir)
+    part = glob.glob(os.path.join(txt_dir, "part-*.txt"))[0]
+    xml_file = os.path.join(tmp, "orders.xml")
+    with open(xml_file, "w", encoding="utf-8") as out_fh:
+        out_fh.write("<rows>\n")
+        with open(part, encoding="utf-8") as in_fh:
+            for line in in_fh:
+                out_fh.write(line)
+        out_fh.write("</rows>\n")
+    out = os.path.join(tmp, "xml.parquet")
+    convert_xml_to_parquet(spark, xml_file, out, row_tag="row")
+    return spark.read.parquet(out).withColumn(
+        "date", F.col("date").cast("timestamp")
+    )
+
+
+register("xml1_typed_roundtrip", """
+SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       o_orderdate AS date,
+       o_orderpriority AS priority
+FROM orders
+""")(_q_xml_conversion)
+
+
+# ---------------------------------------------------------------------------
+# a22 — recursive CTE (Spark 4 native WITH RECURSIVE vs DuckDB's):
+# the d10/d11 cluster family implements iteration manually (bounded
+# hops / fixpoint loop); this row drives the ENGINE's own recursion.
+
+_A22_SQL = """
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS node, CAST(0 AS BIGINT) AS depth
+    FROM customer WHERE c_custkey = 1
+    UNION ALL
+    SELECT c.c_custkey, chain.depth + 1
+    FROM customer c JOIN chain ON c.c_custkey = chain.node * 2
+                                OR c.c_custkey = chain.node * 2 + 1
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_checksum
+FROM chain GROUP BY depth
+"""
+
+
+def _q_recursive_chain(spark, sf_dir):
+    """Transitive closure of a synthetic binary-tree hierarchy over
+    customers (children of k are 2k and 2k+1) by NATIVE recursive CTE
+    — the identical SQL text runs on both engines over the shared
+    views. Spark plans each recursion level as a join against the
+    prior level's result (UnionLoop); depth is bounded by log2(|customer|)."""
+    from tabular_to_parquet_spark.sources.tables import create_views
+
+    create_views(spark, sf_dir, ("customer",))
+    return spark.sql(_A22_SQL)
+
+
+register("a22_recursive_hierarchy", _A22_SQL)(_q_recursive_chain)
