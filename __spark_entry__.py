@@ -115,6 +115,9 @@ _PRIORITY = [
     "a21_scd2_intervals",
     "xml1_typed_roundtrip",
     "a22_recursive_hierarchy",
+    "g01_pagerank_copurchase",
+    "x19_copurchase_top_pairs",
+    "pr07_quality_expectations",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -267,6 +267,16 @@ def main() -> None:
         pairs = dedup.minhash_pairs(docs, threshold=0.5)
         _noop(dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2))
 
+    # -- lexical retrieval: BM25 over the full corpus ----------------------
+    @timed("bm25_topk")
+    def _():
+        from tabular_to_parquet_spark.operators import retrieval
+
+        qs = docs.filter(F.expr("doc_id % 97 = 0")).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        _noop(retrieval.bm25_topk(docs, qs, top_k=10))
+
     # -- adapted TPC-H joins (parity/tpch_queries.py; appended at the
     # end per the pinned-order rule) ---------------------------------------
     from tabular_to_parquet_spark.parity import tpch_queries as _tpch  # noqa: F401

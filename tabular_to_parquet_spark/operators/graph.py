@@ -1,0 +1,98 @@
+"""Graph operators over edge frames: integer fixed-point PageRank.
+
+Extension surface (the reference has no joins at all, SURVEY.md §2.8
+— graphs are strictly beyond it); complements the dup-cluster family
+(`operators/dedup.py:dup_clusters`) which covers connected
+components.
+
+Cross-engine determinism: textbook PageRank is float — per-node sums
+of ``0.85 * rank/deg`` contributions whose addition order varies with
+partitioning.  Here every iteration stays in scaled integers::
+
+    rank_0    = SCALE                       (per node)
+    contrib   = rank_i // outdeg            (integer division)
+    rank_i+1  = (15 * SCALE) // 100 + (85 * sum(contrib)) // 100
+
+Integer sums are order-independent, so any partitioning, any engine,
+any iteration count gives bit-identical ranks.  Dangling nodes (no
+out-edges) leak their mass — the standard simplification, identical
+on both engines.
+
+Scale shape: one shuffle per iteration (the contribution aggregation
+keyed by dst).  Edges are re-used across iterations — on a cluster,
+persist or bucket the edge table by ``src`` so each iteration's join
+co-locates; ranks are |V|-sized, typically broadcastable after the
+first aggregation.  Iteration count is fixed (plan-unrolled): the
+whole computation is ONE Catalyst plan with no driver round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for ranks
+PR_SCALE = 1_000_000
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point PageRank after ``n_iter`` unrolled
+    iterations.  ``edges`` is a distinct (src, dst) frame; the node
+    set is the union of endpoints.  Returns (node, rank) with rank in
+    SCALE-units."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    base = (15 * PR_SCALE) // 100
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(outdeg, src)
+            .select(
+                F.col(dst).alias("node"),
+                # `div` = true integer division on both engines (`//` in
+                # DuckDB); a float division + cast would diverge (Spark
+                # truncates, DuckDB rounds)
+                F.expr("rank div outdeg").cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame, max_lines_per_order: int = 20) -> DataFrame:
+    """Distinct co-purchase part pairs (both directions) from orders:
+    a self-join on the order key, bounded per order by the line count
+    (the standard market-basket edge build — quadratic only in the
+    per-order basket size, never across orders)."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

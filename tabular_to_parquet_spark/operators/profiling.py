@@ -170,3 +170,26 @@ def zscore_outliers(
         .filter(F.sqrt(var) > 0)
         .filter(F.abs(F.col("z")) > threshold)
     )
+
+
+def expectation_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Data-quality expectations in ONE pass: each check is a boolean
+    Column (True = row passes); the report is one conditional-sum
+    aggregate per check in a single scan, unpivoted to
+    (check, n_violations, n_rows) rows.
+
+    At 100 TB this is exactly one map-side-combined aggregate over the
+    table — adding a check adds a column to the agg, not a pass.
+    Cross-table checks (FK integrity) don't fit a single-pass scan;
+    compose them with a LEFT ANTI join count unioned onto this report
+    (see the pr07 query)."""
+    agg_cols = [
+        F.sum(F.when(~pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in checks.items()
+    ]
+    row = df.agg(F.count(F.lit(1)).cast("long").alias("_n"), *agg_cols)
+    names = list(checks)
+    stack_expr = "stack({n}, {args}) as (check, n_violations)".format(
+        n=len(names), args=", ".join(f"'{c}', {c}" for c in names)
+    )
+    return row.select(F.expr(stack_expr), F.col("_n").alias("n_rows"))

@@ -2995,3 +2995,81 @@ def _q_recursive_chain(spark, sf_dir):
 
 
 register("a22_recursive_hierarchy", _A22_SQL)(_q_recursive_chain)
+
+
+# ---------------------------------------------------------------------------
+# g01 — integer fixed-point PageRank over the co-purchase graph
+# (operators/graph.py); x19 — co-purchase pair mining
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled-iteration DuckDB twin of graph.pagerank_fixed: every
+    stage is integer arithmetic (`//` ≡ Spark `div`), so any iteration
+    count is bit-exact."""
+    base = (15 * 1_000_000) // 100
+    ctes = ["""edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey
+)""", """nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+)""", """outdeg AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+)""", """r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""c{i} AS (
+    SELECT dst AS node, SUM(rank // outdeg) AS s
+    FROM edges JOIN r{i-1} ON edges.src = r{i-1}.node
+               JOIN outdeg ON edges.src = outdeg.src
+    GROUP BY dst
+)""")
+        ctes.append(f"""r{i} AS (
+    SELECT nodes.node,
+           CAST({base} + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{n_iter}"
+
+
+def _q_pagerank(spark, sf_dir):
+    """3 unrolled PageRank iterations over the part co-purchase graph
+    — ONE Catalyst plan, no driver round-trips; integer fixed-point
+    keeps every iteration bit-exact across engines."""
+    from tabular_to_parquet_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.copurchase_edges(li)
+    return graph.pagerank_fixed(edges, n_iter=3)
+
+
+register("g01_pagerank_copurchase", _pagerank_oracle(3))(_q_pagerank)
+
+
+def _q_copurchase_top(spark, sf_dir):
+    """Market-basket mining: the 20 part pairs co-purchased in the
+    most orders (canonical src<dst orientation halves the pair space;
+    TakeOrderedAndProject, unique pair tiebreak)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .select("ok", "p_a", "p_b")
+        .distinct()
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p_a", "p_b")
+        .limit(20)
+    )
+
+
+register("x19_copurchase_top_pairs", """
+SELECT p_a, p_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS p_a, b.l_partkey AS p_b
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey)
+GROUP BY p_a, p_b
+ORDER BY n_orders DESC, p_a, p_b
+LIMIT 20
+""")(_q_copurchase_top)

@@ -235,3 +235,69 @@ def _q_outliers(spark, sf_dir):
     return pr.zscore_outliers(
         ev, value_col="value", group_cols=["event_type"], threshold=3.0
     ).select("event_id", "event_type", "z")
+
+
+@register(
+    "pr07_quality_expectations",
+    """
+WITH single AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_price,
+           CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('F','O','P')) THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_status,
+           CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                              AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+    FROM orders
+),
+dup AS (
+    SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n FROM orders
+),
+fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT 'totalprice_nonneg' AS check, v_price AS n_violations, n_rows FROM single
+UNION ALL
+SELECT 'status_domain', v_status, n_rows FROM single
+UNION ALL
+SELECT 'orderdate_range', v_date, n_rows FROM single
+UNION ALL
+SELECT 'orderkey_unique', v, n FROM dup
+UNION ALL
+SELECT 'custkey_fk', v, n FROM fk
+""",
+)
+def _q_quality_expectations(spark, sf_dir):
+    """Expectation audit of orders: three single-pass predicate checks
+    (profiling.expectation_report — one aggregate, one scan), plus a
+    uniqueness check and an FK-integrity anti-join, unioned into one
+    report."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    report = pr.expectation_report(
+        orders,
+        {
+            "totalprice_nonneg": F.col("o_totalprice") >= 0,
+            "status_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+            "orderdate_range": (
+                (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2005-01-01").cast("timestamp"))
+            ),
+        },
+    )
+    n = orders.count()
+    dup = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_violations")
+    ).select(F.lit("orderkey_unique").alias("check"), "n_violations",
+             F.lit(n).cast("long").alias("n_rows"))
+    fk = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("custkey_fk").alias("check"), "n_violations",
+                F.lit(n).cast("long").alias("n_rows"))
+    )
+    return report.unionByName(dup).unionByName(fk)

@@ -98,3 +98,23 @@ def test_zscore_outliers_skips_degenerate_groups(spark):
         [(1, "g", 5.0), (2, "g", 5.0)], "event_id long, event_type string, value double"
     )
     assert prof.zscore_outliers(df, "value", ["event_type"]).count() == 0
+
+
+def test_expectation_report_single_pass_counts(spark):
+    import tabular_to_parquet_spark.operators.profiling as prof
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 100.0)], "k long, v double"
+    )
+    out = {r["check"]: (r["n_violations"], r["n_rows"]) for r in prof.expectation_report(
+        df,
+        {
+            "v_nonneg": F.col("v") >= 0,          # -1 fails; NULL pred → no count
+            "v_present": F.col("v").isNotNull(),  # one null
+        },
+    ).collect()}
+    assert out["v_present"] == (1, 4)
+    # NULL predicate rows are not violations (SQL three-valued when):
+    # only the -1 row counts
+    assert out["v_nonneg"] == (1, 4)
