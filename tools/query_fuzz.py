@@ -1,0 +1,186 @@
+"""Differential QUERY fuzzing: seeded random SQL over the star schema,
+the SAME text executed by Spark SQL (through the engine's views) and
+DuckDB, results compared exactly (row count, columns, values).
+
+This is the sqllogictest idea applied cross-engine: the fixed parity
+catalog pins 140+ curated queries; the fuzzer samples the long tail
+of filter/join/group/having combinations around them.  The grammar
+stays inside the deterministic Spark∩DuckDB intersection:
+
+- aggregates over exact integers only (COUNT, SUM/MIN/MAX of BIGINT
+  expressions, COUNT(DISTINCT intcol)) — order-independent;
+- money enters as per-row integer cents (floor(x*100));
+- predicates on integers, low-cardinality strings, and TIMESTAMP
+  literals;
+- every query ends ORDER BY ALL via the caller's wrapper.
+
+Usage: python tools/query_fuzz.py [n_queries] [sf_dir] [seed0]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (table, [(col, kind)], joins: {dim: (fk, pk)})
+META = {
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "money": ["o_totalprice"],
+        "lowcard": {
+            "o_orderstatus": ["F", "O", "P"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                "4-NOT SPECIFIED", "5-LOW"],
+        },
+        "ts": [("o_orderdate", 1995, 2001)],
+        "joins": {"customer": ("o_custkey", "c_custkey")},
+    },
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "money": ["l_extendedprice", "l_quantity"],
+        "lowcard": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["F", "O"],
+        },
+        "ts": [("l_shipdate", 1995, 2001)],
+        "joins": {
+            "part": ("l_partkey", "p_partkey"),
+            "supplier": ("l_suppkey", "s_suppkey"),
+            "orders": ("l_orderkey", "o_orderkey"),
+        },
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "money": ["c_acctbal"],
+        "lowcard": {
+            "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                             "HOUSEHOLD", "MACHINERY"],
+        },
+        "ts": [],
+        "joins": {"nation": ("c_nationkey", "n_nationkey")},
+    },
+}
+
+DIM_LOWCARD = {
+    "part": {"p_brand": ["Brand#1", "Brand#2", "Brand#3"],
+             "p_type": ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]},
+    "supplier": {},
+    "orders": {"o_orderstatus": ["F", "O", "P"]},
+    "customer": {"c_mktsegment": ["AUTOMOBILE", "BUILDING"]},
+    "nation": {},
+}
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    fact = rng.choice(list(META))
+    m = META[fact]
+
+    join_sql = ""
+    group_pool = dict(m["lowcard"])
+    if m["joins"] and rng.random() < 0.5:
+        dim = rng.choice(list(m["joins"]))
+        fk, pk = m["joins"][dim]
+        join_sql = f" JOIN {dim} ON {fk} = {pk}"
+        group_pool.update(DIM_LOWCARD.get(dim, {}))
+
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.choice(["int", "str", "ts"] if m["ts"] else ["int", "str"])
+        if kind == "int":
+            col = rng.choice(m["ints"])
+            op = rng.choice([">=", "<", "%"])
+            if op == "%":
+                preds.append(f"{col} % {rng.randint(2, 9)} = {rng.randint(0, 1)}")
+            else:
+                preds.append(f"{col} {op} {rng.randint(1, 5000)}")
+        elif kind == "str":
+            col, vals = rng.choice(list(m["lowcard"].items()))
+            chosen = rng.sample(vals, rng.randint(1, min(2, len(vals))))
+            quoted = ", ".join(f"'{v}'" for v in chosen)
+            preds.append(f"{col} IN ({quoted})")
+        else:
+            col, y0, y1 = rng.choice(m["ts"])
+            y = rng.randint(y0, y1)
+            op = rng.choice([">=", "<"])
+            preds.append(f"{col} {op} TIMESTAMP '{y}-0{rng.randint(1, 9)}-01 00:00:00'")
+    where_sql = (" WHERE " + " AND ".join(preds)) if preds else ""
+
+    n_groups = rng.randint(0, min(2, len(group_pool)))
+    groups = rng.sample(list(group_pool), n_groups)
+
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    money = rng.choice(m["money"])
+    aggs.append(
+        f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT) AS s_cents"
+    )
+    icol = rng.choice(m["ints"])
+    aggs.append(f"CAST(MIN({icol}) AS BIGINT) AS mn")
+    aggs.append(f"CAST(MAX({icol}) AS BIGINT) AS mx")
+    if rng.random() < 0.4:
+        aggs.append(f"CAST(COUNT(DISTINCT {rng.choice(m['ints'])}) AS BIGINT) AS nd")
+
+    sel = ", ".join(groups + aggs)
+    sql = f"SELECT {sel} FROM {fact}{join_sql}{where_sql}"
+    if groups:
+        sql += " GROUP BY " + ", ".join(groups)
+        if rng.random() < 0.3:
+            sql += " HAVING COUNT(*) > 1"
+    return sql
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str, str]]:
+    """Returns a list of (seed, sql, reason) failures (empty = all match)."""
+    failures = []
+    for seed in range(seed0, seed0 + n_queries):
+        sql = gen_query(seed)
+        try:
+            sp = spark.sql(sql).toPandas()
+            dk = con.sql(sql).df()
+        except Exception as e:  # dialect slip — a fuzz bug, count it
+            failures.append((seed, sql, f"exec error: {e}"))
+            continue
+        sp, dk = _normalize(sp), _normalize(dk)
+        if list(sp.columns) != list(dk.columns):
+            failures.append((seed, sql, f"columns {list(sp.columns)} vs {list(dk.columns)}"))
+        elif len(sp) != len(dk):
+            failures.append((seed, sql, f"rows {len(sp)} vs {len(dk)}"))
+        elif not sp.equals(dk.astype(sp.dtypes.to_dict())):
+            failures.append((seed, sql, "value mismatch"))
+    return failures
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+    from tabular_to_parquet_spark.session import get_spark
+    from tabular_to_parquet_spark.sources.tables import TABLE_NAMES, create_views
+
+    spark = get_spark("query-fuzz")
+    create_views(spark, sf_dir)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = run_fuzz(spark, con, n, seed0)
+    for seed, sql, reason in failures:
+        print(f"FAIL seed={seed}: {reason}\n  {sql}")
+    print(f"{n - len(failures)}/{n} fuzz queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
