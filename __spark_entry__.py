@@ -118,6 +118,9 @@ _PRIORITY = [
     "g01_pagerank_copurchase",
     "x19_copurchase_top_pairs",
     "pr07_quality_expectations",
+    "a23_rolling_1h_features",
+    "x20_variant_props_stats",
+    "pl17_incremental_agg",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -758,3 +758,27 @@ def snapshot_diff(
             *[F.col(f"_n_{c}").alias(c) for c in val_cols],
         )
     )
+
+
+def merge_partial_aggregates(
+    base_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Materialized-aggregate maintenance: combine a stored aggregate
+    with a delta batch's aggregate WITHOUT rescanning the base data.
+    Works for any decomposable aggregate carried as partials (counts,
+    sums, mins/maxes re-expressed as sums here are the count/sum case)
+    — union the partial frames, re-sum per key.
+
+    The 100 TB point: the nightly refresh touches |delta| + |groups|
+    rows, not the corpus.  Cost is one shuffle on the group key over
+    the (tiny) union of two aggregate frames.  Exactness: integer
+    partials sum associatively, so (base ⊎ delta) re-aggregated equals
+    the full recompute bit-for-bit — pinned by the pl17 oracle."""
+    value_cols = [c for c in base_agg.columns if c not in keys]
+    return (
+        base_agg.unionByName(delta_agg.select(*base_agg.columns))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in value_cols])
+    )

@@ -3073,3 +3073,75 @@ GROUP BY p_a, p_b
 ORDER BY n_orders DESC, p_a, p_b
 LIMIT 20
 """)(_q_copurchase_top)
+
+
+# ---------------------------------------------------------------------------
+# a23 — rolling range-frame features (event-time RANGE window, not ROWS)
+
+
+def _q_rolling_range(spark, sf_dir):
+    """Per-user trailing-1-hour activity at every event: a RANGE frame
+    over integer epoch-seconds (count + integer cents sum). ROWS
+    frames (a7) are positional; this is the event-TIME frame —
+    deterministic because the frame bound is a value comparison, not
+    a peer-row ordering."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    base = ev.select(
+        "user_id", "event_id", sec.alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum("cents").over(w).cast("long").alias("cents_1h"),
+    )
+
+
+register("a23_rolling_1h_features", """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")(_q_rolling_range)
+
+
+# ---------------------------------------------------------------------------
+# x20 — VARIANT semi-structured path (Spark 4 parse_json/variant_get
+# vs DuckDB JSON): same extraction as x08's get_json_object, through
+# the open VARIANT type instead of string functions.
+
+
+def _q_variant_props(spark, sf_dir):
+    """props JSON → VARIANT once, typed path extraction, grouped
+    exact-integer stats. VARIANT keeps the parsed tree in a compact
+    binary form — at scale the parse happens once per row, not once
+    per extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+
+register("x20_variant_props_stats", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+""")(_q_variant_props)

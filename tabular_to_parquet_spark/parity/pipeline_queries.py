@@ -687,3 +687,37 @@ def _q_snapshot_diff(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl17 — incremental aggregate maintenance (partial-agg merge)
+
+
+@register(
+    "pl17_incremental_agg",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def _q_incremental_agg(spark, sf_dir):
+    """The stored aggregate (80% of orders) merged with a delta batch
+    (the other 20%) via partial-agg union — the oracle recomputes from
+    scratch; equality proves the maintenance path is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def agg_of(df):
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    base = agg_of(orders.filter(F.col("o_orderkey") % 5 != 0))
+    delta = agg_of(orders.filter(F.col("o_orderkey") % 5 == 0))
+    return pl.merge_partial_aggregates(
+        base, delta, keys=["o_orderstatus", "o_orderpriority"]
+    )
