@@ -450,3 +450,128 @@ def stream_click_purchase_join(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def sessionize_stream_tws(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 240,
+    watermark: str = "10 minutes",
+    query_name: str = "sessionize_tws",
+) -> DataFrame:
+    """Sessionization on Spark 4's ``transformWithStateInPandas`` —
+    the successor API to ``applyInPandasWithState`` (typed state
+    handles, first-class timers, TTL).  Same contract as
+    :func:`sessionize_stream`: closed sessions emit as they close; a
+    session already unreachable behind the watermark emits
+    immediately; otherwise it stays in the ValueState with an
+    event-time timer at its close time.
+
+    DEPLOYMENT GATE: the transformWithState Python worker speaks a
+    protobuf protocol to the JVM state server, so it requires the
+    ``protobuf`` package at runtime — absent in this container (no
+    pip), so there is no ev-series oracle row for this path; the
+    equivalence test skips unless protobuf is importable.  ev04
+    (applyInPandasWithState) remains the oracle-gated stateful
+    sessionizer.
+
+    State-store story at scale: per-user ValueState is O(1) per key,
+    sharded by the grouping key across executors; timers replace the
+    per-batch timeout bookkeeping of the old API."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from tabular_to_parquet_spark.sources.tables import load_events_stream
+
+    gap_us = gap_minutes * 60_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_us long, end_us long, n long, cents long"
+            )
+
+        def _emit(self, user_id, rows):
+            out = pd.DataFrame(
+                rows,
+                columns=["user_id", "start_us", "end_us", "n_events", "value_cents"],
+            )
+            return pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                    "n_events": out["n_events"],
+                    "value_cents": out["value_cents"],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            evs = [pdf[["ts", "value"]] for pdf in rows]
+            emitted = []
+            if evs:
+                ev = pd.concat(evs).sort_values("ts")
+                times = ev["ts"].astype("datetime64[us]").astype("int64").tolist()
+                cents = [math.floor(v * 100) for v in ev["value"]]
+                held = self._sess.get() if self._sess.exists() else None
+                if held is not None:
+                    start, end, n, c = held
+                else:
+                    start = end = None
+                    n = c = 0
+                for t_us, cent in zip(times, cents):
+                    if start is None:
+                        start, end, n, c = t_us, t_us, 1, cent
+                    elif t_us - end > gap_us:
+                        emitted.append((user_id, start, end, n, c))
+                        start, end, n, c = t_us, t_us, 1, cent
+                    else:
+                        end, n, c = t_us, n + 1, c + cent
+                close_ms = end // 1000 + gap_us // 1000
+                wm_ms = timerValues.getCurrentWatermarkInMs()
+                if close_ms < wm_ms:
+                    emitted.append((user_id, start, end, n, c))
+                    self._sess.clear()
+                else:
+                    self._sess.update((start, end, n, c))
+                    self._handle.registerTimer(max(close_ms, wm_ms + 1))
+            if emitted:
+                yield self._emit(user_id, emitted)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self._sess.exists():
+                start, end, n, c = self._sess.get()
+                # fresh activity may have re-armed a later timer; only
+                # flush if this expiry really covers the held session
+                if end // 1000 + gap_us // 1000 <= expiredTimerInfo.getExpiryTimeInMs():
+                    self._sess.clear()
+                    yield self._emit(user_id, [(user_id, start, end, n, c)])
+
+        def close(self) -> None:
+            pass
+
+    stream = load_events_stream(spark, events_path).withWatermark("ts", watermark)
+    sessions = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=_SESSION_OUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

@@ -157,3 +157,19 @@ def test_click_purchase_join_interval_bounds(spark):
     assert [(r["click_id"], r["purchase_id"], r["delay_sec"]) for r in out] == [
         (1, 2, 1800)
     ]
+
+
+def test_sessionize_tws_matches_apply_in_pandas(spark, tmp_path):
+    """transformWithStateInPandas twin == applyInPandasWithState
+    output (requires protobuf for the TWS state protocol — skipped
+    where absent; see streams.sessionize_stream_tws deployment gate)."""
+    pytest.importorskip("google.protobuf")
+    from tabular_to_parquet_spark.streaming.streams import (
+        sessionize_stream,
+        sessionize_stream_tws,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    a = sessionize_stream(spark, path, query_name="tws_ref").collect()
+    b = sessionize_stream_tws(spark, path, query_name="tws_new").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
