@@ -121,6 +121,7 @@ _PRIORITY = [
     "a23_rolling_1h_features",
     "x20_variant_props_stats",
     "pl17_incremental_agg",
+    "st5_stream_dedup_within_watermark",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

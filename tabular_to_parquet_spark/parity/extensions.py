@@ -3145,3 +3145,27 @@ FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type
 """)(_q_variant_props)
+
+
+# ---------------------------------------------------------------------------
+# st5 — built-in streaming dedup under duplicated delivery
+
+
+def _q_stream_dedup_wm(spark, sf_dir):
+    """Every event delivered twice (self-union stream), deduped by the
+    built-in dropDuplicatesWithinWatermark — the oracle is the plain
+    batch projection: exactly one row per event_id survives."""
+    from tabular_to_parquet_spark.streaming.streams import (
+        stream_dedup_within_watermark,
+    )
+
+    return stream_dedup_within_watermark(
+        spark, f"{sf_dir}/events.parquet", query_name="st5_stream"
+    )
+
+
+register("st5_stream_dedup_within_watermark", """
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events
+""")(_q_stream_dedup_wm)

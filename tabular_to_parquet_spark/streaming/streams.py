@@ -575,3 +575,45 @@ def sessionize_stream_tws(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "10 minutes",
+    query_name: str = "dedup_within_wm",
+) -> DataFrame:
+    """Exactly-once-per-key delivery over a DUPLICATED stream using
+    the built-in ``dropDuplicatesWithinWatermark`` operator: the input
+    is the event stream unioned with itself (every record delivered
+    twice — the at-least-once-source shape), and the operator emits
+    each event_id once, holding per-key state only within the
+    watermark horizon.
+
+    This is the engine-native complement to the foreachBatch +
+    bucketed-fingerprint ingest (st2): no user state management, state
+    bounded by (watermark window × key rate), the standard first stage
+    in front of any streaming aggregation fed by an at-least-once
+    source (Kafka with producer retries)."""
+    from tabular_to_parquet_spark.sources.tables import load_events_stream
+
+    s1 = load_events_stream(spark, events_path)
+    s2 = load_events_stream(spark, events_path)
+    dup = s1.unionByName(s2).withWatermark("ts", watermark)
+    deduped = dup.dropDuplicatesWithinWatermark(["event_id"])
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
