@@ -782,3 +782,36 @@ def merge_partial_aggregates(
         .groupBy(*keys)
         .agg(*[F.sum(c).cast("long").alias(c) for c in value_cols])
     )
+
+
+def compact_parquet_dir(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction for streaming sinks: rewrite a parquet
+    directory into ~``target_file_mb`` files, preserving rows exactly.
+
+    Streaming ingest (st1/st2) emits one file per micro-batch; at
+    100 TB/day that is thousands of KB-sized files whose footer/open
+    costs dominate later scans.  File count = ceil(total_bytes /
+    target) from the source directory's actual size — a metadata-only
+    estimate (no data pass); the rewrite itself is one shuffle-free
+    coalesce.  Returns the file count used.  The swap into place is
+    left to the caller (rename/retire), where a transactional table
+    format would make it atomic."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(input_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(input_dir)
+    df.coalesce(n_files).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(output_dir)
+    return n_files

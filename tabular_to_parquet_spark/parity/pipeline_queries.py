@@ -721,3 +721,60 @@ def _q_incremental_agg(spark, sf_dir):
     return pl.merge_partial_aggregates(
         base, delta, keys=["o_orderstatus", "o_orderpriority"]
     )
+
+
+# ---------------------------------------------------------------------------
+# pl18 — schema evolution across parquet generations (mergeSchema)
+
+
+@register(
+    "pl18_schema_evolution",
+    """
+WITH unioned AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM unioned GROUP BY o_orderstatus
+""",
+)
+def _q_schema_evolution(spark, sf_dir):
+    """Two parquet generations with drifted schemas — generation 1
+    lacks the price column — read back as ONE table via mergeSchema:
+    missing columns surface as NULLs, the aggregate distinguishes
+    row presence from value presence.  At scale this is the
+    footer-union schema resolution Spark does per file; writers never
+    rewrite old generations."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="pl18_")
+    gen_dir = os.path.join(tmp, "gens")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.parquet(os.path.join(gen_dir, "gen=1"))
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(os.path.join(gen_dir, "gen=2"))
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(gen_dir, "gen=1"), os.path.join(gen_dir, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_totalprice").cast("long").alias("n_with_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )

@@ -479,3 +479,18 @@ def test_snapshot_diff_merge_roundtrip(spark):
     assert {(r["k"], r["v"]) for r in replayed.collect()} == {
         (1, 11.0), (2, 20.0), (3, 30.0)
     }
+
+
+def test_compact_parquet_dir_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "many")
+    # 12 tiny files (streaming-sink shape)
+    spark.range(0, 1200).repartition(12).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 12
+    out = str(tmp_path / "compact")
+    n = pl.compact_parquet_dir(spark, src, out, target_file_mb=128)
+    assert n == 1  # tiny input → one target file
+    assert len(glob.glob(out + "/*.parquet")) == 1
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert a == b
