@@ -123,6 +123,7 @@ _PRIORITY = [
     "pl17_incremental_agg",
     "st5_stream_dedup_within_watermark",
     "pl18_schema_evolution",
+    "ev07_hopping_window_stats",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

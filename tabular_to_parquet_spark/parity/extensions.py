@@ -3169,3 +3169,44 @@ SELECT event_id, user_id, event_type,
        CAST(floor(value * 100) AS BIGINT) AS value_cents
 FROM events
 """)(_q_stream_dedup_wm)
+
+
+# ---------------------------------------------------------------------------
+# ev07 — hopping (sliding) window aggregation: each event lands in
+# window_size/slide overlapping windows.
+
+
+def _q_hopping_windows(spark, sf_dir):
+    """15-minute windows sliding every 5 minutes via the built-in
+    F.window(size, slide) — Spark expands each row into size/slide
+    window instances before the hash-agg (same Expand shape as
+    rollup).  The oracle derives the 3 member window-starts per event
+    arithmetically.  Deterministic: window boundaries are pure epoch
+    integer math; aggregates are counts + integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "value_cents"
+    )
+
+
+register("ev07_hopping_window_stats", """
+SELECT to_timestamp((epoch_us(ts) // 1000000 // 300 - k) * 300)::TIMESTAMP
+           AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events, LATERAL (SELECT unnest(range(0, 3)) AS k)
+WHERE (epoch_us(ts) // 1000000 // 300 - k) * 300 + 900 > epoch_us(ts) // 1000000
+GROUP BY 1, 2
+""")(_q_hopping_windows)
