@@ -267,6 +267,12 @@ def main() -> None:
         pairs = dedup.minhash_pairs(docs, threshold=0.5)
         _noop(dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2))
 
+    # -- fused per-row features (the no-join composition of
+    # text_quality_lang — same outputs, zero shuffles) ----------------------
+    @timed("text_features_fused")
+    def _():
+        _noop(ta.text_features(docs))
+
     # -- lexical retrieval: BM25 over the full corpus ----------------------
     @timed("bm25_topk")
     def _():

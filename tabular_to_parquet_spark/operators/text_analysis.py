@@ -227,6 +227,25 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """quality + lang_id FUSED into one projection: both operator
+    families are per-row expressions, so computing them together is a
+    single scan with ZERO shuffles, where quality(df).join(lang_id(df))
+    scans twice and shuffles both outputs on the id.  Measured at
+    sf0.1: fused wins once the scan parallelizes (0.48 s vs 0.56 s on
+    32 splits; on a single-file single-split scan the join's
+    accidental two-scan parallelism can mask the shuffle cost — a
+    toy-scale artifact, since at corpus scale the scan always has
+    splits and the shuffle is real network IO).  Composition rule for
+    per-row feature extractors: widen the projection, never join."""
+    cols = quality_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in cols.items()],
+        lang_id_col(F.col(text_col)).alias("lang_pred"),
+    )
+
+
 #: winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): char
 #: k-grams of the normalized text, window of w consecutive hashes
 WINNOW_K = 8

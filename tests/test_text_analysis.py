@@ -195,3 +195,16 @@ def test_vocab_coverage_plan_is_take_ordered(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_text_features_fused_equals_join(spark, docs):
+    from tabular_to_parquet_spark.operators import text_analysis as ta
+
+    fused = ta.text_features(docs)
+    joined = ta.quality(docs).join(ta.lang_id(docs), "doc_id")
+    a = sorted(map(tuple, fused.select(*sorted(fused.columns)).collect()))
+    b = sorted(map(tuple, joined.select(*sorted(fused.columns)).collect()))
+    assert a == b
+    # and the fused plan has no Exchange at all
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
