@@ -126,6 +126,13 @@ def gen_query(seed: int) -> str:
     if rng.random() < 0.4:
         aggs.append(f"CAST(COUNT(DISTINCT {rng.choice(m['ints'])}) AS BIGINT) AS nd")
 
+    # CASE-expression aggregate (conditional sum over a low-card flag)
+    if m["lowcard"] and rng.random() < 0.35:
+        ccol, cvals = rng.choice(list(m["lowcard"].items()))
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {ccol} = '{cvals[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS flag_n"
+        )
+
     sel = ", ".join(groups + aggs)
     sql = f"SELECT {sel} FROM {fact}{join_sql}{where_sql}"
     if groups:
@@ -133,6 +140,40 @@ def gen_query(seed: int) -> str:
         if rng.random() < 0.3:
             sql += " HAVING COUNT(*) > 1"
     return sql
+
+
+def gen_window_query(seed: int) -> str:
+    """Window-function variant: top-n per group by integer cents with
+    row_number (unique-key tiebreak), or a running integer sum with a
+    frame — both deterministic in the dialect intersection."""
+    rng = random.Random(seed)
+    # orders/customer only: their first int column is a UNIQUE key, the
+    # tiebreak both engines resolve identically.  lineitem has no unique
+    # key in the synthetic data (even (l_orderkey, l_linenumber) repeats
+    # — measured), so window/limit boundaries there are nondeterministic.
+    fact = rng.choice(["orders", "customer"])
+    m = META[fact]
+    part_col, _vals = rng.choice(list(m["lowcard"].items()))
+    money = rng.choice(m["money"])
+    key = m["ints"][0]
+    cents = f"CAST(floor({money} * 100) AS BIGINT)"
+    if rng.random() < 0.5:
+        n = rng.randint(1, 5)
+        return (
+            f"SELECT {part_col}, k, cents, rn FROM ("
+            f"SELECT {part_col}, {key} AS k, {cents} AS cents, "
+            f"CAST(row_number() OVER (PARTITION BY {part_col} "
+            f"ORDER BY {cents} DESC, {key}) AS BIGINT) AS rn "
+            f"FROM {fact}) t WHERE rn <= {n}"
+        )
+    lim = rng.randint(50, 200)
+    return (
+        f"SELECT {part_col}, k, CAST(SUM(cents) OVER (PARTITION BY {part_col} "
+        f"ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS running FROM ("
+        f"SELECT {part_col}, {key} AS k, {cents} AS cents FROM {fact} "
+        f"ORDER BY k LIMIT {lim}) t"
+    )
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -144,7 +185,7 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
     """Returns a list of (seed, sql, reason) failures (empty = all match)."""
     failures = []
     for seed in range(seed0, seed0 + n_queries):
-        sql = gen_query(seed)
+        sql = gen_window_query(seed) if seed % 3 == 2 else gen_query(seed)
         try:
             sp = spark.sql(sql).toPandas()
             dk = con.sql(sql).df()
