@@ -124,6 +124,7 @@ _PRIORITY = [
     "st5_stream_dedup_within_watermark",
     "pl18_schema_evolution",
     "ev07_hopping_window_stats",
+    "pl19_temperature_mixture",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -815,3 +815,45 @@ def compact_parquet_dir(
         "compression", "zstd"
     ).parquet(output_dir)
     return n_files
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-balanced mixture (τ = 2, i.e. p ∝ f^0.5): the
+    standard multilingual-corpus rebalancing — large sources are
+    downsampled toward sqrt-proportional mass, the smallest source is
+    kept whole.  Fully deterministic and in-plan:
+
+        f_s   = n_s / N                (division of exact counts)
+        g_s   = sqrt(f_s) / f_s        (sqrt is IEEE-exact)
+        r_s   = g_s / max_t(g_t)       (≤ 1; == 1 for the smallest)
+        keep iff md5-bucket(id) < floor(r_s * 10000)
+
+    Every float step is a single correctly-rounded op on exact-int
+    inputs, so the thresholds — and therefore the sampled corpus — are
+    bit-identical across engines and runs.  Cost: one tiny per-source
+    aggregate broadcast back onto a scan-side filter; the corpus never
+    shuffles.  Exponents other than 0.5 need pow(), which is NOT
+    cross-engine bit-stable — the √-temperature is the deterministic
+    point on the curve (and the common choice in practice)."""
+    stats = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("long").alias("_n_s"))
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_n_tot"))
+    g = F.sqrt(F.col("_f")) / F.col("_f")
+    rates = (
+        stats.join(F.broadcast(total))
+        .withColumn("_f", F.col("_n_s").cast("double") / F.col("_n_tot"))
+        .withColumn("_g", g)
+    )
+    gmax = rates.agg(F.max("_g").alias("_gmax"))
+    thr = F.floor((F.col("_g") / F.col("_gmax")) * F.lit(float(BUCKETS))).cast("long")
+    thresholds = rates.join(F.broadcast(gmax)).select(
+        source_col, thr.alias("_thr")
+    )
+    b = _bucket(F.col(id_col), seed)
+    return df.join(F.broadcast(thresholds), source_col).where(b < F.col("_thr")).drop(
+        "_thr"
+    )

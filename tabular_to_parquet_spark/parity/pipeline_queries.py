@@ -778,3 +778,42 @@ def _q_schema_evolution(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl19 — temperature-balanced mixture (τ=2 sqrt rebalancing)
+
+_PL19_ORACLE = f"""
+WITH stats AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+rates AS (
+    SELECT source,
+           sqrt(CAST(n_s AS DOUBLE) / n_tot) / (CAST(n_s AS DOUBLE) / n_tot) AS g
+    FROM stats CROSS JOIN total
+),
+thr AS (
+    SELECT source,
+           CAST(floor((g / (SELECT MAX(g) FROM rates)) * 10000.0) AS BIGINT) AS t
+    FROM rates
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents JOIN thr USING (source)
+WHERE {pl._bucket_sql("doc_id", "tmix")} < t
+GROUP BY source
+"""
+
+
+@register("pl19_temperature_mixture", _PL19_ORACLE)
+def _q_temperature_mixture(spark, sf_dir):
+    """√-temperature corpus rebalancing over the documents sources:
+    pipeline.temperature_mixture; the aggregate pins exactly which
+    rows each per-source threshold keeps."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = pl.temperature_mixture(docs, "source", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
