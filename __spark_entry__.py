@@ -125,6 +125,8 @@ _PRIORITY = [
     "pl18_schema_evolution",
     "ev07_hopping_window_stats",
     "pl19_temperature_mixture",
+    "pl20_budget_selection",
+    "x21_termfreq_udtf",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

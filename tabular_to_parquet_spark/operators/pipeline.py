@@ -857,3 +857,31 @@ def temperature_mixture(
     return df.join(F.broadcast(thresholds), source_col).where(b < F.col("_thr")).drop(
         "_thr"
     )
+
+
+def budget_selection(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Select documents under a per-shard token budget, greedily in a
+    deterministic preference order (best-first): a partitioned window
+    cumsum over ``order_cols`` keeps every doc whose RUNNING total —
+    including itself — fits the budget.
+
+    This is the standard "fill the training run" selection.  Like
+    pack_sequences, the window is per-shard: the global variant would
+    single-reduce at scale, so callers pre-shard (hash_split /
+    shard_assignment) and budget per shard.  Integer token cumsum →
+    identical row set on any engine."""
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    return df.withColumn("_running", running).filter(
+        F.col("_running") <= budget
+    ).drop("_running")

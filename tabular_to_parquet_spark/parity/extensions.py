@@ -3210,3 +3210,51 @@ FROM events, LATERAL (SELECT unnest(range(0, 3)) AS k)
 WHERE (epoch_us(ts) // 1000000 // 300 - k) * 300 + 900 > epoch_us(ts) // 1000000
 GROUP BY 1, 2
 """)(_q_hopping_windows)
+
+
+# ---------------------------------------------------------------------------
+# x21 — Python UDTF (Spark 4 user-defined TABLE function, LATERAL)
+
+
+def _q_termfreq_udtf(spark, sf_dir):
+    """Per-document term frequencies via a registered Python UDTF
+    driven from SQL with LATERAL — the API-surface demo for
+    user-defined table functions (multi-row output per input row;
+    row-at-a-time Python, so the SCALE path for this job remains the
+    explode + hash-agg in retrieval.corpus_term_stats)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    ws_split = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @udtf(returnType="term string, tf int")
+    class TermFreq:
+        def eval(self, text: str):
+            if text is None:
+                return
+            counts: dict[str, int] = {}
+            for t in ws_split.split(text.strip(" \t\n\x0b\f\r")):
+                if t:
+                    t = t.lower()
+                    counts[t] = counts.get(t, 0) + 1
+            for term in sorted(counts):
+                yield term, counts[term]
+
+    spark.udtf.register("term_freq", TermFreq)
+    from tabular_to_parquet_spark.sources.tables import create_views
+
+    create_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT doc_id, s.term, s.tf FROM documents, LATERAL term_freq(text) s"
+    ).select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
+
+
+register("x21_termfreq_udtf", """
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+FROM (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                x -> x != '')) AS term
+      FROM documents)
+GROUP BY doc_id, term
+""")(_q_termfreq_udtf)

@@ -817,3 +817,56 @@ def _q_temperature_mixture(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl20 — per-shard token-budget selection (greedy best-first)
+
+
+@register(
+    "pl20_budget_selection",
+    f"""
+WITH feat AS (
+    SELECT doc_id, {pl.shard_sql('doc_id', 4)} AS shard,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
+           n_chars
+    FROM documents
+),
+run AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY n_chars DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+    FROM feat
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM run WHERE running <= 2000 GROUP BY shard
+""",
+)
+def _q_budget_selection(spark, sf_dir):
+    """4 shards, 2000-token budget each, longest-docs-first (n_chars
+    desc, doc_id tiebreak): pipeline.budget_selection; the aggregate
+    pins the exact per-shard selected set."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = pl.shard_assign(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            ta.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+        4,
+    )
+    kept = pl.budget_selection(
+        feat, "n_tokens", budget=2000, shard_col="shard",
+        order_cols=[F.col("n_chars").desc(), "doc_id"],
+    )
+    return kept.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
