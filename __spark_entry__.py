@@ -127,6 +127,7 @@ _PRIORITY = [
     "pl19_temperature_mixture",
     "pl20_budget_selection",
     "x21_termfreq_udtf",
+    "pl21_prepare_training_run",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

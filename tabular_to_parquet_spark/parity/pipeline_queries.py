@@ -870,3 +870,93 @@ def _q_budget_selection(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("tokens_used"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl21 — the capstone composition: prepare a training run end-to-end
+
+
+_PL21_ORACLE = f"""
+WITH corpus AS (SELECT * FROM documents WHERE NOT ({_DECON_EVAL})),
+stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM corpus GROUP BY source),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM corpus),
+rates AS (
+    SELECT source,
+           sqrt(CAST(n_s AS DOUBLE) / n_tot) / (CAST(n_s AS DOUBLE) / n_tot) AS g
+    FROM stats CROSS JOIN total
+),
+thr AS (
+    SELECT source,
+           CAST(floor((g / (SELECT MAX(g) FROM rates)) * 10000.0) AS BIGINT) AS t
+    FROM rates
+),
+mixed AS (
+    SELECT corpus.* FROM corpus JOIN thr USING (source)
+    WHERE {pl._bucket_sql("doc_id", "tmix")} < t
+),
+fp AS (SELECT *, md5({_NORM}) AS fp FROM mixed),
+keep AS (SELECT fp, MIN(doc_id) AS kid FROM fp GROUP BY fp),
+ded AS (SELECT f.* FROM fp f JOIN keep k ON f.doc_id = k.kid),
+h AS (SELECT doc_id, {pl.md5_i64_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest({{shingles}}) AS g FROM ded)),
+ev AS (SELECT DISTINCT {pl.md5_i64_sql('g')} AS gh
+       FROM (SELECT unnest({{shingles}}) AS g
+             FROM documents WHERE {_DECON_EVAL})),
+flagged AS (SELECT DISTINCT h.doc_id FROM h JOIN ev USING (gh)),
+decon AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+feat AS (
+    SELECT doc_id, n_chars, {pl.shard_sql('doc_id', 4)} AS shard,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM decon
+),
+run AS (
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY n_chars DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+    FROM feat
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM run WHERE running <= 2000 GROUP BY shard
+""".replace("{shingles}", _shingles(_TOKS, _DECON_N))
+
+
+@register("pl21_prepare_training_run", _PL21_ORACLE)
+def _q_prepare_training_run(spark, sf_dir):
+    """The whole training-run preparation as ONE Catalyst plan:
+    √-temperature mixture → exact dedup → benchmark decontamination →
+    shard assignment → per-shard token-budget selection → shard
+    stats.  Exchanges: dedup's fingerprint agg/semi-join, the decon
+    hit count (eval grams broadcast), and the per-shard window — the
+    mixture and shard steps fuse into projections/filters around
+    them.  Every stage is the already-oracle-gated operator
+    (pl19/d02/pl11/pl06/pl20); this gate pins their COMPOSITION."""
+    from tabular_to_parquet_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.expr(_DECON_EVAL))
+    corpus = docs.where(~F.expr(_DECON_EVAL))
+    mixed = pl.temperature_mixture(corpus, "source", "doc_id")
+    deduped = dd.dedup_exact(mixed)
+    decon = pl.decontaminate(deduped, eval_df, n=_DECON_N)
+    feat = pl.shard_assign(
+        decon.select(
+            "doc_id",
+            "n_chars",
+            ta.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+        4,
+    )
+    kept = pl.budget_selection(
+        feat, "n_tokens", budget=2000, shard_col="shard",
+        order_cols=[F.col("n_chars").desc(), "doc_id"],
+    )
+    return kept.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
