@@ -82,6 +82,11 @@ _PRIORITY = [
     "a18_event_debounce",
     "x16_feature_hashing",
     "a19_resample_ffill",
+    # never driver-confirmed (absent from every CORRECTNESS round file)
+    "pl09_dedup_against_bucketed",
+    "pl10_dedup_near_against",
+    "st2_stream_dedup_ingest",
+    "x11_bpe_token_counts",
     # adapted TPC-H suite — new this round, no driver row yet
     "h02_min_cost_supplier",
     "h03_shipping_priority",
