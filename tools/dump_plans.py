@@ -88,6 +88,21 @@ def main() -> None:
             spark, sf_dir
         ),
     }
+    # round-5 additions, by catalog name (same entry-point the driver uses)
+    _qs = __import__("__spark_entry__").queries()
+    for qname in (
+        "h03_shipping_priority",
+        "h05_local_supplier_volume",
+        "h21_waiting_suppliers",
+        "x17_bm25_topk",
+        "g01_pagerank_copurchase",
+        "pl15_merge_upsert",
+        "pl16_snapshot_diff",
+        "pl19_temperature_mixture",
+        "pl21_prepare_training_run",
+        "a23_rolling_1h_features",
+    ):
+        plans[qname] = _qs[qname](spark, sf_dir)
     for name, df in plans.items():
         print(f"\n{'=' * 72}\n== {name}\n{'=' * 72}")
         df.explain("formatted")
