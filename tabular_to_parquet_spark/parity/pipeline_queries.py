@@ -929,10 +929,13 @@ def _q_prepare_training_run(spark, sf_dir):
     """The whole training-run preparation as ONE Catalyst plan:
     √-temperature mixture → exact dedup → benchmark decontamination →
     shard assignment → per-shard token-budget selection → shard
-    stats.  Exchanges: dedup's fingerprint agg/semi-join, the decon
-    hit count (eval grams broadcast), and the per-shard window — the
-    mixture and shard steps fuse into projections/filters around
-    them.  Every stage is the already-oracle-gated operator
+    stats.  CORPUS-sized exchanges: dedup's fingerprint agg + id
+    semi-join, the decon per-doc hit count (eval grams broadcast),
+    and the per-shard budget window; every other exchange in the
+    plan is over a per-source/per-term aggregate frame (rows ≈
+    |sources| or |eval terms| — broadcast-cheap at any corpus size).
+    The mixture and shard steps themselves fuse into projections and
+    filters.  Every stage is the already-oracle-gated operator
     (pl19/d02/pl11/pl06/pl20); this gate pins their COMPOSITION."""
     from tabular_to_parquet_spark.operators import dedup as dd
 
