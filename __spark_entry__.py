@@ -133,6 +133,7 @@ _PRIORITY = [
     "pl20_budget_selection",
     "x21_termfreq_udtf",
     "pl21_prepare_training_run",
+    "x22_string_functions",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -3258,3 +3258,43 @@ FROM (SELECT doc_id,
       FROM documents)
 GROUP BY doc_id, term
 """)(_q_termfreq_udtf)
+
+
+# ---------------------------------------------------------------------------
+# x22 — scalar string-function parity (the everyday SQL surface)
+
+
+def _q_string_functions(spark, sf_dir):
+    """One projection exercising the workhorse string functions —
+    levenshtein (integer DP, bit-free), translate, repeat, reverse,
+    lpad, ascii, instr, substring — all JVM-side codegen'd, all with
+    exact DuckDB twins.  Deterministic: every output is an integer or
+    an exact string transform."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.length("c_name").cast("long").alias("name_len"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+        .cast("long")
+        .alias("lev_anchor"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_tr"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("key_pad"),
+        F.ascii(F.col("c_mktsegment")).cast("long").alias("seg_ascii"),
+        F.instr(F.col("c_name"), "0").cast("long").alias("first_zero"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_head"),
+    )
+
+
+register("x22_string_functions", """
+SELECT c_custkey,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev_anchor,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+       reverse(c_mktsegment) AS seg_rev,
+       lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_pad,
+       CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii,
+       CAST(instr(c_name, '0') AS BIGINT) AS first_zero,
+       substring(c_name, 1, 8) AS name_head
+FROM customer
+""")(_q_string_functions)
