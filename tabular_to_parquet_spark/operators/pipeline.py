@@ -885,3 +885,24 @@ def budget_selection(
     return df.withColumn("_running", running).filter(
         F.col("_running") <= budget
     ).drop("_running")
+
+
+def zorder_key(col_a: Column, col_b: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two bucketized dimensions into
+    one clustering key — the layout trick behind multi-dimensional
+    data skipping (Delta OPTIMIZE ZORDER BY): sorting/partitioning by
+    the interleaved key co-locates rows close in BOTH dimensions, so
+    min/max row-group stats prune selective filters on either column.
+
+    Inputs must already be integer bucket indexes in [0, 2^bits).
+    Pure integer bit arithmetic (shifts/masks — identical on any
+    engine), codegen'd, zero shuffle; the expression unrolls to
+    ``bits`` shift-or terms per column."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return key

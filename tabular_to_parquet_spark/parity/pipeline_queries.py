@@ -963,3 +963,58 @@ def _q_prepare_training_run(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("tokens_used"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl22 — Z-order layout clustering
+
+
+def _zorder_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+_PL22_BUCKET_A = "CAST(floor(o_totalprice / 2000.0) AS BIGINT) % 256"
+_PL22_BUCKET_B = "CAST(o_custkey AS BIGINT) % 256"
+
+
+@register(
+    "pl22_zorder_clusters",
+    f"""
+WITH keyed AS (
+    SELECT o_orderkey,
+           {_zorder_sql(f'({_PL22_BUCKET_A})', f'({_PL22_BUCKET_B})')} AS zkey
+    FROM orders
+)
+SELECT CAST(zkey >> 10 AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(zkey) AS BIGINT) AS zmin,
+       CAST(MAX(zkey) AS BIGINT) AS zmax,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM keyed GROUP BY 1
+""",
+)
+def _q_zorder_clusters(spark, sf_dir):
+    """Z-order clustering of orders on (price bucket, customer
+    bucket): pipeline.zorder_key interleaves the two 8-bit dims; the
+    cluster id (zkey >> 10) is the file-assignment a layout-optimizing
+    writer would sort/partition by.  The aggregate pins the exact
+    interleave bit-for-bit (zmin/zmax are what row-group pruning would
+    consult)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = (F.floor(F.col("o_totalprice") / F.lit(2000.0)).cast("long") % 256)
+    b = (F.col("o_custkey").cast("long") % 256)
+    keyed = orders.select(
+        "o_orderkey", pl.zorder_key(a, b, bits=8).alias("zkey")
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 10).cast("long").alias("cluster")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("zkey").cast("long").alias("zmin"),
+        F.max("zkey").cast("long").alias("zmax"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
