@@ -494,3 +494,41 @@ def test_compact_parquet_dir_preserves_rows(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(src).collect())
     b = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_zorder_layout_tightens_file_envelopes(spark, tmp_path):
+    """The pruning claim, measured: writing files in zorder_key order
+    must shrink the per-file (dim_a, dim_b) min/max envelope area —
+    the stats row-group pruning consults — versus writing in single-key
+    order. Each layout: 8 range-partitioned files over the same rows."""
+    import glob
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 37, F.lit(256))).alias("a"),
+        (F.pmod(F.col("id") * 101, F.lit(256))).alias("b"),
+    )
+    zkeyed = df.withColumn("z", pl.zorder_key(F.col("a"), F.col("b")))
+
+    def envelope_area(path_dir):
+        total = 0
+        for f in glob.glob(path_dir + "/*.parquet"):
+            row = duckdb.sql(
+                f"SELECT max(a)-min(a), max(b)-min(b) FROM '{f}'"
+            ).fetchone()
+            total += (row[0] + 1) * (row[1] + 1)
+        return total
+
+    z_dir = str(tmp_path / "bylayout_z")
+    a_dir = str(tmp_path / "bylayout_a")
+    zkeyed.repartitionByRange(8, "z").write.parquet(z_dir)
+    zkeyed.repartitionByRange(8, "id").write.parquet(a_dir)
+
+    z_area, a_area = envelope_area(z_dir), envelope_area(a_dir)
+    # id-order files span the full (256 x 256) square each; z-order
+    # files cover compact sub-quadrants — expect a large gap
+    assert z_area < a_area / 2, (z_area, a_area)
