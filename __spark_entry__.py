@@ -135,6 +135,7 @@ _PRIORITY = [
     "pl21_prepare_training_run",
     "x22_string_functions",
     "pl22_zorder_clusters",
+    "s04_label_centroids",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

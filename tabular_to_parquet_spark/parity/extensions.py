@@ -3298,3 +3298,40 @@ SELECT c_custkey,
        substring(c_name, 1, 8) AS name_head
 FROM customer
 """)(_q_string_functions)
+
+
+# ---------------------------------------------------------------------------
+# s04 — per-label embedding centroids (class prototypes)
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding vectors, flattened to
+    (label, dim, centroid_fixed) scalar rows.  Elementwise float mean
+    would be order-dependent; instead each component is fixed-pointed
+    (floor(v·2^20) — float32→double is exact, one floor) and
+    integer-summed, and the centroid is the integer division by the
+    count (both engines truncate toward zero on negatives — probed:
+    −7 div 2 = −3 = −7 // 2).  posexplode → one hash-agg on
+    (label, dim): 64·|labels| output rows at any corpus size."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long").alias("f"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.expr("sum(f) div count(1)").cast("long").alias("centroid_fixed"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+
+
+register("s04_label_centroids", """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS centroid_fixed,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+GROUP BY label, dim
+""")(_q_label_centroids)
