@@ -136,6 +136,7 @@ _PRIORITY = [
     "x22_string_functions",
     "pl22_zorder_clusters",
     "s04_label_centroids",
+    "s05_nearest_centroid_confusion",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -3335,3 +3335,88 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim,
 FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
 GROUP BY label, dim
 """)(_q_label_centroids)
+
+
+# ---------------------------------------------------------------------------
+# s05 — nearest-centroid classification (prototype eval)
+
+
+def _q_nearest_centroid(spark, sf_dir):
+    """Classify every embedding to its nearest label centroid
+    (squared-L2 in fixed point) and report the confusion matrix —
+    the standard prototype-quality eval for an embedding space.
+
+    Determinism: centroids come from s04's exact integer sums
+    (converted back by one division); per-dimension squared
+    differences are fixed-pointed per element and integer-summed, so
+    the argmin — tie-broken by label — is bit-stable.  Scale shape:
+    the centroid table is 64·|labels| rows (broadcast); the exploded
+    join is linear in corpus·|labels| with one hash-agg on
+    (vec_id, clabel) and a bounded per-vector window."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr(
+            "sum(cast(floor(v * 1048576.0) as long)) div count(1)"
+        ).alias("c_fixed")
+    ).select(
+        "clabel", "dim",
+        (F.col("c_fixed").cast("double") / F.lit(1048576.0)).alias("c"),
+    )
+    d = F.col("v") - F.col("c")
+    term = F.floor(d * d * F.lit(1048576.0)).cast("long")
+    dists = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(term).alias("dist_fixed"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist_fixed", "clabel")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy(
+        F.col("label").cast("long").alias("label"),
+        F.col("clabel").cast("long").alias("assigned"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+
+
+register("s05_nearest_centroid_confusion", """
+WITH ex AS (
+    SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+cent AS (
+    SELECT label AS clabel, dim,
+           CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) // COUNT(*) AS DOUBLE)
+               / 1048576.0 AS c
+    FROM ex GROUP BY label, dim
+),
+dists AS (
+    SELECT vec_id, label, clabel,
+           CAST(SUM(CAST(floor((v - c) * (v - c) * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS dist_fixed
+    FROM ex JOIN cent USING (dim)
+    GROUP BY vec_id, label, clabel
+),
+assigned AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_fixed, clabel) AS rn
+        FROM dists) WHERE rn = 1
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS assigned,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM assigned GROUP BY label, clabel
+""")(_q_nearest_centroid)
