@@ -80,3 +80,36 @@ def test_no_cartesian_product(spark, name):
     # scalar broadcasts are BroadcastNestedLoopJoin over 1-row aggs —
     # a CartesianProduct would mean a real unkeyed cross join
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim(spark):
+    """Runtime bloom-filter join pruning — the 100 TB shuffle-join
+    optimization: a selective dim filter seeds a bloom filter applied
+    on the fact side BEFORE its shuffle.  Defaults gate on a 10 GB
+    application-side scan, so the test lowers the threshold to prove
+    the engine path on toy data (production-size scans trigger it
+    untouched)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            F.col("p_type") == "PROMO"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
