@@ -87,7 +87,17 @@ def gen_query(seed: int) -> str:
     if m["joins"] and rng.random() < 0.5:
         dim = rng.choice(list(m["joins"]))
         fk, pk = m["joins"][dim]
-        join_sql = f" JOIN {dim} ON {fk} = {pk}"
+        # LEFT JOIN sometimes — with a join-side filter folded into the
+        # ON clause so unmatched rows survive (deterministic either way)
+        if rng.random() < 0.3:
+            extra = ""
+            dim_lc = DIM_LOWCARD.get(dim, {})
+            if dim_lc and rng.random() < 0.5:
+                c, vals = rng.choice(list(dim_lc.items()))
+                extra = f" AND {c} = '{vals[0]}'"
+            join_sql = f" LEFT JOIN {dim} ON {fk} = {pk}{extra}"
+        else:
+            join_sql = f" JOIN {dim} ON {fk} = {pk}"
         group_pool.update(DIM_LOWCARD.get(dim, {}))
 
     preds = []
