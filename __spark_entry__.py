@@ -137,6 +137,7 @@ _PRIORITY = [
     "pl22_zorder_clusters",
     "s04_label_centroids",
     "s05_nearest_centroid_confusion",
+    "x23_array_functions",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

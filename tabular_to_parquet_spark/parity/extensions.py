@@ -3420,3 +3420,43 @@ SELECT CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS assigned,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM assigned GROUP BY label, clabel
 """)(_q_nearest_centroid)
+
+
+# ---------------------------------------------------------------------------
+# x23 — array higher-order function parity
+
+
+def _q_array_functions(spark, sf_dir):
+    """Array-function surface in one projection: distinct-sort the
+    doc's token set (binary collation on ASCII — same order both
+    engines), intersect with a fixed probe vocabulary, emit scalars
+    (sizes + a joined prefix).  All codegen'd; arrays never leave the
+    row."""
+    probe = F.array(*[F.lit(w) for w in ("data", "query", "table", "zzz")])
+    toks = ta.tokens(F.lower(F.col("text")))
+    vocab = F.array_sort(F.array_distinct(toks))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(vocab).cast("long").alias("n_distinct"),
+        F.size(F.array_intersect(vocab, probe)).cast("long").alias("n_probe_hits"),
+        F.array_join(F.slice(vocab, 1, 5), "|").alias("head5"),
+        F.element_at(vocab, 1).alias("first_tok"),
+        F.element_at(vocab, -1).alias("last_tok"),
+    )
+
+
+register("x23_array_functions", f"""
+WITH v AS (
+    SELECT doc_id,
+           list_sort(list_distinct({_TOKS_LC})) AS vocab
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(vocab) AS BIGINT) AS n_distinct,
+       CAST(len(list_intersect(vocab, ['data','query','table','zzz'])) AS BIGINT)
+           AS n_probe_hits,
+       array_to_string(vocab[1:5], '|') AS head5,
+       vocab[1] AS first_tok,
+       vocab[-1] AS last_tok
+FROM v
+""")(_q_array_functions)
