@@ -138,6 +138,7 @@ _PRIORITY = [
     "s04_label_centroids",
     "s05_nearest_centroid_confusion",
     "x23_array_functions",
+    "ev08_session_window_dynamic_gap",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

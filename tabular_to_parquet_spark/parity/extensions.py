@@ -3460,3 +3460,67 @@ SELECT doc_id,
        vocab[-1] AS last_tok
 FROM v
 """)(_q_array_functions)
+
+
+# ---------------------------------------------------------------------------
+# ev08 — DYNAMIC-gap session windows (per-event gap expression)
+
+
+def _q_session_window_dynamic(spark, sf_dir):
+    """session_window with a PER-EVENT gap (click/view cool off in 1
+    hour, other events in 4): each event spans [ts, ts+its-gap) and
+    overlapping spans merge.  The oracle replays the merge rule with a
+    running MAX of span ends (a lag of the previous end is NOT enough
+    once gaps vary — an earlier long-gap event can bridge past a
+    recent short-gap one).  Same half-open boundary as ev05 (>=
+    starts a new session)."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("1 hour")
+    ).otherwise(F.lit("4 hours"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+register("ev08_session_window_dynamic_gap", """
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+           epoch_us(ts) AS t_us,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN 3600000000 ELSE 14400000000 END AS gap_us
+    FROM events
+),
+flags AS (
+    SELECT *, CASE WHEN max_prev_end IS NULL OR t_us >= max_prev_end
+                   THEN 1 ELSE 0 END AS is_new
+    FROM (SELECT *,
+                 MAX(t_us + gap_us) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS max_prev_end
+          FROM g)
+),
+tagged AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_no
+    FROM flags
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM tagged GROUP BY user_id, session_no
+""")(_q_session_window_dynamic)
