@@ -1,0 +1,125 @@
+"""Measured scaling curves for the round-5 operators: build a 10×
+replica of the sf0.1 tables (key-shifted copies — PERF input only;
+correctness oracles always run on the real driver testdata), run each
+operator at sf0.1 and at the replica, and print the ratio.
+
+A linear operator should cost ~10× on 10× data (modulo fixed
+overheads); super-linear ratios expose the place a 100 TB run dies.
+The replica is written as MULTI-file parquet so scans parallelize —
+removing the single-row-group floor noted in SCALE.md §9.
+
+Usage: python tools/scale_experiment.py [base_sf_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import dedup, graph, retrieval
+from tabular_to_parquet_spark.operators import pipeline as pl
+from tabular_to_parquet_spark.session import get_spark
+from tabular_to_parquet_spark.sources.tables import load_table
+from tabular_to_parquet_spark.streaming.streams import sessionize_frame
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_replica(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    """Key-shifted unions: orderkey/doc_id/event_id/vec_id shift per
+    copy (dims — customer/supplier/part/nation/region — stay fixed, so
+    every copy's FKs still resolve; each customer simply has 10× the
+    orders, each user 10× the events: the realistic growth mode)."""
+    shifts = {
+        "orders": ("o_orderkey", 10_000_000),
+        "lineitem": ("l_orderkey", 10_000_000),
+        "events": ("event_id", 10_000_000),
+        "documents": ("doc_id", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
+    }
+    for name, (key, off) in shifts.items():
+        base = load_table(spark, base_dir, name)
+        parts = [
+            base.withColumn(key, F.col(key) + F.lit(i * off)) for i in range(copies)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name in ("customer", "supplier", "part", "nation", "region"):
+        load_table(spark, base_dir, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def h(name):
+        return lambda: _noop(qs[name](spark, sf_dir))
+
+    suite = {
+        "dedup_exact": lambda: _noop(dedup.dedup_exact(docs)),
+        "minhash_pairs": lambda: _noop(dedup.minhash_pairs(docs, threshold=0.5)),
+        "bm25_topk": lambda: _noop(
+            retrieval.bm25_topk(
+                docs,
+                docs.filter(F.expr("doc_id % 97 = 0")).select(
+                    F.col("doc_id").alias("query_id"), "text"
+                ),
+            )
+        ),
+        "temperature_mixture": lambda: _noop(
+            pl.temperature_mixture(docs, "source", "doc_id")
+        ),
+        "sessionize": lambda: _noop(sessionize_frame(events, gap_minutes=240)),
+        "pagerank_copurchase": lambda: _noop(
+            graph.pagerank_fixed(graph.copurchase_edges(li), n_iter=3)
+        ),
+        "h05_local_supplier_volume": h("h05_local_supplier_volume"),
+        "h21_waiting_suppliers": h("h21_waiting_suppliers"),
+    }
+    out = {}
+    for name, fn in suite.items():
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            runs.append(time.monotonic() - t0)
+        out[name] = min(runs)
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale-exp")
+    replica = tempfile.mkdtemp(prefix="sfx_replica_")
+    print(f"building {copies}x replica at {replica} ...", file=sys.stderr)
+    build_replica(spark, base, replica, copies)
+    small = run_suite(spark, base)
+    big = run_suite(spark, replica)
+    print(f"{'operator':32s} {'sf0.1':>8s} {f'{copies}x':>8s} {'ratio':>7s}")
+    for name in small:
+        r = big[name] / small[name] if small[name] > 0 else float("inf")
+        print(f"{name:32s} {small[name]:8.2f} {big[name]:8.2f} {r:7.1f}")
+
+
+if __name__ == "__main__":
+    main()
