@@ -173,3 +173,77 @@ def test_sessionize_tws_matches_apply_in_pandas(spark, tmp_path):
     a = sessionize_stream(spark, path, query_name="tws_ref").collect()
     b = sessionize_stream_tws(spark, path, query_name="tws_new").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_watermark_finalization_and_late_merge_semantics(spark, tmp_path):
+    """Watermark semantics pinned as they ACTUALLY are (probed on this
+    engine): the watermark drives append-mode FINALIZATION and state
+    eviction — it is NOT an input-admission filter.  A late row whose
+    window state is still live MERGES into it before the window is
+    emitted; numRowsDroppedByWatermark stays 0.  (Dropping is only
+    guaranteed for state already evicted — the documented 'correct
+    within watermark, best-effort beyond' contract.)  File order =
+    ascending modification time, spaced far apart."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    t_early = dt.datetime(2024, 1, 1, 9, 30, 0)
+    t_new = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t_late = dt.datetime(2024, 1, 1, 9, 0, 0)
+    t_flush = dt.datetime(2024, 1, 1, 18, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        p = os.path.join(d, name)
+        df.coalesce(1).write.parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    base = _time.time() - 50000
+    # batch 0: a 9:30 event opens the 9-10 window; 12:00 events push
+    # the post-batch watermark to 11:55
+    write_file("f1", [(0, t_early, 1, 0.5), (1, t_new, 1, 1.0),
+                      (2, t_new, 2, 2.0)], base)
+    # batch 1: 9:00 arrives 2:55 behind the watermark — state for its
+    # window is still live (eviction uses the PREVIOUS batch's mark),
+    # so it merges; the window then finalizes with BOTH rows
+    write_file("f2", [(9, t_late, 1, 9.0)], base + 15000)
+    # batch 2: pushes the watermark past 13:00 → 12-13 finalizes
+    write_file("f3", [(4, t_flush, 3, 4.0)], base + 30000)
+
+    schema = spark.read.parquet(os.path.join(d, "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_semantics_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    q.stop()
+    got = {r["ws"]: r["n"] for r in spark.table("wm_semantics_test").collect()}
+    assert got[dt.datetime(2024, 1, 1, 9, 0)] == 2, got   # late row MERGED
+    assert got[dt.datetime(2024, 1, 1, 12, 0)] == 2, got  # finalized by f3
+    assert dropped == 0, dropped
