@@ -77,12 +77,16 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     suite = {
         "dedup_exact": lambda: _noop(dedup.dedup_exact(docs)),
         "minhash_pairs": lambda: _noop(dedup.minhash_pairs(docs, threshold=0.5)),
+        # fixed query workload (original-id docs only) — the corpus
+        # scales, the query set must not, or the probe-join hit volume
+        # grows quadratically and the ratio measures workload growth,
+        # not corpus scaling
         "bm25_topk": lambda: _noop(
             retrieval.bm25_topk(
                 docs,
-                docs.filter(F.expr("doc_id % 97 = 0")).select(
-                    F.col("doc_id").alias("query_id"), "text"
-                ),
+                docs.filter(
+                    F.expr("doc_id % 97 = 0 AND doc_id < 10000000")
+                ).select(F.col("doc_id").alias("query_id"), "text"),
             )
         ),
         "temperature_mixture": lambda: _noop(
