@@ -139,6 +139,7 @@ _PRIORITY = [
     "s05_nearest_centroid_confusion",
     "x23_array_functions",
     "ev08_session_window_dynamic_gap",
+    "x24_source_lang_gini",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

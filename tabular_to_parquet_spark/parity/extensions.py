@@ -3524,3 +3524,48 @@ SELECT user_id, min(ts) AS session_start,
        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM tagged GROUP BY user_id, session_no
 """)(_q_session_window_dynamic)
+
+
+# ---------------------------------------------------------------------------
+# x24 — per-source language diversity (Gini impurity, fixed point)
+
+
+def _q_source_lang_gini(spark, sf_dir):
+    """Corpus diversity audit: per-source Gini impurity of the
+    language mix, 1 − Σ pᵢ².  Entropy needs ln (not cross-engine
+    bit-stable — see retrieval.py); Gini is the log-free diversity
+    metric.  Fixed point: each pᵢ² is floored to 1e12-units (one
+    division, one multiply, one floor) and the Σ is an integer sum, so
+    the impurity is bit-identical.  Two tiny hash-aggs (source×lang,
+    then source)."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sl")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    p = F.col("n_sl").cast("double") / F.col("n_s")
+    term = F.floor(p * p * F.lit(1e12)).cast("long")
+    return (
+        counts.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            (F.lit(1_000_000_000_000) - F.sum(term)).cast("long").alias("gini_fixed"),
+        )
+    )
+
+
+register("x24_source_lang_gini", """
+WITH counts AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+    FROM documents GROUP BY source, lang
+),
+totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY source)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(1000000000000 - SUM(CAST(floor(
+           (CAST(n_sl AS DOUBLE) / n_s) * (CAST(n_sl AS DOUBLE) / n_s) * 1e12)
+           AS BIGINT)) AS BIGINT) AS gini_fixed
+FROM counts JOIN totals USING (source)
+GROUP BY source
+""")(_q_source_lang_gini)
