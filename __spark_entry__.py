@@ -140,6 +140,9 @@ _PRIORITY = [
     "x23_array_functions",
     "ev08_session_window_dynamic_gap",
     "x24_source_lang_gini",
+    "d12_edit_distance_pairs",
+    "x25_countmin_heavy_hitters",
+    "a24_event_transitions",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -3569,3 +3569,121 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
 FROM counts JOIN totals USING (source)
 GROUP BY source
 """)(_q_source_lang_gini)
+
+
+# ---------------------------------------------------------------------------
+# d12 — edit-distance (Levenshtein) near-dup pairs, length-blocked
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Levenshtein verifier over length-bucket blocks (dedup.
+    edit_distance_pairs): equi-join on the bucket key, JVM built-in
+    levenshtein on in-bucket candidates only — the verifier stage of a
+    banded dedup pipeline, like d07's jaccard. No reference
+    counterpart; extension surface."""
+    out = dedup.edit_distance_pairs(_docs(spark, sf_dir))
+    return out.select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+
+
+register("d12_edit_distance_pairs", f"""
+WITH pre AS (
+    SELECT doc_id, substr({_NORM}, 1, 80) AS pfx FROM documents
+), blk AS (
+    SELECT doc_id, pfx, CAST(floor(len(pfx) / 8) AS INT) AS blk FROM pre
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 2
+""")(_q_edit_distance_pairs)
+
+
+# ---------------------------------------------------------------------------
+# x25 — count-min sketch heavy-hitter estimates
+
+
+def _q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py): exact vocab counts →
+    4×1024 integer grid → min-over-rows point estimates for the true
+    top-20 tokens. Output (token, n_true, n_est); CMS guarantees
+    n_est >= n_true, equality when no bucket collision. The sketch is
+    O(depth×width) regardless of corpus size and the probe join
+    broadcasts the grid."""
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    counts = sk.token_counts(docs)
+    sketch = sk.cms_build(counts)
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(20)
+    est = sk.cms_estimate(sketch, top.select("token"))
+    return top.join(est, "token").select(
+        "token", F.col("n").alias("n_true"), "n_est"
+    )
+
+
+def _x25_oracle() -> str:
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    frag = sk.cms_sql()
+    b_tok_j = frag["bucket"]("token", "j")
+    return f"""
+WITH counts AS (
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)
+    GROUP BY t
+), grid AS {frag['js']},
+sketch AS (
+    SELECT j, {b_tok_j} AS bucket, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM counts CROSS JOIN grid GROUP BY j, bucket
+), top AS (
+    SELECT token, n FROM (
+        SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM counts) WHERE rank <= 20
+), probe AS (
+    SELECT token, n, j, {b_tok_j} AS bucket FROM top CROSS JOIN grid
+)
+SELECT token, n AS n_true, CAST(MIN(s.cnt) AS BIGINT) AS n_est
+FROM probe p JOIN sketch s USING (j, bucket)
+GROUP BY token, n
+"""
+
+
+register("x25_countmin_heavy_hitters", _x25_oracle())(_q_countmin_heavy_hitters)
+
+
+# ---------------------------------------------------------------------------
+# a24 — event-type transition matrix (first-order Markov counts)
+
+
+def _q_event_transitions(spark, sf_dir):
+    """Per-user event-sequence transition counts: lag(event_type) over
+    (user_id, ts, event_id) — the unique event_id tiebreak makes the
+    lag deterministic under ts collisions. One shuffle on user_id for
+    the window, one bounded hash-agg on the (|types|² ≤ small)
+    transition key; at 100 TB the window partitions by user and never
+    globalizes."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        tagged.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+register("a24_event_transitions", """
+WITH tagged AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""")(_q_event_transitions)

@@ -1,0 +1,77 @@
+"""Count-min sketch (operators/sketches.py): estimate bounds, grid
+size, broadcast probe plan, and the edit-distance blocked join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import sketches as sk
+from tabular_to_parquet_spark.operators.dedup import edit_distance_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "the cat sat on the mat"),
+        (4, "a completely different document about spark"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_cms_estimate_upper_bounds_truth(spark, docs):
+    counts = sk.token_counts(docs)
+    sketch = sk.cms_build(counts)
+    est = sk.cms_estimate(sketch, counts.select("token"))
+    joined = {
+        r["token"]: (r["n"], r["n_est"])
+        for r in counts.join(est, "token").collect()
+    }
+    assert joined  # non-empty
+    for tok, (n, n_est) in joined.items():
+        assert n_est >= n, tok  # CMS never underestimates
+    # 'the' appears 6 times across docs
+    assert joined["the"][0] == 6
+
+
+def test_cms_grid_is_bounded(spark, docs):
+    sketch = sk.cms_build(sk.token_counts(docs), depth=2, width=16)
+    rows = sketch.collect()
+    assert len(rows) <= 2 * 16
+    assert {r["j"] for r in rows} <= {0, 1}
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    # total mass per row j equals total token count
+    per_row = {r["j"]: 0 for r in rows}
+    for r in rows:
+        per_row[r["j"]] += r["cnt"]
+    n_tokens = sum(r["n"] for r in sk.token_counts(docs).collect())
+    assert all(v == n_tokens for v in per_row.values())
+
+
+def test_cms_probe_broadcasts_sketch(spark, docs):
+    counts = sk.token_counts(docs)
+    sketch = sk.cms_build(counts)
+    est = sk.cms_estimate(sketch, counts.select("token"))
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_pairs_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(docs).collect()
+    }
+    # docs 1 and 3 identical (dist 0); 1/2 differ by 6 edits (> max 2)
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) not in pairs
+    # the unrelated doc 4 never pairs (different length bucket or dist)
+    assert not any(4 in p for p in pairs)
+
+
+def test_edit_distance_join_is_equi_not_cross(spark, docs):
+    pairs = edit_distance_pairs(docs)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -186,6 +186,100 @@ def gen_window_query(seed: int) -> str:
     )
 
 
+# Dimension metadata for subquery generation: pk + optional low-card
+# filter columns (unqualified correlation works because TPC-H column
+# names are table-prefixed, hence globally unique).
+DIM_META = {
+    "part": ("p_partkey", {"p_brand": ["Brand#1", "Brand#2", "Brand#3"]}),
+    "supplier": ("s_suppkey", {}),
+    "customer": ("c_custkey", {"c_mktsegment": ["AUTOMOBILE", "BUILDING"]}),
+    "orders": ("o_orderkey", {"o_orderstatus": ["F", "O", "P"]}),
+}
+
+
+def _dim_filter(rng: random.Random, dim: str, pk: str, lowcard: dict) -> str:
+    if lowcard and rng.random() < 0.6:
+        c, vals = rng.choice(list(lowcard.items()))
+        chosen = rng.sample(vals, rng.randint(1, min(2, len(vals))))
+        return f"{c} IN ({', '.join(repr(v) for v in chosen)})"
+    return f"{pk} % {rng.randint(2, 7)} = {rng.randint(0, 1)}"
+
+
+def gen_subquery_query(seed: int) -> str:
+    """Nested-subquery variant: IN / NOT IN-safe EXISTS / scalar-MAX
+    subqueries, all on exact-integer keys (deterministic both engines)."""
+    rng = random.Random(seed)
+    fact = rng.choice(list(META))
+    m = META[fact]
+    kind = rng.choice(["in", "exists", "not_exists", "scalar"])
+
+    if kind == "scalar":
+        # integer scalar subquery bound: key <= (SELECT MAX(pk) ...)
+        dim = rng.choice(list(m["joins"])) if m["joins"] else "customer"
+        fk, pk = m["joins"].get(dim, ("o_custkey", "c_custkey")) if m["joins"] else ("o_custkey", "c_custkey")
+        lc = DIM_META.get(dim, (pk, {}))[1]
+        pred = f"{fk} <= (SELECT MAX({pk}) FROM {dim} WHERE {_dim_filter(rng, dim, pk, lc)})"
+    else:
+        if not m["joins"]:
+            return gen_query(seed)
+        dim = rng.choice(list(m["joins"]))
+        fk, pk = m["joins"][dim]
+        lc = DIM_META.get(dim, (pk, {}))[1]
+        inner_filter = _dim_filter(rng, dim, pk, lc)
+        if kind == "in":
+            pred = f"{fk} IN (SELECT {pk} FROM {dim} WHERE {inner_filter})"
+        else:
+            neg = "NOT " if kind == "not_exists" else ""
+            pred = (f"{neg}EXISTS (SELECT 1 FROM {dim} "
+                    f"WHERE {pk} = {fk} AND {inner_filter})")
+
+    groups = rng.sample(list(m["lowcard"]), rng.randint(0, min(1, len(m["lowcard"]))))
+    money = rng.choice(m["money"])
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT) AS s_cents",
+        f"CAST(MAX({m['ints'][0]}) AS BIGINT) AS mx",
+    ]
+    sql = f"SELECT {', '.join(groups + aggs)} FROM {fact} WHERE {pred}"
+    if groups:
+        sql += " GROUP BY " + ", ".join(groups)
+    return sql
+
+
+def gen_setop_query(seed: int) -> str:
+    """Set-operation variant: two grouped-count branches over the same
+    fact combined with UNION [ALL] / INTERSECT / EXCEPT (all DISTINCT
+    semantics agree across engines; counts are exact BIGINT)."""
+    rng = random.Random(seed)
+    fact = rng.choice([f for f in META if META[f]["lowcard"]])
+    m = META[fact]
+    gcol = rng.choice(list(m["lowcard"]))
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+
+    def branch():
+        icol = rng.choice(m["ints"])
+        k, r = rng.randint(2, 5), rng.randint(0, 1)
+        return (f"SELECT {gcol} AS g, CAST(COUNT(*) AS BIGINT) AS n "
+                f"FROM {fact} WHERE {icol} % {k} = {r} GROUP BY {gcol}")
+
+    return f"SELECT g, n FROM ({branch()} {op} {branch()}) u"
+
+
+def gen_fullouter_query(seed: int) -> str:
+    """FULL OUTER JOIN of two keyed aggregates — exercises outer-join
+    null handling with exact-integer payloads on both engines."""
+    rng = random.Random(seed)
+    k1, r1 = rng.randint(2, 5), rng.randint(0, 1)
+    k2, r2 = rng.randint(2, 5), rng.randint(0, 1)
+    a = (f"SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na, "
+         f"CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sa "
+         f"FROM orders WHERE o_orderkey % {k1} = {r1} GROUP BY o_custkey")
+    b = (f"SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb "
+         f"FROM customer WHERE c_custkey % {k2} = {r2} GROUP BY c_custkey")
+    return (f"SELECT COALESCE(a.k, b.k) AS k, a.na, a.sa, b.nb "
+            f"FROM ({a}) a FULL JOIN ({b}) b ON a.k = b.k")
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -194,8 +288,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str, str]]:
     """Returns a list of (seed, sql, reason) failures (empty = all match)."""
     failures = []
+    gens = [gen_query, gen_query, gen_window_query, gen_subquery_query,
+            gen_setop_query, gen_fullouter_query]
     for seed in range(seed0, seed0 + n_queries):
-        sql = gen_window_query(seed) if seed % 3 == 2 else gen_query(seed)
+        sql = gens[seed % len(gens)](seed)
         try:
             sp = spark.sql(sql).toPandas()
             dk = con.sql(sql).df()
