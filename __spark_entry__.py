@@ -143,6 +143,8 @@ _PRIORITY = [
     "d12_edit_distance_pairs",
     "x25_countmin_heavy_hitters",
     "a24_event_transitions",
+    "pl23_context_target_pairs",
+    "pr08_approx_distinct_users",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -710,6 +710,7 @@ def edit_distance_pairs(
     max_dist: int = 2,
     prefix_len: int = 80,
     bucket_width: int = 8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs whose normalized-text PREFIXES are within ``max_dist``
     Levenshtein edits, blocked by prefix-length bucket.
@@ -728,6 +729,11 @@ def edit_distance_pairs(
     like ``jaccard_pairs``. Spark ≥3.5 also accepts a threshold arg
     (``levenshtein(l, r, k)`` → early-exit at k) — the oracle keeps
     the unbounded form since DuckDB lacks the 3-arg variant.
+
+    ``candidates`` (id_a, id_b) switches to pure verifier mode: the
+    prefixes are joined onto the given pair set (two equi-joins on the
+    id) and the length-bucket self-join is skipped entirely — the
+    100 TB path, fed by minhash_pairs/simhash_pairs.
     """
     from tabular_to_parquet_spark.operators.text_analysis import normalized_text
 
@@ -736,6 +742,18 @@ def edit_distance_pairs(
         F.substring(normalized_text(F.col(text_col)), 1, prefix_len).alias("pfx"),
     ).withColumn("blk", (F.length("pfx") / bucket_width).cast("int"))
     a, b = pre.alias("a"), pre.alias("b")
+    if candidates is not None:
+        return (
+            candidates.select("id_a", "id_b")
+            .join(a, F.col("id_a") == F.col(f"a.{id_col}"))
+            .join(b, F.col("id_b") == F.col(f"b.{id_col}"))
+            .select(
+                "id_a",
+                "id_b",
+                F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") <= max_dist)
+        )
     return (
         a.join(
             b,

@@ -906,3 +906,42 @@ def zorder_key(col_a: Column, col_b: Column, bits: int = 8) -> Column:
             F.shiftleft(bit_b, 2 * i + 1)
         )
     return key
+
+
+def context_target_pairs(
+    df: DataFrame,
+    seq_col: str = "event_type",
+    group_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    context_len: int = 3,
+) -> DataFrame:
+    """Supervised (context, target) example construction from ordered
+    sequences: for each element, the ``context_len`` previous elements
+    in its group become the input and the element itself the label —
+    the classic next-event / next-token training-pair builder.
+
+    ``collect_list`` over a ROWS frame is deterministic (elements
+    arrive in frame order, which is the window sort order; the unique
+    trailing order col breaks ts ties). Rows with short contexts
+    (group starts) are dropped so every example has exactly
+    ``context_len`` inputs.
+
+    Scale: one shuffle on the group key, per-group windows never
+    globalize, output is a projection of the window — the same shape
+    as sequence packing (pl05). At 100 TB, cap group sizes upstream
+    (a runaway user/session would skew the window partition).
+    """
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-context_len, -1)
+    )
+    return (
+        df.select(
+            group_col,
+            *order_cols,
+            F.collect_list(seq_col).over(w).alias("context"),
+            F.col(seq_col).alias("target"),
+        )
+        .filter(F.size("context") == context_len)
+    )

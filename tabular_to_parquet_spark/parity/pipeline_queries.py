@@ -1018,3 +1018,31 @@ def _q_zorder_clusters(spark, sf_dir):
         F.max("zkey").cast("long").alias("zmax"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl23 — (context, target) supervised example construction
+
+
+@register(
+    "pl23_context_target_pairs",
+    """
+WITH pairs AS (
+    SELECT user_id, ts, event_id,
+           list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+           event_type AS target
+    FROM events
+)
+SELECT user_id, ts, event_id, context, target
+FROM pairs WHERE len(context) = 3
+""",
+)
+def _q_context_target(spark, sf_dir):
+    """Next-event training pairs (pipeline.context_target_pairs): the
+    3 previous events per user become the context, the current event
+    the target — collect_list over a deterministic ROWS frame (unique
+    event_id tiebreak), one shuffle on user_id, short contexts
+    dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    return pl.context_target_pairs(ev, context_len=3)

@@ -301,3 +301,26 @@ def _q_quality_expectations(spark, sf_dir):
                 F.lit(n).cast("long").alias("n_rows"))
     )
     return report.unionByName(dup).unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
+# pr08 — HLL approximate distinct counts (no SQL oracle: Spark's
+# HyperLogLog++ and DuckDB's HLL produce different estimates by
+# construction, so the driver records the rows-only check; the
+# ±rsd accuracy contract is test-gated against exact counts in
+# tests/test_sketches.py)
+
+
+@register("pr08_approx_distinct_users", None)
+def _q_approx_distinct(spark, sf_dir):
+    """Per-event-type approximate distinct users via HyperLogLog++
+    (approx_count_distinct, rsd=0.05 default). The 100 TB point:
+    exact COUNT(DISTINCT) shuffles every (event_type, user_id) pair;
+    the HLL sketch is a fixed few-KB register set per group, merged
+    map-side — the only shuffle payload is the sketch itself. Rows
+    are deterministic per Spark version (HLL++ is deterministic on
+    identical input, there is just no cross-engine twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("nd_users_approx")
+    )

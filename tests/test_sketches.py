@@ -75,3 +75,28 @@ def test_edit_distance_join_is_equi_not_cross(spark, docs):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_verifier_mode(spark, docs):
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(docs, candidates=cands).collect()
+    }
+    assert out == {(1, 3): 0}  # (1,2) is 6 edits away, filtered
+
+
+def test_hll_approx_distinct_within_rsd(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        rel = abs(r["approx"] - r["exact"]) / max(r["exact"], 1)
+        assert rel < 0.10, (r["event_type"], r["approx"], r["exact"])
