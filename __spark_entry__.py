@@ -145,6 +145,8 @@ _PRIORITY = [
     "a24_event_transitions",
     "pl23_context_target_pairs",
     "pr08_approx_distinct_users",
+    "st6_stream_static_enrich",
+    "x26_bigram_lm_counts",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

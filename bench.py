@@ -283,6 +283,21 @@ def main() -> None:
         )
         _noop(retrieval.bm25_topk(docs, qs, top_k=10))
 
+    @timed("cms_heavy_hitters")
+    def _():
+        from tabular_to_parquet_spark.operators import sketches as sk
+
+        counts = sk.token_counts(docs)
+        sketch = sk.cms_build(counts)
+        top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(20)
+        _noop(top.join(sk.cms_estimate(sketch, top.select("token")), "token"))
+
+    @timed("event_transitions")
+    def _():
+        from tabular_to_parquet_spark.parity.catalog import CATALOG as _C
+
+        _noop(_C["a24_event_transitions"].spark(spark, SF_DIR))
+
     # -- adapted TPC-H joins (parity/tpch_queries.py; appended at the
     # end per the pinned-order rule) ---------------------------------------
     from tabular_to_parquet_spark.parity import tpch_queries as _tpch  # noqa: F401

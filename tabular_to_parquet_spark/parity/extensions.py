@@ -3687,3 +3687,80 @@ SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM tagged WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 """)(_q_event_transitions)
+
+
+# ---------------------------------------------------------------------------
+# st6 — stream-static dimension enrichment
+
+
+def _q_stream_static_enrich(spark, sf_dir):
+    """REAL streaming run of the stream-static enrichment join
+    (streams.stream_static_enrich): events file-stream joined to the
+    static customer dim per micro-batch, complete-mode aggregate into
+    a memory sink. The oracle is the identical batch join+agg — on
+    static input the drained complete-mode table equals the batch
+    result."""
+    from tabular_to_parquet_spark.streaming.streams import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "customer")
+    return stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", dim, query_name="st6_stream"
+    )
+
+
+register("st6_stream_static_enrich", """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""")(_q_stream_static_enrich)
+
+
+# ---------------------------------------------------------------------------
+# x26 — bigram language-model counts
+
+
+def _q_bigram_lm_counts(spark, sf_dir):
+    """Bigram LM table construction (KenLM-style filtering input): all
+    adjacent lowercased token pairs → c(w1,w2), joined with the head
+    marginal c(w1) = Σ_w2 c(w1,w2) so conditional probabilities are a
+    downstream division. Top 30 by (count, w1, w2) — TakeOrdered, no
+    global sort. The bigram explode is linear in corpus tokens; both
+    aggs are map-side-combined hash aggs on short string keys."""
+    toks = _docs(spark, sf_dir).select(
+        ta.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    n = F.size("t")
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    top = c2.orderBy(F.col("n12").desc(), "w1", "w2").limit(30)
+    return top.join(c1, "w1").select("w1", "w2", "n12", "n1")
+
+
+register("x26_bigram_lm_counts", f"""
+WITH toks AS (SELECT {_TOKS_LC} AS t FROM documents),
+big AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+top AS (
+    SELECT w1, w2, n12 FROM (
+        SELECT w1, w2, n12,
+               row_number() OVER (ORDER BY n12 DESC, w1, w2) AS rn
+        FROM c2) WHERE rn <= 30
+)
+SELECT w1, w2, n12, n1 FROM top JOIN c1 USING (w1)
+""")(_q_bigram_lm_counts)

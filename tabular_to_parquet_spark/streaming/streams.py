@@ -617,3 +617,54 @@ def stream_dedup_within_watermark(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def stream_static_enrich_frame(
+    events: DataFrame, dim: DataFrame
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the event stream to a
+    static customer dim on user_id and aggregate exact-cents revenue
+    per (segment, event_type).
+
+    Works on static frames AND streams — the static side of a
+    stream-static join is re-read per micro-batch, never stateful, and
+    Catalyst broadcasts it when small (the standard production
+    enrichment shape: facts stream in, dims stay a table)."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(d, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    query_name: str = "stream_static_enrich",
+) -> DataFrame:
+    """The enrichment as a real streaming query: file micro-batches,
+    complete-mode global agg (no watermark needed — the aggregate is
+    not windowed), drained into a memory sink."""
+    from tabular_to_parquet_spark.sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, events_path)
+    agg = stream_static_enrich_frame(stream, dim)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

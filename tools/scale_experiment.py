@@ -98,6 +98,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         ),
         "h05_local_supplier_volume": h("h05_local_supplier_volume"),
         "h21_waiting_suppliers": h("h21_waiting_suppliers"),
+        # small outputs → the queries() total-order wrapper is free
+        "cms_heavy_hitters": h("x25_countmin_heavy_hitters"),
+        "event_transitions": h("a24_event_transitions"),
+        # big output → call the operator directly (the wrapper's global
+        # orderBy would measure the sort, not the window)
+        "context_target_pairs": lambda: _noop(
+            pl.context_target_pairs(events, context_len=3)
+        ),
     }
     out = {}
     for name, fn in suite.items():
