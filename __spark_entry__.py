@@ -147,6 +147,8 @@ _PRIORITY = [
     "pr08_approx_distinct_users",
     "st6_stream_static_enrich",
     "x26_bigram_lm_counts",
+    "ev09_hopping_window_streaming",
+    "x27_ascii_profile",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

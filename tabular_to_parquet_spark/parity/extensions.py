@@ -3764,3 +3764,69 @@ top AS (
 )
 SELECT w1, w2, n12, n1 FROM top JOIN c1 USING (w1)
 """)(_q_bigram_lm_counts)
+
+
+# ---------------------------------------------------------------------------
+# ev09 — hopping windows under the real streaming engine
+
+
+def _q_hopping_windows_streaming(spark, sf_dir):
+    """Streaming twin of ev07: the same size/slide window agg drained
+    through the micro-batch engine (complete mode, watermarked state).
+    Completes the streaming coverage of window types — tumbling
+    (ev02), session (ev04/ev05), hopping (here). Oracle: identical
+    arithmetic member-window SQL as ev07."""
+    from tabular_to_parquet_spark.streaming.streams import (
+        hopping_window_stats_stream,
+    )
+
+    return hopping_window_stats_stream(
+        spark, f"{sf_dir}/events.parquet", query_name="ev09_stream"
+    )
+
+
+register("ev09_hopping_window_streaming", """
+SELECT to_timestamp((epoch_us(ts) // 1000000 // 300 - k) * 300)::TIMESTAMP
+           AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events, LATERAL (SELECT unnest(range(0, 3)) AS k)
+WHERE (epoch_us(ts) // 1000000 // 300 - k) * 300 + 900 > epoch_us(ts) // 1000000
+GROUP BY 1, 2
+""")(_q_hopping_windows_streaming)
+
+
+# ---------------------------------------------------------------------------
+# x27 — per-source ASCII/charset profile
+
+
+def _q_ascii_profile(spark, sf_dir):
+    """Per-source character-set audit: printable-ASCII vs other chars
+    (corpus intake QA — a spike in non-ASCII for an en source flags
+    encoding damage). Pure projections + one small hash-agg; the
+    ratio is a single division of exact integers, so it is
+    bit-identical cross-engine. The char class '[ -~]' (space..tilde)
+    parses identically in Java regex and RE2."""
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("long")
+    n_other = F.length(F.regexp_replace(F.col("text"), "[ -~]", "")).cast("long")
+    per_doc = docs.select("source", n_chars.alias("nc"), n_other.alias("no"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("no").cast("long").alias("n_non_ascii"),
+        (F.sum("no").cast("double") / F.sum("nc")).alias("non_ascii_ratio"),
+    )
+
+
+register("x27_ascii_profile", """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(regexp_replace(text, '[ -~]', '', 'g'))) AS BIGINT)
+           AS n_non_ascii,
+       (CAST(SUM(len(regexp_replace(text, '[ -~]', '', 'g'))) AS DOUBLE)
+            / SUM(len(text))) AS non_ascii_ratio
+FROM documents GROUP BY source
+""")(_q_ascii_profile)

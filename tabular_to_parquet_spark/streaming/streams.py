@@ -668,3 +668,52 @@ def stream_static_enrich(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def hopping_window_stats_frame(events: DataFrame) -> DataFrame:
+    """15-minute windows sliding every 5 via built-in F.window(size,
+    slide) — works on static frames and watermarked streams alike."""
+    return (
+        events.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def hopping_window_stats_stream(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "10 minutes",
+    query_name: str = "hopping_window_stats",
+) -> DataFrame:
+    """The hopping-window aggregate as a REAL streaming query: each
+    event updates size/slide = 3 window instances of keyed state; the
+    watermark finalizes windows older than (max event time − delay).
+    Complete-mode drain on static input reproduces the batch result
+    exactly (same Expand → hash-agg plan under the micro-batcher)."""
+    from tabular_to_parquet_spark.sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, events_path).withWatermark("ts", watermark)
+    agg = hopping_window_stats_frame(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
