@@ -100,3 +100,44 @@ def test_hll_approx_distinct_within_rsd(spark):
     for r in rows:
         rel = abs(r["approx"] - r["exact"]) / max(r["exact"], 1)
         assert rel < 0.10, (r["event_type"], r["approx"], r["exact"])
+
+
+def test_bigram_topk_plans_takeordered(spark):
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    df = CATALOG["x26_bigram_lm_counts"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_static_enrich_broadcasts_dim(spark):
+    from tabular_to_parquet_spark.sources.tables import load_table
+    from tabular_to_parquet_spark.streaming.streams import (
+        stream_static_enrich_frame,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer")
+    plan = (
+        stream_static_enrich_frame(ev, dim)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_context_target_matches_manual(spark):
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "c"), (1, 40, 4, "d"),
+        (2, 10, 5, "x"), (2, 20, 6, "y"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    from tabular_to_parquet_spark.operators.pipeline import context_target_pairs
+
+    out = {
+        (r["user_id"], r["event_id"]): (r["context"], r["target"])
+        for r in context_target_pairs(ev, context_len=3).collect()
+    }
+    # only user 1's 4th event has a full 3-context
+    assert out == {(1, 4): (["a", "b", "c"], "d")}
