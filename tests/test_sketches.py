@@ -103,6 +103,7 @@ def test_hll_approx_distinct_within_rsd(spark):
 
 
 def test_bigram_topk_plans_takeordered(spark):
+    from tabular_to_parquet_spark.parity import extensions as _ext  # noqa: F401 (registers)
     from tabular_to_parquet_spark.parity.catalog import CATALOG
 
     df = CATALOG["x26_bigram_lm_counts"].spark(spark, "/root/testdata/sf0.001")
