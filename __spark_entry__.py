@@ -149,6 +149,7 @@ _PRIORITY = [
     "x26_bigram_lm_counts",
     "ev09_hopping_window_streaming",
     "x27_ascii_profile",
+    "pl24_negative_samples",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

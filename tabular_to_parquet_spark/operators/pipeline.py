@@ -945,3 +945,41 @@ def context_target_pairs(
         )
         .filter(F.size("context") == context_len)
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 3,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor id, ``k`` pseudo-random partner ids drawn by hashing
+    (anchor, j) into the dense id space [0, N). A draw that hits the
+    anchor itself moves to (id+1) % N, so a negative is never the
+    anchor.
+
+    Requires dense ids 0..N-1 (the standard layout after a
+    row_number re-index). Everything is a projection: N enters the
+    plan as a broadcast one-row aggregate, never a driver round-trip
+    — at 100 TB the only shuffle is the caller's optional join back
+    to features, an equi-join on the sampled id.
+    """
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    anchors = df.select(id_col).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(k)]))
+    )
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit("#"), F.col("j").cast("string")
+    )
+    raw = md5_i64(key, seed=seed) % F.col("_n")
+    return (
+        anchors.crossJoin(F.broadcast(n))
+        .withColumn("_raw", raw)
+        .withColumn(
+            "neg_id",
+            F.when(F.col("_raw") == F.col(id_col), (F.col("_raw") + 1) % F.col("_n"))
+            .otherwise(F.col("_raw")),
+        )
+        .select(id_col, F.col("j").cast("long").alias("j"), "neg_id")
+    )

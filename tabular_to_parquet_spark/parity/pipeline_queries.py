@@ -1046,3 +1046,41 @@ def _q_context_target(spark, sf_dir):
     dropped."""
     ev = load_table(spark, sf_dir, "events")
     return pl.context_target_pairs(ev, context_len=3)
+
+
+# ---------------------------------------------------------------------------
+# pl24 — deterministic negative sampling
+
+
+@register(
+    "pl24_negative_samples",
+    f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM embeddings),
+anchors AS (
+    SELECT vec_id, j FROM embeddings
+    CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+), raw AS (
+    SELECT vec_id, j,
+           ({pl.md5_i64_sql("vec_id || '#' || j", seed='neg')}
+                % (SELECT total FROM n)) AS r
+    FROM anchors
+), negs AS (
+    SELECT vec_id, CAST(j AS BIGINT) AS j,
+           CASE WHEN r = vec_id THEN (r + 1) % (SELECT total FROM n)
+                ELSE r END AS neg_id
+    FROM raw
+)
+SELECT g.vec_id, g.j, g.neg_id, e.label AS neg_label
+FROM negs g JOIN embeddings e ON g.neg_id = e.vec_id
+""",
+)
+def _q_negative_samples(spark, sf_dir):
+    """Contrastive negatives (pipeline.negative_samples): 3 hash-drawn
+    partners per anchor in the dense id space, rejoined to the corpus
+    for the partner's label — the (anchor, negative) pair builder for
+    embedding training. N enters the plan as a broadcast scalar; the
+    only shuffle is the label equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    negs = pl.negative_samples(emb, "vec_id", k=3)
+    labels = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    return negs.join(labels, "neg_id").select("vec_id", "j", "neg_id", "neg_label")
