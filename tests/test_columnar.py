@@ -148,3 +148,37 @@ def test_avro_unsupported_shapes_raise(tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported"):
         read_columnar(spark, "/nonexistent", "xml")
+
+
+def test_python_datasource_avro_roundtrip(spark, tmp_path):
+    """The Spark 4 Python DataSource path (format 'avro_py') decodes
+    the same container the binaryFile+mapInPandas path reads, one
+    InputPartition per file."""
+    import json as _json
+
+    import pandas as pd
+
+    from tabular_to_parquet_spark.sources import avro_python as ap
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        AvroContainerDataSource,
+    )
+
+    pdf = pd.DataFrame({"a": [1, 2, None], "s": ["x", None, "z"]})
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": ["null", "long"]},
+        {"name": "s", "type": ["null", "string"]},
+    ]}
+    fields = ap.parse_record_schema(_json.dumps(schema))
+    d = tmp_path / "avro"
+    d.mkdir()
+    ap.write_container(
+        str(d / "part0.avro"), schema, ap.pandas_to_records(pdf, fields)
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    rows = sorted(
+        spark.read.format("avro_py").load(str(d)).collect(),
+        key=lambda r: (r["a"] is None, r["a"]),
+    )
+    assert [(r["a"], r["s"]) for r in rows] == [
+        (1, "x"), (2, None), (None, "z")
+    ]
