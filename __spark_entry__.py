@@ -150,6 +150,7 @@ _PRIORITY = [
     "ev09_hopping_window_streaming",
     "x27_ascii_profile",
     "pl24_negative_samples",
+    "avro3_python_datasource",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

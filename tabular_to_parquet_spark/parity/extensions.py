@@ -3830,3 +3830,50 @@ SELECT source,
             / SUM(len(text))) AS non_ascii_ratio
 FROM documents GROUP BY source
 """)(_q_ascii_profile)
+
+
+# ---------------------------------------------------------------------------
+# avro3 — the same container through the Spark 4 Python DataSource API
+
+
+def _q_avro_datasource(spark, sf_dir):
+    """Avro OCF read via the official `pyspark.sql.datasource`
+    extension point (sources/datasource_py.py): schema from the first
+    file's header at plan time, one InputPartition per container file,
+    rows decoded in parallel Python workers. Same fixture and oracle
+    as avro1 — proves the DataSource-API path is value-identical to
+    the binaryFile+mapInPandas performance path."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.avro_python import parse_record_schema
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        AvroContainerDataSource,
+    )
+
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                "l_shipdate")
+        .toPandas()
+    )
+    schema = {"type": "record", "name": "lineitem", "fields": [
+        {"name": "l_orderkey", "type": ["null", "long"]},
+        {"name": "l_linenumber", "type": ["null", "int"]},
+        {"name": "l_quantity", "type": ["null", "double"]},
+        {"name": "l_returnflag", "type": ["null", "string"]},
+        {"name": "l_shipdate",
+         "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+    ]}
+    fields = parse_record_schema(json.dumps(schema))
+    tmp = tempfile.mkdtemp(prefix="avro3_")
+    avro_dir = os.path.join(tmp, "avro")
+    _write_avro_fixture(pdf, avro_dir, schema, fields)
+    spark.dataSource.register(AvroContainerDataSource)
+    return spark.read.format("avro_py").load(avro_dir)
+
+
+register("avro3_python_datasource", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+""")(_q_avro_datasource)
