@@ -151,6 +151,8 @@ _PRIORITY = [
     "x27_ascii_profile",
     "pl24_negative_samples",
     "avro3_python_datasource",
+    "a25_cusum_alerts",
+    "x28_grouped_agg_udaf",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

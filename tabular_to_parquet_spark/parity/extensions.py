@@ -3877,3 +3877,94 @@ register("avro3_python_datasource", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
 FROM lineitem
 """)(_q_avro_datasource)
+
+
+# ---------------------------------------------------------------------------
+# a25 — one-sided CUSUM drift alerts (integer, reset-free identity)
+
+
+def _q_cusum_alerts(spark, sf_dir):
+    """Per-user upper CUSUM over event value cents: the clamped
+    recursion S_i = max(0, S_{i-1} + (x_i - k)) is not a window
+    expression, but the standard identity S_i = P_i - min(0, min_{j<=i}
+    P_j) over prefix sums P makes it two stacked window aggregates on
+    ONE partition+sort (two Window operators — the second consumes the
+    first's output — but a single Exchange: plan-verified). All-integer
+    cents, so bit-exact cross-engine; alerts are rows where the drift
+    statistic exceeds h."""
+    from pyspark.sql import Window as W
+
+    k, h = 5000, 250_000  # reference drift per event / alert threshold, cents
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    p = F.sum(cents - k).over(w)
+    tagged = ev.select(
+        "user_id", "ts", "event_id", p.alias("prefix")
+    ).withColumn(
+        "cusum",
+        F.col("prefix")
+        - F.least(F.lit(0).cast("long"), F.min("prefix").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )),
+    )
+    return tagged.filter(F.col("cusum") > h).select(
+        "user_id", "ts", "event_id", F.col("cusum").alias("cusum_cents")
+    )
+
+
+register("a25_cusum_alerts", """
+WITH pref AS (
+    SELECT user_id, ts, event_id,
+           SUM(CAST(floor(value * 100) AS BIGINT) - 5000) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+    FROM events
+), stat AS (
+    SELECT user_id, ts, event_id,
+           prefix - LEAST(0, MIN(prefix) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+    FROM pref
+)
+SELECT user_id, ts, event_id, CAST(cusum AS BIGINT) AS cusum_cents
+FROM stat WHERE cusum > 250000
+""")(_q_cusum_alerts)
+
+
+# ---------------------------------------------------------------------------
+# x28 — Pandas grouped-agg UDAF (Arrow-batched custom aggregate)
+
+
+def _q_grouped_agg_udaf(spark, sf_dir):
+    """User-defined AGGREGATE surface: a PandasUDFType.GROUPED_AGG
+    dot-product over int64 numpy arrays (exact integer arithmetic →
+    order-independent → deterministic, unlike a float UDAF). The
+    Arrow-batched UDAF runs per group AFTER the hash partial-agg
+    stage — fine for bounded groups; unbounded-cardinality sums
+    should stay builtin (SUM of an expression), as the oracle shows
+    they can."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def int_weighted(a: pd.Series, b: pd.Series) -> int:
+        import numpy as np
+
+        return int((a.to_numpy(np.int64) * b.to_numpy(np.int64)).sum())
+
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        int_weighted(F.col("doc_id"), F.col("n_chars")).alias("weighted_sum")
+    )
+
+
+register("x28_grouped_agg_udaf", """
+SELECT source, CAST(SUM(doc_id * n_chars) AS BIGINT) AS weighted_sum
+FROM documents GROUP BY source
+""")(_q_grouped_agg_udaf)
