@@ -153,6 +153,7 @@ _PRIORITY = [
     "avro3_python_datasource",
     "a25_cusum_alerts",
     "x28_grouped_agg_udaf",
+    "st7_python_stream_source",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

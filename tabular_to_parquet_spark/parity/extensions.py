@@ -3968,3 +3968,51 @@ register("x28_grouped_agg_udaf", """
 SELECT source, CAST(SUM(doc_id * n_chars) AS BIGINT) AS weighted_sum
 FROM documents GROUP BY source
 """)(_q_grouped_agg_udaf)
+
+
+# ---------------------------------------------------------------------------
+# st7 — custom Python STREAMING data source (events replay)
+
+
+def _q_python_stream_source(spark, sf_dir):
+    """Spark 4 Python streaming data source
+    (sources/datasource_py.EventsReplayDataSource): the events table
+    replayed in 4 deterministic micro-batches through
+    SimpleDataSourceStreamReader offsets, aggregated complete-mode,
+    drained with processAllAvailable. Oracle: the identical batch
+    aggregate — position-offset replay on static input must reproduce
+    it exactly."""
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        EventsReplayDataSource,
+    )
+
+    spark.dataSource.register(EventsReplayDataSource)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batches", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st7_stream")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("st7_stream")
+
+
+register("st7_python_stream_source", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""")(_q_python_stream_source)

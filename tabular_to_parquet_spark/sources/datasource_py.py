@@ -23,7 +23,12 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _container_files(path: str) -> list[str]:
@@ -102,3 +107,72 @@ class AvroContainerReader(DataSourceReader):
             yield tuple(
                 None if rec[name] is None else c(rec[name]) for name, c in convs
             )
+
+
+# ---------------------------------------------------------------------------
+# streaming: deterministic replay of a parquet table in micro-batches
+
+
+class EventsReplayDataSource(DataSource):
+    """``readStream.format("events_replay")`` — Spark 4 Python
+    STREAMING data source (SimpleDataSourceStreamReader): replays a
+    parquet events table in ``batches`` deterministic event_id-ordered
+    micro-batches. Offsets are row positions, so ``readBetweenOffsets``
+    replays any batch exactly (the recovery contract); on static input
+    a drained run reproduces the batch result.
+
+    The simple-reader variant reads on the DRIVER — right for modest
+    per-batch volumes (control streams, replay fixtures, tests). The
+    partition-parallel ``streamReader`` is the executor-side variant;
+    the batch half of this module shows that shape.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay"
+
+    def schema(self) -> str:
+        return ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+    def simpleStreamReader(self, schema) -> "EventsReplayStreamReader":
+        return EventsReplayStreamReader(
+            self.options["path"], int(self.options.get("batches", "4"))
+        )
+
+
+class EventsReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str, batches: int):
+        self.path = path
+        self.batches = batches
+        self._rows = None  # lazy; loaded once per (driver) instance
+
+    def _load(self):
+        if self._rows is None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(self.path).sort_by("event_id")
+            self._rows = [
+                tuple(r[k] for k in ("event_id", "ts", "user_id",
+                                     "event_type", "value", "props"))
+                for r in tbl.to_pylist()
+            ]
+        return self._rows
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        rows = self._load()
+        n = len(rows)
+        if start["pos"] >= n:
+            return iter(()), start  # caught up: same offset, no data
+        per = max(1, -(-n // self.batches))  # ceil-div
+        end = min(n, start["pos"] + per)
+        return iter(rows[start["pos"]:end]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._load()[start["pos"]:end["pos"]])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the source is a static file

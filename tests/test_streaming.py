@@ -247,3 +247,37 @@ def test_watermark_finalization_and_late_merge_semantics(spark, tmp_path):
     assert got[dt.datetime(2024, 1, 1, 9, 0)] == 2, got   # late row MERGED
     assert got[dt.datetime(2024, 1, 1, 12, 0)] == 2, got  # finalized by f3
     assert dropped == 0, dropped
+
+
+def test_python_stream_source_replays_in_micro_batches(spark):
+    """The custom events_replay source (Spark 4 Python streaming data
+    source) must deliver the table over MULTIPLE micro-batches (real
+    offset progression, not one gulp) and reproduce the batch counts."""
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        EventsReplayDataSource,
+    )
+
+    spark.dataSource.register(EventsReplayDataSource)
+    path = "/root/testdata/sf0.001/events.parquet"
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("batches", "3")
+        .load()
+    )
+    q = (
+        stream.groupBy().count()
+        .writeStream.format("memory")
+        .queryName("replay_probe")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    q.stop()
+    got = spark.table("replay_probe").collect()[0]["count"]
+    want = spark.read.parquet(path).count()
+    assert got == want
+    assert n_batches >= 3, f"expected >=3 data micro-batches, saw {n_batches}"
