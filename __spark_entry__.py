@@ -154,6 +154,8 @@ _PRIORITY = [
     "a25_cusum_alerts",
     "x28_grouped_agg_udaf",
     "st7_python_stream_source",
+    "st8_python_stream_source_parallel",
+    "pr09_approx_event_percentiles",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -4016,3 +4016,50 @@ SELECT event_type,
        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """)(_q_python_stream_source)
+
+
+# ---------------------------------------------------------------------------
+# st8 — executor-parallel Python streaming source
+
+
+def _q_python_stream_source_parallel(spark, sf_dir):
+    """The executor-side streaming data source
+    (EventsReplayParallelDataSource): driver plans row-range offsets,
+    executors read the ranges in parallel Python workers (4 partitions
+    per micro-batch). Same complete-mode aggregate and oracle as st7 —
+    the two reader architectures must agree exactly."""
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        EventsReplayParallelDataSource,
+    )
+
+    spark.dataSource.register(EventsReplayParallelDataSource)
+    stream = (
+        spark.readStream.format("events_replay_par")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batches", "4")
+        .option("parallelism", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st8_stream")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("st8_stream")
+
+
+register("st8_python_stream_source_parallel", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""")(_q_python_stream_source_parallel)

@@ -324,3 +324,30 @@ def _q_approx_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("nd_users_approx")
     )
+
+
+# ---------------------------------------------------------------------------
+# pr09 — approx_percentile sketch (no SQL oracle: Spark's KLL-style
+# quantile summary and DuckDB's approx_quantile use different sketches;
+# accuracy is test-gated against the exact percentiles)
+
+
+@register("pr09_approx_event_percentiles", None)
+def _q_approx_percentiles(spark, sf_dir):
+    """Per-event-type approximate p50/p90/p99 of value cents via
+    approx_percentile(accuracy=10000). The 100 TB story mirrors pr08:
+    the exact percentile needs a per-group sort (or a full
+    collect_list); the sketch is a fixed-size mergeable summary built
+    map-side, so the shuffle carries kilobytes per group instead of
+    the group's rows. pr03 documents the exact path for bounded
+    groups; this is the unbounded-cardinality path."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx(cents, [0.5, 0.9, 0.99], 10000).alias("p_cents")
+    ).select(
+        "event_type",
+        F.col("p_cents")[0].alias("p50_cents"),
+        F.col("p_cents")[1].alias("p90_cents"),
+        F.col("p_cents")[2].alias("p99_cents"),
+    )

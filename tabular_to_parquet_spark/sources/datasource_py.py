@@ -26,6 +26,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -176,3 +177,81 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the source is a static file
+
+
+class EventsReplayParallelDataSource(DataSource):
+    """``readStream.format("events_replay_par")`` — the executor-side
+    streaming variant (DataSourceStreamReader): the driver only plans
+    offsets (row ranges); every micro-batch's range is split into
+    ``parallelism`` InputPartitions whose rows are read by Python
+    workers on executors. The scale shape for a real feed: offset
+    planning is O(1) driver work, payload bytes never touch the
+    driver (contrast the SimpleDataSourceStreamReader above)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay_par"
+
+    def schema(self) -> str:
+        return ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+    def streamReader(self, schema) -> "EventsReplayParallelReader":
+        return EventsReplayParallelReader(
+            self.options["path"],
+            int(self.options.get("batches", "4")),
+            int(self.options.get("parallelism", "4")),
+        )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class EventsReplayParallelReader(DataSourceStreamReader):
+    def __init__(self, path: str, batches: int, parallelism: int):
+        import pyarrow.parquet as pq
+
+        self.path = path
+        self.parallelism = parallelism
+        self.total = pq.read_metadata(path).num_rows
+        self.per = max(1, -(-self.total // batches))  # ceil-div
+        self._cur = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._cur = min(self.total, self._cur + self.per)
+        return {"pos": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["pos"], end["pos"]
+        if e <= s:
+            return [_RangePartition(self.path, s, s)]
+        step = max(1, -(-(e - s) // self.parallelism))
+        return [
+            _RangePartition(self.path, lo, min(e, lo + step))
+            for lo in range(s, e, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        import pyarrow.parquet as pq
+
+        if partition.end <= partition.start:
+            return
+        tbl = pq.read_table(partition.path).slice(
+            partition.start, partition.end - partition.start
+        )
+        for r in tbl.to_pylist():
+            yield (r["event_id"], r["ts"], r["user_id"],
+                   r["event_type"], r["value"], r["props"])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass

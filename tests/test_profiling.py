@@ -118,3 +118,25 @@ def test_expectation_report_single_pass_counts(spark):
     # NULL predicate rows are not violations (SQL three-valued when):
     # only the -1 row counts
     assert out["v_nonneg"] == (1, 4)
+
+
+def test_approx_percentiles_near_exact(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(cents, 0.9, 10000).alias("approx"),
+            F.expr(
+                "percentile(CAST(floor(value * 100) AS BIGINT), 0.9)"
+            ).alias("exact"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        # accuracy=10000 → rank error <= n/10000; generous 2% value gate
+        rel = abs(r["approx"] - r["exact"]) / max(abs(r["exact"]), 1)
+        assert rel < 0.02, (r["event_type"], r["approx"], r["exact"])
