@@ -4063,3 +4063,38 @@ SELECT event_type,
        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """)(_q_python_stream_source_parallel)
+
+
+# ---------------------------------------------------------------------------
+# avro4 — full writer→reader roundtrip through the DataSource API
+
+
+def _q_avro_writer_roundtrip(spark, sf_dir):
+    """df.write.format('avro_py') → executor-side container files +
+    two-phase _SUCCESS commit (sources/datasource_py.
+    AvroContainerWriter) → read back with the same format. Completes
+    the DataSource surface: batch read (avro3), both streaming reader
+    shapes (st7/st8), batch write (here) — oracle identical to the
+    source rows, so the write path is value-lossless."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        AvroContainerDataSource,
+    )
+
+    spark.dataSource.register(AvroContainerDataSource)
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="avro4_"), "avro")
+    src.write.format("avro_py").mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    return spark.read.format("avro_py").load(out)
+
+
+register("avro4_writer_roundtrip", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+""")(_q_avro_writer_roundtrip)

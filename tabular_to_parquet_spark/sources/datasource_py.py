@@ -27,8 +27,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -64,6 +66,9 @@ class AvroContainerDataSource(DataSource):
 
     def reader(self, schema) -> "AvroContainerReader":
         return AvroContainerReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> "AvroContainerWriter":
+        return AvroContainerWriter(self.options["path"], schema, overwrite)
 
 
 class AvroContainerReader(DataSourceReader):
@@ -255,3 +260,107 @@ class EventsReplayParallelReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# batch WRITER: df.write.format("avro_py").save(dir)
+
+
+#: Spark type name → (avro primitive/logical kind)
+_AVRO_KINDS = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": "date",
+    "timestamp": "timestamp-micros",
+    "timestamp_ntz": "timestamp-micros",
+}
+
+
+def _avro_schema_for(schema) -> dict:
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        kind = _AVRO_KINDS.get(t)
+        if kind is None:
+            raise ValueError(f"avro_py writer: unsupported Spark type {t!r}")
+        if kind in ("date", "timestamp-micros"):
+            base = "int" if kind == "date" else "long"
+            node = {"type": base, "logicalType":
+                    "date" if kind == "date" else "timestamp-micros"}
+        else:
+            node = kind
+        fields.append({"name": f.name, "type": ["null", node]})
+    return {"type": "record", "name": "spark_frame", "fields": fields}
+
+
+class AvroWriterCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class AvroContainerWriter(DataSourceWriter):
+    """One Avro OCF per input partition, written executor-side; the
+    driver's commit() drops a _SUCCESS marker listing the parts (the
+    standard two-phase Hadoop-style contract in miniature; abort()
+    leaves no marker so readers ignore the partial output)."""
+
+    def __init__(self, path: str, schema, overwrite: bool):
+        self.path = path
+        self.schema_json_fields = _avro_schema_for(schema)
+        self.names = [f.name for f in schema.fields]
+        self.kinds = [
+            _AVRO_KINDS[f.dataType.typeName()] for f in schema.fields
+        ]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import datetime
+        import os
+        import uuid
+
+        from tabular_to_parquet_spark.sources.avro_python import write_container
+
+        epoch_d = datetime.date(1970, 1, 1)
+        epoch_ts = datetime.datetime(1970, 1, 1)
+
+        def raw(v, kind):
+            if v is None:
+                return None
+            if kind == "date":
+                return (v - epoch_d).days
+            if kind == "timestamp-micros":
+                base = v.replace(tzinfo=None) if v.tzinfo else v
+                delta = base - epoch_ts
+                return (delta.days * 86_400_000_000
+                        + delta.seconds * 1_000_000 + delta.microseconds)
+            return v
+
+        records = [
+            {n: raw(getattr(row, n), k)
+             for n, k in zip(self.names, self.kinds)}
+            for row in iterator
+        ]
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        write_container(part, self.schema_json_fields, records)
+        return AvroWriterCommit(part, len(records))
+
+    def commit(self, messages):
+        import os
+
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            for m in messages:
+                f.write(f"{os.path.basename(m.path)}\t{m.rows}\n")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
