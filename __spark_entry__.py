@@ -157,6 +157,7 @@ _PRIORITY = [
     "st8_python_stream_source_parallel",
     "pr09_approx_event_percentiles",
     "avro4_writer_roundtrip",
+    "st9_python_stream_sink",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -4098,3 +4098,61 @@ register("avro4_writer_roundtrip", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
 FROM lineitem
 """)(_q_avro_writer_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# st9 — streaming pipeline entirely on custom Python data sources
+
+
+def _q_python_stream_sink(spark, sf_dir):
+    """End-to-end custom-source streaming: events replayed by the
+    executor-parallel Python stream READER (st8's source), written by
+    the Python stream WRITER (avro_py sink — one container per batch
+    partition, per-batch _batches commit log), then the sink directory
+    read back with the avro_py batch reader and aggregated. The
+    oracle is the plain batch aggregate: reader→writer→reader must be
+    value-lossless end to end."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.datasource_py import (
+        AvroContainerDataSource,
+        EventsReplayParallelDataSource,
+    )
+
+    spark.dataSource.register(EventsReplayParallelDataSource)
+    spark.dataSource.register(AvroContainerDataSource)
+    tmp = tempfile.mkdtemp(prefix="st9_")
+    out = os.path.join(tmp, "avro_sink")
+    os.makedirs(out, exist_ok=True)
+    stream = (
+        spark.readStream.format("events_replay_par")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batches", "4")
+        .option("parallelism", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("avro_py")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert os.path.exists(os.path.join(out, "_batches"))
+    back = spark.read.format("avro_py").load(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+register("st9_python_stream_sink", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""")(_q_python_stream_sink)

@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -69,6 +70,9 @@ class AvroContainerDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "AvroContainerWriter":
         return AvroContainerWriter(self.options["path"], schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "AvroStreamWriter":
+        return AvroStreamWriter(self.options["path"], schema)
 
 
 class AvroContainerReader(DataSourceReader):
@@ -364,3 +368,28 @@ class AvroContainerWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch partition becomes one
+    container file; commit(batchId) appends the batch's parts to a
+    _batches log (the idempotence hook — a re-delivered batchId can be
+    detected and its parts dropped), abort removes the parts."""
+
+    def __init__(self, path: str, schema):
+        self._batch_writer = AvroContainerWriter(path, schema, overwrite=False)
+        self.path = path
+
+    def write(self, iterator):
+        return self._batch_writer.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        with open(os.path.join(self.path, "_batches"), "a") as f:
+            for m in messages:
+                if m is not None:
+                    f.write(f"{batchId}\t{os.path.basename(m.path)}\t{m.rows}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._batch_writer.abort(messages)
