@@ -101,6 +101,14 @@ def main() -> None:
         "pl19_temperature_mixture",
         "pl21_prepare_training_run",
         "a23_rolling_1h_features",
+        # round-5 session-3 additions
+        "d12_edit_distance_pairs",
+        "x25_countmin_heavy_hitters",
+        "a24_event_transitions",
+        "pl23_context_target_pairs",
+        "pl24_negative_samples",
+        "x26_bigram_lm_counts",
+        "a25_cusum_alerts",
     ):
         plans[qname] = _qs[qname](spark, sf_dir)
     for name, df in plans.items():
