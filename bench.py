@@ -294,6 +294,7 @@ def main() -> None:
 
     @timed("event_transitions")
     def _():
+        from tabular_to_parquet_spark.parity import extensions as _ext  # noqa: F401 (registers)
         from tabular_to_parquet_spark.parity.catalog import CATALOG as _C
 
         _noop(_C["a24_event_transitions"].spark(spark, SF_DIR))
