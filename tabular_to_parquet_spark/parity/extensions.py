@@ -3894,7 +3894,7 @@ def _q_cusum_alerts(spark, sf_dir):
     statistic exceeds h."""
     from pyspark.sql import Window as W
 
-    k, h = 5000, 250_000  # reference drift per event / alert threshold, cents
+    k, h = 2500, 200_000  # reference drift per event / alert threshold, cents
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -3921,7 +3921,7 @@ def _q_cusum_alerts(spark, sf_dir):
 register("a25_cusum_alerts", """
 WITH pref AS (
     SELECT user_id, ts, event_id,
-           SUM(CAST(floor(value * 100) AS BIGINT) - 5000) OVER
+           SUM(CAST(floor(value * 100) AS BIGINT) - 2500) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
     FROM events
@@ -3933,7 +3933,7 @@ WITH pref AS (
     FROM pref
 )
 SELECT user_id, ts, event_id, CAST(cusum AS BIGINT) AS cusum_cents
-FROM stat WHERE cusum > 250000
+FROM stat WHERE cusum > 200000
 """)(_q_cusum_alerts)
 
 
@@ -3949,11 +3949,13 @@ def _q_grouped_agg_udaf(spark, sf_dir):
     stage — fine for bounded groups; unbounded-cardinality sums
     should stay builtin (SUM of an expression), as the oracle shows
     they can."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("long")
-    def int_weighted(a: pd.Series, b: pd.Series) -> int:
+    # explicit functionType instead of type hints: under `from
+    # __future__ import annotations` the hints are strings, and
+    # locally-imported names ('pd.Series') don't resolve at decoration
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def int_weighted(a, b):
         import numpy as np
 
         return int((a.to_numpy(np.int64) * b.to_numpy(np.int64)).sum())

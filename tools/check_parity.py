@@ -8,6 +8,7 @@ Usage: python tools/check_parity.py [sf_dir] [name_filter]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import duckdb
@@ -45,9 +46,11 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    n_selected = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not re.search(name_filter, name):
             continue
+        n_selected += 1
         import time
 
         t0 = time.monotonic()
@@ -88,7 +91,11 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(sdf)} rows exact-match "
                   f"({time.monotonic() - t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_selected - len(failures)}/{n_selected} selected pass "
+          f"({len(qs)} in catalog)")
+    if n_selected == 0:
+        print("FAIL: name filter matched no queries")
+        return 1
     return 1 if failures else 0
 
 

@@ -265,6 +265,34 @@ def gen_setop_query(seed: int) -> str:
     return f"SELECT g, n FROM ({branch()} {op} {branch()}) u"
 
 
+def gen_groupingsets_query(seed: int) -> str:
+    """GROUPING SETS / ROLLUP / CUBE variant over two low-card dims,
+    with GROUPING() to disambiguate real NULLs from subtotal rows —
+    both engines implement the ANSI semantics identically."""
+    rng = random.Random(seed)
+    fact = rng.choice([f for f in META if len(META[f]["lowcard"]) >= 2])
+    m = META[fact]
+    g1, g2 = rng.sample(list(m["lowcard"]), 2)
+    money = rng.choice(m["money"])
+    clause = rng.choice([
+        f"GROUPING SETS (({g1}, {g2}), ({g1}), ())",
+        f"ROLLUP ({g1}, {g2})",
+        f"CUBE ({g1}, {g2})",
+    ])
+    icol = rng.choice(m["ints"])
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {icol} % {rng.randint(2, 5)} = {rng.randint(0, 1)}"
+    return (
+        f"SELECT {g1}, {g2}, "
+        f"CAST(GROUPING({g1}) AS BIGINT) AS is_total_1, "
+        f"CAST(GROUPING({g2}) AS BIGINT) AS is_total_2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT) AS s_cents "
+        f"FROM {fact}{where} GROUP BY {clause}"
+    )
+
+
 def gen_fullouter_query(seed: int) -> str:
     """FULL OUTER JOIN of two keyed aggregates — exercises outer-join
     null handling with exact-integer payloads on both engines."""
@@ -289,7 +317,7 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
     """Returns a list of (seed, sql, reason) failures (empty = all match)."""
     failures = []
     gens = [gen_query, gen_query, gen_window_query, gen_subquery_query,
-            gen_setop_query, gen_fullouter_query]
+            gen_setop_query, gen_fullouter_query, gen_groupingsets_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
