@@ -532,3 +532,22 @@ def test_zorder_layout_tightens_file_envelopes(spark, tmp_path):
     # id-order files span the full (256 x 256) square each; z-order
     # files cover compact sub-quadrants — expect a large gap
     assert z_area < a_area / 2, (z_area, a_area)
+
+
+def test_negative_samples_never_self_and_deterministic(spark):
+    from tabular_to_parquet_spark.operators.pipeline import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(17)], ["vec_id"])
+    out1 = sorted(
+        (r["vec_id"], r["j"], r["neg_id"])
+        for r in negative_samples(df, "vec_id", k=3).collect()
+    )
+    out2 = sorted(
+        (r["vec_id"], r["j"], r["neg_id"])
+        for r in negative_samples(df, "vec_id", k=3).collect()
+    )
+    assert out1 == out2  # same hash draw every run
+    assert len(out1) == 17 * 3
+    for anchor, _j, neg in out1:
+        assert neg != anchor
+        assert 0 <= neg < 17

@@ -142,3 +142,38 @@ def test_context_target_matches_manual(spark):
     }
     # only user 1's 4th event has a full 3-context
     assert out == {(1, 4): (["a", "b", "c"], "d")}
+
+
+def test_cusum_matches_clamped_recursion(spark):
+    """The prefix-minus-running-min identity must equal the direct
+    S_i = max(0, S_{i-1} + (x_i - k)) recursion."""
+    import datetime
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    xs = [10, -3, -9, 15, 2, -30, 8, 9]  # drifts around 0
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(minutes=i), i, float(x))
+        for i, x in enumerate(xs)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "d"])
+    w = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = F.sum(F.col("d").cast("long")).over(w)
+    got = [
+        r["cusum"]
+        for r in ev.select(
+            "event_id",
+            (p - F.least(F.lit(0).cast("long"),
+                         F.min(p).over(w))).alias("cusum"),
+        ).orderBy("event_id").collect()
+    ]
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + x)
+        want.append(s)
+    assert got == want
