@@ -158,6 +158,8 @@ _PRIORITY = [
     "pr09_approx_event_percentiles",
     "avro4_writer_roundtrip",
     "st9_python_stream_sink",
+    "g02_triangle_count",
+    "pl25_curriculum_phases",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

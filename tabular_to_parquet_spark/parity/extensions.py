@@ -4158,3 +4158,33 @@ SELECT event_type,
        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """)(_q_python_stream_sink)
+
+
+# ---------------------------------------------------------------------------
+# g02 — triangle counting (compact-forward orientation)
+
+
+def _q_triangle_count(spark, sf_dir):
+    """Triangles in the co-purchase graph (graph.triangle_count over
+    canonical src<dst edges): two equi-joins generate each triangle
+    exactly once under the a<b<c orientation — the distributed
+    compact-forward shape, no cross product, no wedge double-count."""
+    from tabular_to_parquet_spark.operators import graph as g
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = g.copurchase_edges(li).filter(F.col("src") < F.col("dst"))
+    return g.triangle_count(edges)
+
+
+register("g02_triangle_count", """
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.src = e1.dst
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""")(_q_triangle_count)

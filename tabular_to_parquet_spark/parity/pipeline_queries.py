@@ -1084,3 +1084,53 @@ def _q_negative_samples(spark, sf_dir):
     negs = pl.negative_samples(emb, "vec_id", k=3)
     labels = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
     return negs.join(labels, "neg_id").select("vec_id", "j", "neg_id", "neg_label")
+
+
+# ---------------------------------------------------------------------------
+# pl25 — curriculum phase assignment by exact length quartiles
+
+
+@register(
+    "pl25_curriculum_phases",
+    """
+WITH b AS (
+    SELECT quantile_cont(n_chars, 0.25) AS b1,
+           quantile_cont(n_chars, 0.50) AS b2,
+           quantile_cont(n_chars, 0.75) AS b3
+    FROM documents
+)
+SELECT CAST(1 + (n_chars > b1)::INT + (n_chars > b2)::INT
+              + (n_chars > b3)::INT AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents, b
+GROUP BY 1
+""",
+)
+def _q_curriculum_phases(spark, sf_dir):
+    """Length-curriculum phases (short->long training schedule): exact
+    quartile boundaries from ONE aggregate (Spark percentile ==
+    DuckDB quantile_cont bit-for-bit on integer inputs at these q —
+    the pr03-proven case), broadcast as a scalar row, phase assigned
+    by comparison — a pure projection, no global window/ntile, so the
+    assignment scales as a map-only pass. No reference counterpart;
+    extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.expr("percentile(n_chars, array(0.25D, 0.50D, 0.75D))").alias("bs")
+    )
+    phased = docs.crossJoin(F.broadcast(b)).withColumn(
+        "phase",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("bs")[0]).cast("int")
+            + (F.col("n_chars") > F.col("bs")[1]).cast("int")
+            + (F.col("n_chars") > F.col("bs")[2]).cast("int")
+        ).cast("long"),
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
