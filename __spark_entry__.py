@@ -160,6 +160,7 @@ _PRIORITY = [
     "st9_python_stream_sink",
     "g02_triangle_count",
     "pl25_curriculum_phases",
+    "x29_kwic",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -4188,3 +4188,47 @@ FROM e e1
 JOIN e e2 ON e2.src = e1.dst
 JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """)(_q_triangle_count)
+
+
+# ---------------------------------------------------------------------------
+# x29 — keyword-in-context (concordance) extraction
+
+
+def _q_kwic(spark, sf_dir):
+    """KWIC concordance for a probe term: every occurrence with ±2
+    tokens of context — posexplode over the token array, 1-based
+    positions, slice windows clamped at document edges. Linear in
+    corpus tokens (explode → filter → projection), no shuffle at all;
+    the corpus-tooling primitive behind term audits and context
+    sampling."""
+    term = "the"
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", ta.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    hits = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode("t").alias("pos0", "tok"),
+    ).filter(F.col("tok") == term)
+    i = F.col("pos0") + 1  # 1-based
+    start = F.greatest(F.lit(1), i - 2)
+    length = F.least(i + 2, F.size("t")) - start + 1
+    return hits.select(
+        "doc_id",
+        i.cast("long").alias("pos"),
+        F.slice("t", start, length).alias("context"),
+    )
+
+
+register("x29_kwic", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_LC} AS t FROM documents),
+hits AS (
+    SELECT doc_id, t, i
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    WHERE t[i] = 'the'
+)
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       t[greatest(1, i - 2):least(i + 2, len(t))] AS context
+FROM hits
+""")(_q_kwic)
