@@ -161,6 +161,7 @@ _PRIORITY = [
     "g02_triangle_count",
     "pl25_curriculum_phases",
     "x29_kwic",
+    "x30_duplicate_passages",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

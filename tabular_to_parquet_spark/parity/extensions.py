@@ -4232,3 +4232,60 @@ SELECT doc_id, CAST(i AS BIGINT) AS pos,
        t[greatest(1, i - 2):least(i + 2, len(t))] AS context
 FROM hits
 """)(_q_kwic)
+
+
+# ---------------------------------------------------------------------------
+# x30 — duplicate passage (boilerplate) detection
+
+
+def _q_duplicate_passages(spark, sf_dir):
+    """Sub-document dedup granularity: non-overlapping 20-token
+    passages hashed per document; passages appearing in ≥2 distinct
+    docs are boilerplate candidates (license headers, nav chrome —
+    what paragraph-level dedup removes that whole-doc dedup misses).
+    Linear explode (one row per passage, no overlap), one hash-agg on
+    the passage hash, TakeOrdered top 20. Complements winnowing
+    (x07: overlapping windows for near-dup localization) with the
+    exact-passage variant."""
+    w = 20
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", ta.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= w)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("t") / w).cast("int") - 1)
+        ).alias("ci"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("ci") * w + 1, w))).alias(
+            "passage_md5"
+        ),
+    )
+    agg = chunks.groupBy("passage_md5").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    ).filter(F.col("n_docs") >= 2)
+    return agg.orderBy(F.col("n_docs").desc(), "passage_md5").limit(20)
+
+
+register("x30_duplicate_passages", f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_LC} AS t FROM documents WHERE len({_TOKS_LC}) >= 20
+), chunks AS (
+    SELECT doc_id,
+           md5(array_to_string(t[ci * 20 + 1:ci * 20 + 20], ' ')) AS passage_md5
+    FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(floor(len(t) / 20) AS INT))) AS ci)
+), agg AS (
+    SELECT passage_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM chunks GROUP BY passage_md5
+    HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT passage_md5, n_docs, n_occurrences FROM agg
+ORDER BY n_docs DESC, passage_md5 LIMIT 20
+""")(_q_duplicate_passages)
