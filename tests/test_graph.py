@@ -42,3 +42,16 @@ def test_copurchase_edges_symmetric_distinct(spark):
     )
     out = {(r["src"], r["dst"]) for r in graph.copurchase_edges(li).collect()}
     assert out == {(1, 2), (2, 1)}
+
+
+def test_triangle_count_manual_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from tabular_to_parquet_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 new)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(e).collect()[0]
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
