@@ -293,6 +293,40 @@ def gen_groupingsets_query(seed: int) -> str:
     )
 
 
+def gen_combined_query(seed: int) -> str:
+    """Combined-clause variant: dim join + subquery predicate +
+    ROLLUP grouping in ONE query — the interaction coverage the
+    single-feature generators can't reach."""
+    rng = random.Random(seed)
+    fact = rng.choice(["orders", "lineitem"])
+    m = META[fact]
+    dim = rng.choice(list(m["joins"]))
+    fk, pk = m["joins"][dim]
+    # subquery on a SECOND dim (or the same one) — IN or scalar bound
+    sq_dim = rng.choice(list(m["joins"]))
+    sq_fk, sq_pk = m["joins"][sq_dim]
+    lc = DIM_META.get(sq_dim, (sq_pk, {}))[1]
+    if rng.random() < 0.5:
+        pred = f"{sq_fk} IN (SELECT {sq_pk} FROM {sq_dim} WHERE {_dim_filter(rng, sq_dim, sq_pk, lc)})"
+    else:
+        pred = f"{sq_fk} <= (SELECT MAX({sq_pk}) FROM {sq_dim} WHERE {_dim_filter(rng, sq_dim, sq_pk, lc)})"
+    group_pool = dict(m["lowcard"])
+    group_pool.update(DIM_LOWCARD.get(dim, {}))
+    if len(group_pool) < 2:
+        return gen_query(seed)
+    g1, g2 = rng.sample(list(group_pool), 2)
+    money = rng.choice(m["money"])
+    return (
+        f"SELECT {g1}, {g2}, "
+        f"CAST(GROUPING({g1}) AS BIGINT) AS t1, "
+        f"CAST(GROUPING({g2}) AS BIGINT) AS t2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT) AS s_cents "
+        f"FROM {fact} JOIN {dim} ON {fk} = {pk} WHERE {pred} "
+        f"GROUP BY ROLLUP ({g1}, {g2})"
+    )
+
+
 def gen_fullouter_query(seed: int) -> str:
     """FULL OUTER JOIN of two keyed aggregates — exercises outer-join
     null handling with exact-integer payloads on both engines."""
@@ -317,7 +351,8 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
     """Returns a list of (seed, sql, reason) failures (empty = all match)."""
     failures = []
     gens = [gen_query, gen_query, gen_window_query, gen_subquery_query,
-            gen_setop_query, gen_fullouter_query, gen_groupingsets_query]
+            gen_setop_query, gen_fullouter_query, gen_groupingsets_query,
+            gen_combined_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
