@@ -162,6 +162,8 @@ _PRIORITY = [
     "pl25_curriculum_phases",
     "x29_kwic",
     "x30_duplicate_passages",
+    "x31_langid_confusion",
+    "pl26_epoch_shuffle",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

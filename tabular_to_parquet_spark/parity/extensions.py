@@ -4289,3 +4289,45 @@ WITH toks AS (
 SELECT passage_md5, n_docs, n_occurrences FROM agg
 ORDER BY n_docs DESC, passage_md5 LIMIT 20
 """)(_q_duplicate_passages)
+
+
+# ---------------------------------------------------------------------------
+# x31 — declared-language vs heuristic lang-ID confusion matrix
+
+
+def _q_langid_confusion(spark, sf_dir):
+    """Metadata QA: crosstab of the corpus's DECLARED lang column
+    against the n-gram heuristic's prediction (ta.lang_id_col). Rows
+    off the diagonal are mislabeled documents or heuristic misses —
+    the audit that decides whether declared labels are trustworthy
+    enough to drive the mixture (pl02). One projection + one tiny
+    hash-agg."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", ta.lang_id_col(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _x31_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in words)}], t)))"
+        for lang, words in ta.STOPWORDS.items()
+    }
+    hit_cols = ", ".join(f"{e} AS h_{lang}" for lang, e in hits.items())
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in ta.LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = {best} THEN '{lang}'"
+        for lang in ta.LANG_ORDER
+    )
+    return f"""
+SELECT lang, (CASE {whens} ELSE 'und' END) AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT lang, {hit_cols}
+      FROM (SELECT lang, {_TOKS_LC} AS toks FROM documents))
+GROUP BY 1, 2
+"""
+
+
+register("x31_langid_confusion", _x31_oracle())(_q_langid_confusion)

@@ -1134,3 +1134,47 @@ def _q_curriculum_phases(spark, sf_dir):
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pl26 — per-epoch deterministic shuffle order
+
+
+@register(
+    "pl26_epoch_shuffle",
+    f"""
+WITH ranked AS (
+    SELECT e.epoch, d.doc_id,
+           row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY {pl.md5_i64_sql("e.epoch || '#' || d.doc_id")}, d.doc_id
+           ) AS rn
+    FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rn AS BIGINT) AS rn, doc_id
+FROM ranked WHERE rn <= 5
+""",
+)
+def _q_epoch_shuffle(spark, sf_dir):
+    """Epoch-varying data order without any stored permutation: sort
+    key = md5(epoch || doc_id), so each epoch visits the corpus in an
+    independent pseudo-random order, reproducible from the epoch
+    number alone (how a training loader reshuffles 100 TB with zero
+    state). Verified via the first 5 ids of each epoch's order —
+    per-epoch window, bounded rows, no global sort of the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epoch_df = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    epochs = docs.crossJoin(F.broadcast(epoch_df)).select("epoch", "doc_id")
+    key = md5_i64(
+        F.concat(F.col("epoch").cast("string"), F.lit("#"),
+                 F.col("doc_id").cast("string"))
+    )
+    w = W.partitionBy("epoch").orderBy(key, "doc_id")
+    ranked = epochs.withColumn("rn", F.row_number().over(w))
+    return ranked.filter(F.col("rn") <= 5).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("rn").cast("long").alias("rn"),
+        "doc_id",
+    )
