@@ -4331,3 +4331,55 @@ GROUP BY 1, 2
 
 
 register("x31_langid_confusion", _x31_oracle())(_q_langid_confusion)
+
+
+# ---------------------------------------------------------------------------
+# sql1 — SQLite source through the Python DataSource API
+
+
+def _q_sqlite_roundtrip(spark, sf_dir):
+    """SQLite table → DataFrame via format('sqlite_py')
+    (sources/datasource_py.SqliteDataSource): schema from PRAGMA
+    table_info affinity mapping, rowid-range partitions scanned by
+    parallel Python workers over stdlib sqlite3 in read-only URI
+    mode. Fixture: the orders table loaded into a .sqlite file;
+    oracle: the same SELECT from the parquet — the source must be
+    value-lossless."""
+    import os
+    import sqlite3
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.datasource_py import SqliteDataSource
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority")
+        .toPandas()
+    )
+    db = os.path.join(tempfile.mkdtemp(prefix="sql1_"), "orders.sqlite")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER, o_custkey INTEGER, "
+        "o_orderstatus TEXT, o_totalprice REAL, o_orderpriority TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?, ?, ?)",
+        pdf.itertuples(index=False, name=None),
+    )
+    con.commit()
+    con.close()
+    spark.dataSource.register(SqliteDataSource)
+    return (
+        spark.read.format("sqlite_py")
+        .option("path", db)
+        .option("table", "orders")
+        .option("partitions", "4")
+        .load()
+    )
+
+
+register("sql1_sqlite_roundtrip", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+""")(_q_sqlite_roundtrip)

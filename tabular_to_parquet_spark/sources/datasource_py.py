@@ -488,3 +488,108 @@ class AvroStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         self._batch_writer.abort(messages)
+
+
+# ---------------------------------------------------------------------------
+# SQLite source: format("sqlite_py").option("path", db).option("table", t)
+
+
+#: SQLite declared-type prefix → Spark SQL type (affinity rules)
+_SQLITE_TYPES = (
+    ("INT", "long"),
+    ("CHAR", "string"), ("CLOB", "string"), ("TEXT", "string"),
+    ("BLOB", "binary"),
+    ("REAL", "double"), ("FLOA", "double"), ("DOUB", "double"),
+    ("NUMERIC", "double"), ("DECIMAL", "double"),
+    ("BOOL", "boolean"),
+    ("DATE", "string"), ("TIME", "string"),  # SQLite stores these as text
+)
+
+
+def _sqlite_spark_type(decl: str) -> str:
+    d = (decl or "").upper()
+    for prefix, spark_t in _SQLITE_TYPES:
+        if prefix in d:
+            return spark_t
+    return "string"  # SQLite affinity fallback
+
+
+class SqliteDataSource(DataSource):
+    """``format("sqlite_py")`` — read a SQLite table as a DataFrame.
+
+    Schema from ``PRAGMA table_info`` (affinity-mapped); partitions
+    are rowid ranges so a large table scans in parallel. The db file
+    must be visible to executors (shared storage on a cluster — the
+    same contract every file-based source has). Read-only URI mode,
+    one connection per partition, no driver bottleneck.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite_py"
+
+    def _connect(self):
+        import sqlite3
+
+        return sqlite3.connect(
+            f"file:{self.options['path']}?mode=ro", uri=True
+        )
+
+    def schema(self) -> str:
+        table = self.options["table"]
+        with self._connect() as con:
+            cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        if not cols:
+            raise ValueError(f"sqlite table {table!r} not found or empty schema")
+        return ", ".join(
+            f"`{name}` {_sqlite_spark_type(decl)}"
+            for _cid, name, decl, _nn, _dflt, _pk in cols
+        )
+
+    def reader(self, schema) -> "SqliteReader":
+        return SqliteReader(
+            self.options["path"],
+            self.options["table"],
+            int(self.options.get("partitions", "4")),
+        )
+
+
+class SqliteReader(DataSourceReader):
+    def __init__(self, path: str, table: str, n_parts: int):
+        self.path = path
+        self.table = table
+        self.n_parts = n_parts
+
+    def partitions(self) -> list[InputPartition]:
+        import sqlite3
+
+        con = sqlite3.connect(f"file:{self.path}?mode=ro", uri=True)
+        try:
+            lo, hi = con.execute(
+                f'SELECT MIN(rowid), MAX(rowid) FROM "{self.table}"'
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None:
+            return [InputPartition((self.path, self.table, 0, -1))]
+        step = max(1, -(-(hi - lo + 1) // self.n_parts))
+        return [
+            InputPartition((self.path, self.table, b, min(hi, b + step - 1)))
+            for b in range(lo, hi + 1, step)
+        ]
+
+    def read(self, partition: InputPartition):
+        import sqlite3
+
+        path, table, lo, hi = partition.value
+        if hi < lo:
+            return
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            cur = con.execute(
+                f'SELECT * FROM "{table}" WHERE rowid BETWEEN ? AND ?',
+                (lo, hi),
+            )
+            yield from cur
+        finally:
+            con.close()

@@ -223,3 +223,29 @@ def test_python_datasource_filter_pushdown(spark, tmp_path):
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
     want = sorted(i for i in range(10, 20) if i % 3 == 0)
     assert got == want
+
+
+def test_sqlite_datasource_partitions_and_types(spark, tmp_path):
+    import sqlite3
+
+    from tabular_to_parquet_spark.sources.datasource_py import SqliteDataSource
+
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (a INTEGER, s TEXT, x REAL)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, f"r{i}", i / 2.0) for i in range(100)],
+    )
+    con.commit()
+    con.close()
+    spark.dataSource.register(SqliteDataSource)
+    df = (
+        spark.read.format("sqlite_py")
+        .option("path", db).option("table", "t")
+        .option("partitions", "3").load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert dict(df.dtypes) == {"a": "bigint", "s": "string", "x": "double"}
+    rows = sorted((r["a"], r["s"], r["x"]) for r in df.collect())
+    assert rows[0] == (0, "r0", 0.0) and len(rows) == 100
