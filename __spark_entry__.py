@@ -165,6 +165,7 @@ _PRIORITY = [
     "x31_langid_confusion",
     "pl26_epoch_shuffle",
     "sql1_sqlite_roundtrip",
+    "m12_gif_decode_features",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

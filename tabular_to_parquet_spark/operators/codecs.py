@@ -838,3 +838,198 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
             raise ValueError(f"frame is {fw}x{fh}, header says {width}x{height}")
         decoded.append(gray)
     return width, height, decoded
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a, global color table, real LZW) — public spec, original code
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable 9..12-bit codes, LSB-first packing.
+
+    Width discipline (mirrored exactly by the decoder): one table
+    assignment follows every emitted data code; width bumps when the
+    assignment counter reaches 2^width; at 4096 the encoder emits
+    CLEAR and resets instead of assigning."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = fresh()
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    #: mirrors the ENCODER's next_code (one ahead of our table growth,
+    #: because the encoder assigns right after emitting — see encoder)
+    vnext = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerant: missing END
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            vnext = end + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if vnext < 4096:
+            vnext += 1
+            if vnext == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """GIF89a with a global color table built from the image's
+    distinct colors (≤256 required — GIF is palette-indexed)."""
+    palette: list[bytes] = []
+    index_of: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(0, len(rgb), 3):
+        c = rgb[i:i + 3]
+        j = index_of.get(c)
+        if j is None:
+            if len(palette) == 256:
+                raise ValueError("encode_gif: more than 256 distinct colors")
+            j = len(palette)
+            index_of[c] = j
+            palette.append(c)
+        indices.append(j)
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0xF7)  # GCT present, 8 bits/channel, 256 entries
+    out += b"\x00\x00"  # background index, aspect
+    gct = b"".join(palette) + b"\x00\x00\x00" * (256 - len(palette))
+    out += gct
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x00)  # no local color table
+    out.append(8)  # LZW min code size
+    payload = _lzw_encode_gif(bytes(indices))
+    for i in range(0, len(payload), 255):
+        block = payload[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a GIF87a/89a first frame → (width, height, RGB bytes)."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            iw = int.from_bytes(data[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7:pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 0x07) + 1)
+                pal = data[pos:pos + 3 * n]
+                pos += 3 * n
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode_gif(bytes(lzw), min_code)
+            if len(indices) < iw * ih:
+                raise ValueError("short GIF pixel data")
+            rgb = bytearray()
+            for j in indices[: iw * ih]:
+                rgb += pal[3 * j:3 * j + 3]
+            return iw, ih, bytes(rgb)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image data in GIF")

@@ -82,10 +82,16 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"undecodable image: {exc}") from exc
         return img.width, img.height, img.tobytes()
     except ImportError:
-        from tabular_to_parquet_spark.operators.codecs import decode_bmp, decode_png
+        from tabular_to_parquet_spark.operators.codecs import (
+            decode_bmp,
+            decode_gif,
+            decode_png,
+        )
 
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(payload)
+        if payload[:4] == b"GIF8":
+            return decode_gif(payload)
         return decode_bmp(payload)
 
 
@@ -233,10 +239,32 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _attach_image_payload(df, id_col, "png")
 
 
-def _attach_image_payload(df: DataFrame, id_col: str, fmt: str) -> DataFrame:
-    from tabular_to_parquet_spark.operators.codecs import encode_bmp, encode_png
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real GIF89a per row. GIF is palette-indexed
+    (≤256 colors), so the pixel formula differs from BMP/PNG: index
+    p(x,y) = (x + 2y + id) % 256 with palette entry
+    (p, 2p%256, 3p%256) — injective in p, so the decoder's RGB output
+    is still fully oracle-predictable."""
+    return _attach_image_payload(df, id_col, "gif")
 
-    encode = encode_bmp if fmt == "bmp" else encode_png
+
+def _gif_rgb(mid: int, w: int, h: int) -> bytes:
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            p = (x + 2 * y + mid) % 256
+            rgb += bytes([p, (2 * p) % 256, (3 * p) % 256])
+    return bytes(rgb)
+
+
+def _attach_image_payload(df: DataFrame, id_col: str, fmt: str) -> DataFrame:
+    from tabular_to_parquet_spark.operators.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    encode = {"bmp": encode_bmp, "png": encode_png, "gif": encode_gif}[fmt]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -244,7 +272,12 @@ def _attach_image_payload(df: DataFrame, id_col: str, fmt: str) -> DataFrame:
             payloads = []
             for mid in ids:
                 w, h = _img_dims(int(mid))
-                payloads.append(encode(w, h, _img_rgb(int(mid), w, h)))
+                pixels = (
+                    _gif_rgb(int(mid), w, h)
+                    if fmt == "gif"
+                    else _img_rgb(int(mid), w, h)
+                )
+                payloads.append(encode(w, h, pixels))
             yield pd.DataFrame(
                 {"media_id": ids, "payload": payloads, "media_type": f"image/{fmt}"}
             )

@@ -4383,3 +4383,24 @@ register("sql1_sqlite_roundtrip", """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
 FROM orders
 """)(_q_sqlite_roundtrip)
+
+
+# m12 — GIF89a through the real LZW codec (palette-indexed pixels)
+def _q_gif_decode(spark, sf_dir):
+    media = multimodal.attach_gif_payload(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
+register("m12_gif_decode_features", """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 16 AS BIGINT) AS width,
+       CAST(8 + doc_id % 12 AS BIGINT) AS height,
+       CAST(SUM((x + 2 * y + doc_id) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((2 * ((x + 2 * y + doc_id) % 256)) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((3 * ((x + 2 * y + doc_id) % 256)) % 256) AS BIGINT) AS b_sum,
+       true AS decoded
+FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
+     LATERAL (SELECT unnest(range(0, w)) AS x),
+     LATERAL (SELECT unnest(range(0, h)) AS y)
+GROUP BY doc_id
+""")(_q_gif_decode)

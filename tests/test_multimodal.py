@@ -283,3 +283,29 @@ def test_decode_mjpeg_video_features_end_to_end(spark):
         frames = [_mjpeg_frame_gray(r.media_id, f, w, h) for f in range(n)]
         assert r.px_sum == 3 * sum(sum(f) for f in frames)
         assert r.last_frame_sum == 3 * sum(frames[-1])
+
+
+def test_gif_codec_roundtrip_exact():
+    from tabular_to_parquet_spark.operators.codecs import decode_gif, encode_gif
+
+    w, h = 23, 17
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            p = (x + 2 * y + 5) % 256
+            rgb += bytes([p, (2 * p) % 256, (3 * p) % 256])
+    data = encode_gif(w, h, bytes(rgb))
+    assert data[:6] == b"GIF89a" and data[-1] == 0x3B
+    dw, dh, back = decode_gif(data)
+    assert (dw, dh, back) == (w, h, bytes(rgb))
+
+
+def test_gif_encode_rejects_too_many_colors():
+    import pytest as _pytest
+
+    from tabular_to_parquet_spark.operators.codecs import encode_gif
+
+    # 257 distinct colors cannot fit a GIF global color table
+    rgb = b"".join(bytes([i % 256, i // 256, 7]) for i in range(257))
+    with _pytest.raises(ValueError):
+        encode_gif(257, 1, rgb)
