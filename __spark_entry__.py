@@ -166,6 +166,7 @@ _PRIORITY = [
     "pl26_epoch_shuffle",
     "sql1_sqlite_roundtrip",
     "m12_gif_decode_features",
+    "pl27_boilerplate_strip",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

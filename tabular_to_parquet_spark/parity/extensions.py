@@ -4404,3 +4404,70 @@ FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
      LATERAL (SELECT unnest(range(0, h)) AS y)
 GROUP BY doc_id
 """)(_q_gif_decode)
+
+
+# ---------------------------------------------------------------------------
+# pl27 — boilerplate passage stripping (CCNet-style cleaning)
+
+
+def _q_boilerplate_strip(spark, sf_dir):
+    """Remove cross-document duplicate passages from every document:
+    the x30 detector's output becomes a broadcast blacklist, kept
+    chunks reassemble in order via sort_array(collect_list(struct)).
+    Declared semantics: a document IS its full non-overlapping
+    20-token chunks (trailing remainder ignored) — identical on both
+    engines. The blacklist is corpus-level-small (distinct duplicated
+    passages), so at 100 TB the strip is a broadcast anti-join + one
+    doc-keyed agg — same shape as decontamination (pl11)."""
+    w = 20
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", ta.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= w)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("t") / w).cast("int") - 1)
+        ).alias("ci"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "ci",
+        F.concat_ws(" ", F.slice("t", F.col("ci") * w + 1, w)).alias("chunk"),
+    ).withColumn("pm", F.md5("chunk"))
+    dup = (
+        chunks.groupBy("pm")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("pm")
+    )
+    kept = chunks.join(F.broadcast(dup), "pm", "left_anti")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ci", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
+        F.md5(F.concat_ws(" ", ordered)).alias("cleaned_md5"),
+    )
+
+
+register("pl27_boilerplate_strip", f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_LC} AS t FROM documents WHERE len({_TOKS_LC}) >= 20
+), chunks AS (
+    SELECT doc_id, ci,
+           array_to_string(t[ci * 20 + 1:ci * 20 + 20], ' ') AS chunk
+    FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(floor(len(t) / 20) AS INT))) AS ci)
+), dup AS (
+    SELECT md5(chunk) AS pm FROM chunks
+    GROUP BY md5(chunk) HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+    SELECT doc_id, ci, chunk FROM chunks
+    WHERE md5(chunk) NOT IN (SELECT pm FROM dup)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
+       md5(string_agg(chunk, ' ' ORDER BY ci)) AS cleaned_md5
+FROM kept GROUP BY doc_id
+""")(_q_boilerplate_strip)
