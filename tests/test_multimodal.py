@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 import hashlib
 
 import pytest
@@ -309,3 +312,27 @@ def test_gif_encode_rejects_too_many_colors():
     rgb = b"".join(bytes([i % 256, i // 256, 7]) for i in range(257))
     with _pytest.raises(ValueError):
         encode_gif(257, 1, rgb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=48),
+    h=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_codec_roundtrip_property(w, h, seed):
+    """Any ≤256-color image survives encode→decode bit-exactly."""
+    import random as _random
+
+    from tabular_to_parquet_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = _random.Random(seed)
+    palette = [
+        bytes([rng.randrange(256), rng.randrange(256), rng.randrange(256)])
+        for _ in range(rng.randint(1, 256))
+    ]
+    # dedupe palette (random colors may collide) while keeping ≤256
+    palette = list(dict.fromkeys(palette))
+    rgb = b"".join(rng.choice(palette) for _ in range(w * h))
+    data = encode_gif(w, h, rgb)
+    assert decode_gif(data) == (w, h, rgb)
