@@ -48,3 +48,47 @@ def test_salted_join_matches_plain_join(spark):
     )
     want = sorted((r.id, r.k, r.w) for r in fact.join(dim, "k").select("id", "k", "w").collect())
     assert got == want  # inner-join semantics incl. dropped key "3"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling (enabled in session.py) must actually
+    fire: a join with one dominant key, thresholds lowered to toy
+    scale, ends with `skew=true` on the SortMergeJoin in the final
+    adaptive plan — the runtime re-plan that replaces manual salting
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # an action on THIS DataFrame finalizes its adaptive plan (a
+        # noop write runs a separate QueryExecution, whose final plan
+        # this handle would not see)
+        assert len(joined.collect()) == 198_020
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
