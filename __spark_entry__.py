@@ -167,6 +167,8 @@ _PRIORITY = [
     "sql1_sqlite_roundtrip",
     "m12_gif_decode_features",
     "pl27_boilerplate_strip",
+    "a26_spend_growth",
+    "a27_window_function_zoo",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

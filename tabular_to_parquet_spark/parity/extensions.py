@@ -4471,3 +4471,119 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
        md5(string_agg(chunk, ' ' ORDER BY ci)) AS cleaned_md5
 FROM kept GROUP BY doc_id
 """)(_q_boilerplate_strip)
+
+
+# ---------------------------------------------------------------------------
+# a26 — period-over-period customer spend growth (TPC-DS-style)
+
+
+def _q_spend_growth(spark, sf_dir):
+    """Customers whose order spend grew >25% from 1996 to 1997: two
+    per-(customer, year) aggregates self-joined on the customer —
+    the period-over-period shape behind every retention/growth report.
+    Exact-cents sums; the growth test multiplies integers (4·cur >
+    5·prev) instead of dividing, so no float enters the comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_year = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    prev = per_year.filter(F.col("yr") == 1996).select(
+        "custkey", F.col("cents").alias("cents_1996")
+    )
+    cur = per_year.filter(F.col("yr") == 1997).select(
+        "custkey", F.col("cents").alias("cents_1997")
+    )
+    return (
+        prev.join(cur, "custkey")
+        .filter(F.col("cents_1997") * 4 > F.col("cents_1996") * 5)
+        .select("custkey", "cents_1996", "cents_1997")
+    )
+
+
+register("a26_spend_growth", """
+WITH per_year AS (
+    SELECT o_custkey AS custkey, EXTRACT(year FROM o_orderdate) AS yr,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+)
+SELECT p.custkey, p.cents AS cents_1996, c.cents AS cents_1997
+FROM (SELECT * FROM per_year WHERE yr = 1996) p
+JOIN (SELECT * FROM per_year WHERE yr = 1997) c USING (custkey)
+WHERE c.cents * 4 > p.cents * 5
+""")(_q_spend_growth)
+
+
+# ---------------------------------------------------------------------------
+# a27 — the full window-function surface in one query
+
+
+def _q_window_zoo(spark, sf_dir):
+    """Every ranking/offset/value window function over one partition
+    spec (customer segment, ordered by exact cents with the unique
+    custkey tiebreak): row_number, rank, dense_rank, percent_rank,
+    cume_dist, ntile, lag, lead, first/last/nth_value. One window
+    spec → ONE shuffle+sort; Catalyst evaluates all eleven in a
+    single Window operator. percent_rank/cume_dist are single
+    divisions of exact integers — bit-stable cross-engine."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 300
+    )
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        "c_mktsegment", "c_custkey", cents.alias("cents")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return base.select(
+        "c_mktsegment",
+        "c_custkey",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("cents", 1).over(w).alias("prev_cents"),
+        F.lead("cents", 1).over(w).alias("next_cents"),
+        F.first("c_custkey").over(wf).cast("long").alias("first_key"),
+        F.last("c_custkey").over(wf).cast("long").alias("last_key"),
+        F.nth_value("c_custkey", 2).over(wf).cast("long").alias("second_key"),
+    )
+
+
+register("a27_window_function_zoo", """
+SELECT c_mktsegment, c_custkey, cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       lag(cents, 1) OVER w AS prev_cents,
+       lead(cents, 1) OVER w AS next_cents,
+       CAST(first_value(c_custkey) OVER wf AS BIGINT) AS first_key,
+       CAST(last_value(c_custkey) OVER wf AS BIGINT) AS last_key,
+       CAST(nth_value(c_custkey, 2) OVER wf AS BIGINT) AS second_key
+FROM (
+    SELECT c_mktsegment, c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer WHERE c_custkey < 300
+)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey),
+       wf AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")(_q_window_zoo)
