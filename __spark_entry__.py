@@ -169,6 +169,8 @@ _PRIORITY = [
     "pl27_boilerplate_strip",
     "a26_spend_growth",
     "a27_window_function_zoo",
+    "a28_relational_division",
+    "pr10_benford_digits",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -4587,3 +4587,76 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey),
        wf AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """)(_q_window_zoo)
+
+
+# ---------------------------------------------------------------------------
+# a28 — relational division ("bought ALL brands")
+
+
+def _q_relational_division(spark, sf_dir):
+    """Relational division: customers whose orders cover EVERY part
+    brand (for-all as count-distinct-equals-total). The divisor
+    cardinality is one broadcast scalar row; the main plan is two
+    joins + one distinct-count agg on the customer key — the standard
+    decorrelation of a double-NOT-EXISTS."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    n_brands = part.agg(
+        F.countDistinct("p_brand").cast("long").alias("n_brands")
+    )
+    covered = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == orders.o_orderkey)
+        .join(part.select("p_partkey", "p_brand"),
+              li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("p_brand").cast("long").alias("n_covered"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(n_brands))
+        .filter(F.col("n_covered") == F.col("n_brands"))
+        .select(F.col("o_custkey").alias("custkey"), "n_covered")
+    )
+
+
+register("a28_relational_division", """
+WITH n AS (SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands FROM part),
+covered AS (
+    SELECT o.o_custkey AS custkey,
+           CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_covered
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY o.o_custkey
+)
+SELECT custkey, n_covered FROM covered, n WHERE n_covered = n_brands
+""")(_q_relational_division)
+
+
+# ---------------------------------------------------------------------------
+# pr10 — Benford first-digit audit
+
+
+def _q_benford_digits(spark, sf_dir):
+    """First-significant-digit distribution of order totals (in
+    cents): natural multi-magnitude amounts follow Benford's law, and
+    a flat or spiked histogram flags synthetic or manipulated values
+    — a standard forensic data-quality audit. Pure string projection
+    (first char of the integer cents) + one 9-row hash-agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    return (
+        orders.select(digit.alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+register("pr10_benford_digits", """
+SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+            AS BIGINT) AS first_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+""")(_q_benford_digits)
