@@ -171,6 +171,7 @@ _PRIORITY = [
     "a27_window_function_zoo",
     "a28_relational_division",
     "pr10_benford_digits",
+    "m13_gif_resize_features",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -4660,3 +4660,26 @@ SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
 """)(_q_benford_digits)
+
+
+# m13 — GIF decode → nearest-neighbor resize (codec + geometry)
+def _q_gif_resize(spark, sf_dir):
+    media = multimodal.attach_gif_payload(_docs(spark, sf_dir))
+    return multimodal.resize_image_features(media, target_w=16, target_h=16)
+
+
+register("m13_gif_resize_features", """
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(SUM(p % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((2 * (p % 256)) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((3 * (p % 256)) % 256) AS BIGINT) AS b_sum,
+       true AS decoded
+FROM (
+    SELECT doc_id, ((i * w) // 16) + 2 * ((j * h) // 16) + doc_id AS p
+    FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h FROM documents),
+         LATERAL (SELECT unnest(range(0, 16)) AS i),
+         LATERAL (SELECT unnest(range(0, 16)) AS j)
+)
+GROUP BY doc_id
+""")(_q_gif_resize)

@@ -106,6 +106,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "context_target_pairs": lambda: _noop(
             pl.context_target_pairs(events, context_len=3)
         ),
+        "triangle_count": h("g02_triangle_count"),
+        "boilerplate_strip": h("pl27_boilerplate_strip"),
     }
     out = {}
     for name, fn in suite.items():
