@@ -4200,7 +4200,10 @@ def _q_kwic(spark, sf_dir):
     positions, slice windows clamped at document edges. Linear in
     corpus tokens (explode → filter → projection), no shuffle at all;
     the corpus-tooling primitive behind term audits and context
-    sampling."""
+    sampling. Scale note: each exploded row materializes the token
+    array until the slice projects it away, so at 100 TB filter to
+    RARE probe terms (or pre-chunk long docs) before the explode —
+    for common terms the context copy cost is inherent to KWIC."""
     term = "the"
     docs = _docs(spark, sf_dir)
     toks = docs.select(
