@@ -18,6 +18,8 @@ Five families, each with an explicit 100 TB story:
 - **embedding**  — cosine near-dup over `array<float>` columns; exact
                    within blocks (the ANN operators in similarity.py
                    are the scale path).
+- **edit distance** — banded 3-arg levenshtein verifier over length
+                   buckets or a supplied candidate pair set.
 
 Hashing is md5-derived (functions/hashing.py) so the DuckDB oracle
 reproduces every signature bit-for-bit; swap ``fast=True`` paths to
