@@ -172,6 +172,7 @@ _PRIORITY = [
     "a28_relational_division",
     "pr10_benford_digits",
     "m13_gif_resize_features",
+    "pr11_ols_sufficient_stats",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

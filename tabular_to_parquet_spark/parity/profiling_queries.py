@@ -160,7 +160,7 @@ def _q_norm_histogram(spark, sf_dir):
     """
 WITH t AS (
     SELECT CAST(l_quantity AS BIGINT) AS x,
-           CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+           CAST(floor(l_extendedprice) AS BIGINT) AS y
     FROM lineitem),
 s AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -350,4 +350,57 @@ def _q_approx_percentiles(spark, sf_dir):
         F.col("p_cents")[0].alias("p50_cents"),
         F.col("p_cents")[1].alias("p90_cents"),
         F.col("p_cents")[2].alias("p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr11 — OLS sufficient statistics (exact-integer linear regression)
+
+
+@register(
+    "pr11_ols_sufficient_stats",
+    """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)
+                    * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)
+                    * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxx
+    FROM lineitem
+)
+SELECT n, sx, sy, sxy, sxx,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s
+""",
+)
+def _q_ols_stats(spark, sf_dir):
+    """Distributed least squares the way it actually scales: the model
+    is a RATIO OF SUMS, so one map-side-combined aggregate over
+    (n, Σx, Σy, Σxy, Σx²) IS the fit — no iterations, no driver data.
+    Slope ships as an exact integer numerator/denominator pair
+    (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²): the single float division is
+    the caller's, keeping the oracle bit-exact. Same pattern extends
+    to any GLM sufficient statistic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # whole units, not cents: keeps n*Σxy inside int64 at sf0.1
+    x = F.floor(F.col("l_quantity")).cast("long")
+    y = F.floor(F.col("l_extendedprice")).cast("long")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
     )
