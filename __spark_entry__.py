@@ -173,6 +173,7 @@ _PRIORITY = [
     "pr10_benford_digits",
     "m13_gif_resize_features",
     "pr11_ols_sufficient_stats",
+    "x32_association_rules",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

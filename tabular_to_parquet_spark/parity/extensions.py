@@ -4686,3 +4686,72 @@ FROM (
 )
 GROUP BY doc_id
 """)(_q_gif_resize)
+
+
+# ---------------------------------------------------------------------------
+# x32 — association rules (support / confidence / lift, exact rationals)
+
+
+def _q_association_rules(spark, sf_dir):
+    """Market-basket rules a→b over co-purchase baskets: support
+    n_ab, confidence n_ab/n_a, lift n_ab·N/(n_a·n_b) — all shipped as
+    exact integer numerator/denominator pairs (the BM25 trick), so no
+    float enters the oracle compare. Both directions of every pair;
+    top 20 by (n_ab, a, b). Scale: the basket self-join is the x19
+    shape; the per-item counts broadcast-join onto the pair list and
+    the basket total enters as an in-plan broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("ok").cast("long").alias("n_orders")
+    )
+    item_n = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.item") != F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    top = pair_n.orderBy(F.col("n_ab").desc(), "ante", "cons").limit(20)
+    na = item_n.select(F.col("item").alias("ante"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("cons"), F.col("n_item").alias("n_b"))
+    return (
+        top.join(F.broadcast(na), "ante")
+        .join(F.broadcast(nb), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante", "cons", "n_ab", "n_a", "n_b",
+            (F.col("n_ab") * F.col("n_orders")).cast("long").alias("lift_num"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("lift_den"),
+        )
+    )
+
+
+register("x32_association_rules", """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+), n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets),
+item_n AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY item
+), pair_n AS (
+    SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item != b.item
+    GROUP BY a.item, b.item
+), top AS (
+    SELECT ante, cons, n_ab FROM pair_n
+    ORDER BY n_ab DESC, ante, cons LIMIT 20
+)
+SELECT t.ante, t.cons, t.n_ab, ia.n_item AS n_a, ic.n_item AS n_b,
+       CAST(t.n_ab * (SELECT n_orders FROM n) AS BIGINT) AS lift_num,
+       CAST(ia.n_item * ic.n_item AS BIGINT) AS lift_den
+FROM top t
+JOIN item_n ia ON t.ante = ia.item
+JOIN item_n ic ON t.cons = ic.item
+""")(_q_association_rules)
