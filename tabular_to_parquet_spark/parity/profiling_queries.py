@@ -160,7 +160,7 @@ def _q_norm_histogram(spark, sf_dir):
     """
 WITH t AS (
     SELECT CAST(l_quantity AS BIGINT) AS x,
-           CAST(floor(l_extendedprice) AS BIGINT) AS y
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
     FROM lineitem),
 s AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
