@@ -174,6 +174,7 @@ _PRIORITY = [
     "m13_gif_resize_features",
     "pr11_ols_sufficient_stats",
     "x32_association_rules",
+    "s8_gzip_conversion",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

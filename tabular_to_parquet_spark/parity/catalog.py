@@ -551,3 +551,47 @@ SELECT col_name, kind, unit, uint_exceeds_i64 FROM (VALUES
     ('l_shipdate',      'timestamp', 'ms',                  false)
 ) AS t(col_name, kind, unit, uint_exceeds_i64)
 """)(_q_inferred_schema)
+
+
+def _q_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s6's pipeline over a GZIPPED input file: the driver-side
+    sniffer/header/sample readers decompress transparently
+    (sources/text.open_text) and Spark's csv scan handles .gz by
+    extension — same inference, same casts, same parquet. Note the
+    scale caveat every engine shares: gzip is NOT splittable, so one
+    .gz file scans as one task; many .gz files (the standard log
+    layout) parallelize per file."""
+    import gzip
+    import shutil
+
+    from tabular_to_parquet_spark.operators.convert import (
+        convert_delimited_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_LINEITEM_COLS)
+    tmp = tempfile.mkdtemp(prefix="s8_gzip_")
+    csv_dir = os.path.join(tmp, "csv")
+    (
+        li.coalesce(1)
+        .write.option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+        .csv(csv_dir)
+    )
+    csv_file = glob.glob(os.path.join(csv_dir, "part-*.csv"))[0]
+    gz_file = os.path.join(tmp, "lineitem.csv.gz")
+    with open(csv_file, "rb") as src, gzip.open(gz_file, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    out = os.path.join(tmp, "lineitem_gz.parquet")
+    convert_delimited_to_parquet(spark, gz_file, out)
+    return spark.read.parquet(out)
+
+
+register("s8_gzip_conversion", f"""
+SELECT l_orderkey, l_partkey, l_suppkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity, l_extendedprice, l_discount, l_tax,
+       l_returnflag, l_linestatus,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem
+""")(_q_gzip_roundtrip)

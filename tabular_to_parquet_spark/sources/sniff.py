@@ -28,7 +28,10 @@ def detect_delimiter_in_line(line: str) -> str:
 
 
 def detect_delimiter(path: str) -> str:
-    """Sniff the delimiter from a file's first line (utils.rs:121-137)."""
-    with io.open(path, "r", encoding="utf-8", errors="replace") as fh:
+    """Sniff the delimiter from a file's first line (utils.rs:121-137);
+    gzip-transparent via sources.text.open_text."""
+    from tabular_to_parquet_spark.sources.text import open_text
+
+    with open_text(path) as fh:
         line = fh.readline()
     return detect_delimiter_in_line(line)

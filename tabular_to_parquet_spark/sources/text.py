@@ -27,10 +27,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def open_text(path: str):
+    """Text handle with transparent gzip: if the file starts with the
+    gzip magic (1f 8b) decompress on the fly — Spark's csv scan
+    already handles .gz by extension, so this keeps the driver-side
+    sniff/header/sample readers in step with the distributed scan."""
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return io.TextIOWrapper(
+            gzip.open(path, "rb"), encoding="utf-8", errors="replace",
+            newline="",
+        )
+    return io.open(path, "r", encoding="utf-8", errors="replace", newline="")
+
+
 def read_header(path: str, delimiter: str) -> list[str]:
     """Column names from line 1 (headers are mandatory in the reference —
     schema.rs:307,310)."""
-    with io.open(path, "r", encoding="utf-8", errors="replace", newline="") as fh:
+    with open_text(path) as fh:
         reader = csv.reader(fh, delimiter=delimiter, quotechar='"')
         try:
             return next(reader)
@@ -48,7 +65,7 @@ def read_sample_rows(
     reference's inference loop (schema.rs:317-320).
     """
     rows: list[list[str]] = []
-    with io.open(path, "r", encoding="utf-8", errors="replace", newline="") as fh:
+    with open_text(path) as fh:
         reader = csv.reader(fh, delimiter=delimiter, quotechar='"')
         header = next(reader, [])
         for rec in reader:
