@@ -327,6 +327,37 @@ def gen_combined_query(seed: int) -> str:
     )
 
 
+def gen_correlated_select_query(seed: int) -> str:
+    """Correlated scalar subquery in the SELECT list (equality
+    correlation — the decorrelation both engines implement):
+    per-parent COUNT/MAX from a child table, aggregated in the outer
+    query as exact integers."""
+    rng = random.Random(seed)
+    parent, child, pk, fk = rng.choice([
+        ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+        ("customer", "orders", "c_custkey", "o_custkey"),
+    ])
+    m = META[parent]
+    if rng.random() < 0.5:
+        sub = (f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {child} "
+               f"WHERE {fk} = {pk})")
+    else:
+        cm = META[child]["money"][0]
+        sub = (f"(SELECT COALESCE(CAST(MAX(CAST(floor({cm} * 100) AS BIGINT)) "
+               f"AS BIGINT), 0) FROM {child} WHERE {fk} = {pk})")
+    gcol = rng.choice(list(m["lowcard"]))
+    icol = rng.choice(m["ints"])
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {icol} % {rng.randint(2, 5)} = {rng.randint(0, 1)}"
+    return (
+        f"SELECT {gcol}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(sub) AS BIGINT) AS s, CAST(MAX(sub) AS BIGINT) AS mx "
+        f"FROM (SELECT {gcol}, {sub} AS sub FROM {parent}{where}) t "
+        f"GROUP BY {gcol}"
+    )
+
+
 def gen_fullouter_query(seed: int) -> str:
     """FULL OUTER JOIN of two keyed aggregates — exercises outer-join
     null handling with exact-integer payloads on both engines."""
@@ -352,7 +383,7 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
     failures = []
     gens = [gen_query, gen_query, gen_window_query, gen_subquery_query,
             gen_setop_query, gen_fullouter_query, gen_groupingsets_query,
-            gen_combined_query]
+            gen_combined_query, gen_correlated_select_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
