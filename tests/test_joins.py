@@ -99,3 +99,20 @@ def test_interval_overlap_join_exactness(spark):
     # dropDuplicates in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Deduplicate" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy hints each produce their physical
+    operator — the knobs a 100 TB plan tuner actually turns when
+    Catalyst's size estimates mislead it."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(50_000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    small = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of(big.join(small.hint("broadcast"), "k"))
+    assert "SortMergeJoin" in plan_of(big.join(small.hint("merge"), "k"))
+    assert "ShuffledHashJoin" in plan_of(big.join(small.hint("shuffle_hash"), "k"))
