@@ -175,6 +175,8 @@ _PRIORITY = [
     "pr11_ols_sufficient_stats",
     "x32_association_rules",
     "s8_gzip_conversion",
+    "d13_minhash_verified_pairs",
+    "a29_asof_forward",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

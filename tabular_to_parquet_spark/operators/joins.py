@@ -35,10 +35,14 @@ def asof_join(
     on: str = "ts",
     by: str = "user_id",
     matched_col: str = "matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left columns + ``matched_col`` struct holding
-    the right row with the greatest ``on`` ≤ the left row's ``on`` for
-    the same ``by`` key (NULL when no prior right row exists).
+    """As-of join: left columns + ``matched_col`` struct holding the
+    nearest right row for the same ``by`` key — ``backward`` (default)
+    takes the greatest ``on`` ≤ the left row's ``on``; ``forward``
+    the smallest ``on`` ≥ it (NULL when no such row exists). The
+    forward variant is the same one-union-one-window plan with the
+    sort reversed.
 
     Tie rule: a right row AT the left row's timestamp matches (≤, like
     DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``). If the right side can
@@ -79,10 +83,13 @@ def asof_join(
         F.lit(None).cast(ltype).alias("__l"),
         rpay.alias("__r"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # right sorts before left at equal timestamps → visible to the match
+    on_key = F.col("__on") if direction == "backward" else F.col("__on").desc()
     w = (
         W.partitionBy("__by")
-        .orderBy("__on", "__is_left")
+        .orderBy(on_key, "__is_left")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = l2.unionByName(r2).withColumn(

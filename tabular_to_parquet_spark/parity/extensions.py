@@ -4755,3 +4755,90 @@ FROM top t
 JOIN item_n ia ON t.ante = ia.item
 JOIN item_n ic ON t.cons = ic.item
 """)(_q_association_rules)
+
+
+# ---------------------------------------------------------------------------
+# d13 — the composed near-dup pipeline: minhash candidates → edit verify
+
+
+def _q_minhash_verified_pairs(spark, sf_dir):
+    """The production near-dup pipeline as ONE plan: minhash_pairs
+    (banded LSH candidate generation, d04's exact parameters) feeds
+    edit_distance_pairs in VERIFIER mode — two id equi-joins, banded
+    levenshtein on candidates only, no length-bucket self-join
+    anywhere. This is the composition the d12 docstring promises for
+    100 TB; its oracle nests d04's full SQL as a CTE, so the
+    candidate set AND the verification are both value-checked."""
+    docs = _docs(spark, sf_dir)
+    cands = dedup.minhash_pairs(docs, threshold=0.5)
+    out = dedup.edit_distance_pairs(docs, max_dist=40, candidates=cands)
+    return out.select(
+        "id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist")
+    )
+
+
+def _d13_oracle() -> str:
+    d04 = CATALOG["d04_minhash_pairs"].oracle
+    return f"""
+WITH cand AS ({d04}),
+pre AS (
+    SELECT doc_id, substr({_NORM}, 1, 80) AS pfx FROM documents
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN pre a ON c.id_a = a.doc_id
+JOIN pre b ON c.id_b = b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 40
+"""
+
+
+register("d13_minhash_verified_pairs", _d13_oracle())(_q_minhash_verified_pairs)
+
+
+# ---------------------------------------------------------------------------
+# a29 — forward as-of join (nearest event AFTER)
+
+
+def _q_asof_forward(spark, sf_dir):
+    """Forward as-of: for every click, the user's NEXT purchase at or
+    after it. DuckDB's native ASOF only looks backward, so the oracle
+    reverses time with negated epoch keys through the same ASOF
+    operator — while the engine side reuses the union+window asof
+    plan with descending order. Completes the as-of pair: a8
+    backward, a29 forward."""
+    from tabular_to_parquet_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by="user_id", direction="forward"
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("matched.ts").alias("purchase_ts"),
+        F.col("matched.cents").alias("purchase_cents"),
+    )
+
+
+register("a29_asof_forward", """
+SELECT l.event_id, l.user_id, l.ts,
+       to_timestamp(-r.neg_us / 1000000.0)::TIMESTAMP AS purchase_ts,
+       r.cents AS purchase_cents
+FROM (SELECT event_id, user_id, ts, -epoch_us(ts) AS neg_us
+      FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (
+    SELECT user_id, -epoch_us(ts) AS neg_us,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+ON l.user_id = r.user_id AND l.neg_us >= r.neg_us
+""")(_q_asof_forward)
