@@ -177,6 +177,7 @@ _PRIORITY = [
     "s8_gzip_conversion",
     "d13_minhash_verified_pairs",
     "a29_asof_forward",
+    "pl29_pack_bpe_budget",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -1178,3 +1178,57 @@ def _q_epoch_shuffle(spark, sf_dir):
         F.col("rn").cast("long").alias("rn"),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# pl29 — packing by the REAL BPE token budget (pl05 × x11)
+
+
+def _pl29_sql() -> str:
+    from tabular_to_parquet_spark.functions import bpe
+    from tabular_to_parquet_spark.parity.extensions import _BPE_RE_SQL
+
+    cnt = bpe.bpe_token_count_sql("text", bpe.BPE_MERGES, _BPE_RE_SQL)
+    return f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+           CAST({cnt} AS BIGINT) AS tok
+    FROM documents),
+c AS (
+    SELECT *, SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - tok AS pack_start
+    FROM t)
+SELECT CAST(shard * 4294967296 + pack_start // {_PACK_BUDGET} AS BIGINT)
+           AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY 1
+"""
+
+
+@register("pl29_pack_bpe_budget", _pl29_sql())
+def _q_pack_bpe(spark, sf_dir):
+    """pl05's packing driven by the REAL learned-merges BPE count
+    (x11) instead of whitespace tokens — the budget a trainer
+    actually bills against. Same partitioned-window plan; only the
+    token column changes, which is the point: the packing contract is
+    count-agnostic."""
+    from tabular_to_parquet_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        bpe.bpe_token_count(F.col("text"), bpe.BPE_MERGES).cast("long").alias("tok"),
+    )
+    packed = pl.pack_sequences(
+        staged, "tok", _PACK_BUDGET, order_col="doc_id", shard_col="shard"
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
