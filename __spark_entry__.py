@@ -178,6 +178,7 @@ _PRIORITY = [
     "d13_minhash_verified_pairs",
     "a29_asof_forward",
     "pl29_pack_bpe_budget",
+    "x33_postings",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

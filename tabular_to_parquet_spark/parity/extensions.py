@@ -4842,3 +4842,42 @@ ASOF LEFT JOIN (
     FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
 ON l.user_id = r.user_id AND l.neg_us >= r.neg_us
 """)(_q_asof_forward)
+
+
+# ---------------------------------------------------------------------------
+# x33 — inverted-index postings for probe terms
+
+
+def _q_postings(spark, sf_dir):
+    """IR index construction: sorted distinct posting lists for a
+    fixed probe-term set. The explode+distinct is the linear index
+    build; collect_set is order-free but sort_array pins the output,
+    so the array compares exactly. At 100 TB postings write to a
+    bucketed table partitioned by term hash — this query verifies
+    the construction, not the storage."""
+    probes = ["the", "of", "data", "spark", "and"]
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(ta.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term").isin(probes))
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+register("x33_postings", f"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       array_agg(doc_id ORDER BY doc_id) AS postings
+FROM (
+    SELECT DISTINCT doc_id, t AS term
+    FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)
+    WHERE t IN ('the', 'of', 'data', 'spark', 'and')
+)
+GROUP BY term
+""")(_q_postings)
