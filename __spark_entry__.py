@@ -179,6 +179,8 @@ _PRIORITY = [
     "a29_asof_forward",
     "pl29_pack_bpe_budget",
     "x33_postings",
+    "pr12_fd_audit",
+    "d14_sorted_neighborhood_pairs",
     # no r4 row (ran green in r3; driver cap)
     "a9_range_join_binned",
     "a10_cube_order_counts",

@@ -4881,3 +4881,118 @@ FROM (
 )
 GROUP BY term
 """)(_q_postings)
+
+
+# ---------------------------------------------------------------------------
+# pr12 — functional-dependency audit
+
+
+def _q_fd_audit(spark, sf_dir):
+    """Data-quality FD check: does o_custkey determine
+    o_orderpriority? (It should NOT in healthy data — a customer
+    orders at many priorities; an FD HOLDING here would flag
+    degenerate/synthetic data.) One hash-agg per candidate key with
+    count-distinct on the dependent; summary row reports total keys,
+    violating keys, and the worst fan-out — the profile a schema
+    miner computes for every candidate FD."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("nd")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("nd") > 1).cast("long")).cast("long").alias("n_violating"),
+        F.max("nd").cast("long").alias("max_distinct"),
+    )
+
+
+register("pr12_fd_audit", """
+WITH per_key AS (
+    SELECT o_custkey, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(MAX(nd) AS BIGINT) AS max_distinct
+FROM per_key
+""")(_q_fd_audit)
+
+
+# ---------------------------------------------------------------------------
+# d14 — sorted-neighborhood candidate pairs
+
+
+def _q_sorted_neighborhood(spark, sf_dir):
+    """The classic record-linkage blocking alternative: sort by a key
+    (normalized prefix), candidates = each row with its next w-1
+    neighbors in sort order (lead() over the sorted window), verified
+    by banded levenshtein. Complements hash blocking (d12) and LSH
+    (d04/d06): sorted-neighborhood catches near-dups that share a
+    PREFIX but land in different buckets. The global sort is the
+    cost — at 100 TB use repartitionByRange on the key so each range
+    sorts locally and only range boundaries need a neighbor exchange."""
+    from pyspark.sql import Window as W
+
+    w_size, max_dist = 4, 2
+    docs = _docs(spark, sf_dir)
+    pre = docs.select(
+        "doc_id",
+        F.substring(
+            ta.normalized_text(F.col("text")), 1, 80
+        ).alias("pfx"),
+    )
+    win = W.orderBy("pfx", "doc_id")
+    cands = pre.select(
+        "doc_id",
+        "pfx",
+        *[
+            F.lead("doc_id", i).over(win).alias(f"n{i}_id")
+            for i in range(1, w_size)
+        ],
+        *[
+            F.lead("pfx", i).over(win).alias(f"n{i}_pfx")
+            for i in range(1, w_size)
+        ],
+    )
+    parts = []
+    for i in range(1, w_size):
+        parts.append(
+            cands.filter(F.col(f"n{i}_id").isNotNull()).select(
+                F.least("doc_id", f"n{i}_id").alias("id_a"),
+                F.greatest("doc_id", f"n{i}_id").alias("id_b"),
+                F.levenshtein(F.col("pfx"), F.col(f"n{i}_pfx"), max_dist)
+                .alias("edit_dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(F.col("edit_dist").between(0, max_dist))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("edit_dist").cast("long").alias("edit_dist"))
+    )
+
+
+register("d14_sorted_neighborhood_pairs", f"""
+WITH pre AS (
+    SELECT doc_id, substr({_NORM}, 1, 80) AS pfx FROM documents
+), c AS (
+    SELECT doc_id, pfx,
+           lead(doc_id, 1) OVER w AS n1_id, lead(pfx, 1) OVER w AS n1_pfx,
+           lead(doc_id, 2) OVER w AS n2_id, lead(pfx, 2) OVER w AS n2_pfx,
+           lead(doc_id, 3) OVER w AS n3_id, lead(pfx, 3) OVER w AS n3_pfx
+    FROM pre WINDOW w AS (ORDER BY pfx, doc_id)
+), pairs AS (
+    SELECT least(doc_id, n1_id) AS id_a, greatest(doc_id, n1_id) AS id_b,
+           levenshtein(pfx, n1_pfx) AS d FROM c WHERE n1_id IS NOT NULL
+    UNION ALL
+    SELECT least(doc_id, n2_id), greatest(doc_id, n2_id),
+           levenshtein(pfx, n2_pfx) FROM c WHERE n2_id IS NOT NULL
+    UNION ALL
+    SELECT least(doc_id, n3_id), greatest(doc_id, n3_id),
+           levenshtein(pfx, n3_pfx) FROM c WHERE n3_id IS NOT NULL
+)
+SELECT id_a, id_b, CAST(MIN(d) AS BIGINT) AS edit_dist
+FROM pairs WHERE d <= 2 GROUP BY id_a, id_b
+""")(_q_sorted_neighborhood)
