@@ -44,72 +44,15 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
-# Priority order for the capped (~50-row) driver sweep. First: the
-# three queries that ERRORED in CORRECTNESS_r04 (TIMESTAMP_NTZ events
-# parquet — fixed in sources/tables.py the same round; local sweep
-# green since). Second: every query that has never had a green
-# driver row (the 29 registered after the r4 cap cut off, then the
-# adapted TPC-H suite new this round). The rest — green in r4 or
-# earlier — follows in registration order.
+# Priority order for the capped (~50-row) driver sweep. Round 6: the
+# 74 catalog queries that have never had a CORRECTNESS_r* driver row
+# (union of r1-r5) go first, in catalog registration order, so the r6
+# sweep certifies ~50 of them and r7 finishes the tail. Everything
+# already driver-green follows in registration order (via _catalog_ordered).
 _PRIORITY = [
-    # errored in r4 (NTZ), fixed — confirm first
-    "ev02_event_window_stats_streaming",
-    "ev03_sessionize",
-    "ev04_sessionize_streaming",
-    # no driver row yet (registered after the r4 cap)
-    "x12_repetition_stats",
-    "pl11_decontamination_hits",
-    "d09_semantic_dup_pairs",
-    "fw1_fixed_width_roundtrip",
-    "d10_dup_clusters",
-    "d11_dup_clusters_fixpoint",
-    "x13_vocab_coverage",
-    "st3_stream_decontaminated_ingest",
-    "pl12_chunk_documents",
-    "a14_funnel_stages",
-    "pr04_embedding_norm_histogram",
-    "m10_audio_energy_windows",
-    "a15_interval_overlap_join",
-    "a16_decile_stats",
-    "pl13_partitioned_shard_read",
-    "pl14_corpus_checksum",
-    "x14_lang_source_pivot",
-    "lf1_logfmt_roundtrip",
-    "x15_measures_unpivot",
-    "pr05_price_qty_correlation",
-    "a17_grouping_sets",
-    "m11_video_motion_energy",
-    "a18_event_debounce",
-    "x16_feature_hashing",
-    "a19_resample_ffill",
-    # never driver-confirmed (absent from every CORRECTNESS round file)
-    "pl09_dedup_against_bucketed",
-    "pl10_dedup_near_against",
-    "st2_stream_dedup_ingest",
-    "x11_bpe_token_counts",
-    # adapted TPC-H suite — new this round, no driver row yet
-    "h02_min_cost_supplier",
-    "h03_shipping_priority",
-    "h04_priority_late_orders",
-    "h05_local_supplier_volume",
-    "h06_forecast_revenue",
-    "h07_bilateral_volume",
-    "h08_market_share",
-    "h09_product_profit",
-    "h10_returned_items",
-    "h11_important_parts",
-    "h12_lateness_priority",
-    "h13_order_count_distribution",
-    "h14_promo_effect",
-    "h15_top_supplier",
-    "h16_brand_supplier_count",
-    "h17_small_qty_revenue",
-    "h18_large_volume_customers",
-    "h19_branch_discount_revenue",
     "h20_red_part_shippers",
     "h21_waiting_suppliers",
     "h22_sales_opportunity",
-    # lexical retrieval, merge, cohort, stream-stream join — new this round
     "x17_bm25_topk",
     "x18_tfidf_top_terms",
     "pl15_merge_upsert",
@@ -181,44 +124,6 @@ _PRIORITY = [
     "x33_postings",
     "pr12_fd_audit",
     "d14_sorted_neighborhood_pairs",
-    # no r4 row (ran green in r3; driver cap)
-    "a9_range_join_binned",
-    "a10_cube_order_counts",
-    "a11_salted_agg",
-    "a12_salted_join",
-    "a13_star_join_revenue",
-    "avro1_typed_roundtrip",
-    "avro2_string_inference",
-    "orc1_typed_roundtrip",
-    "orc2_string_inference",
-    "j1_json_source_roundtrip",
-    "m01_media_features",
-    "m02_media_sample_frames",
-    "m03_media_resize",
-    "m04_bmp_decode_features",
-    "m05_bmp_resize_features",
-    "m06_wav_decode_features",
-    "m07_png_decode_features",
-    "m08_avi_decode_features",
-    "m09_mjpeg_decode_features",
-    "pl01_hash_split_stats",
-    "pl02_mixture_sample",
-    "pl03_stratified_sample",
-    "pl04_redact_pii",
-    "pl05_pack_stats",
-    "pl06_shard_checksum",
-    "pl07_dedup_against",
-    "pl08_prepare_corpus",
-    "pl09_dedup_against_bucketed",
-    "pl10_dedup_near_against",
-    "pr01_profile_orders",
-    "pr02_value_histogram",
-    "pr03_event_percentiles",
-    "s4_delimiter_sniff_tsv",
-    "st2_stream_dedup_ingest",
-    "x08_props_json_extract",
-    "x10_winnow_rolling",
-    "x11_bpe_token_counts",
 ]
 
 

@@ -65,6 +65,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="bench_")
     timings: dict[str, float] = {}
     timings_mean: dict[str, float] = {}
+    timings_spread: dict[str, float] = {}
 
     def timed(name):
         def deco(fn):
@@ -75,6 +76,9 @@ def main() -> None:
                 runs.append(time.monotonic() - t0)
             timings[name] = round(min(runs), 3)
             timings_mean[name] = round(sum(runs) / len(runs), 3)
+            # per-query run-to-run spread (max - min) so a reader can
+            # separate noise from regression without re-running
+            timings_spread[name] = round(max(runs) - min(runs), 3)
 
         return deco
 
@@ -331,6 +335,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_mean": timings_mean,
+                "queries_spread": timings_spread,
                 "reps": REPS,
                 "sf": _sf(),
                 "lines": n_lines,

@@ -1008,6 +1008,10 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
             iw = int.from_bytes(data[pos + 5:pos + 7], "little")
             ih = int.from_bytes(data[pos + 7:pos + 9], "little")
             iflags = data[pos + 9]
+            if iflags & 0x40:
+                # Interlaced row order isn't implemented; decoding anyway
+                # would silently scramble rows. (Our encoder never sets it.)
+                raise ValueError("interlaced GIF unsupported")
             pos += 10
             pal = gct
             if iflags & 0x80:

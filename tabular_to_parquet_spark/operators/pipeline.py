@@ -982,4 +982,9 @@ def negative_samples(
             .otherwise(F.col("_raw")),
         )
         .select(id_col, F.col("j").cast("long").alias("j"), "neg_id")
+        # N == 1 degenerate case: (raw+1) % 1 is the anchor again, so no
+        # valid negative exists — return empty rather than violate the
+        # "never the anchor" invariant. A no-op filter for N >= 2, and
+        # in-plan (no driver round-trip to inspect N).
+        .filter(F.col("neg_id") != F.col(id_col))
     )

@@ -110,10 +110,15 @@ def cms_estimate(
             ])
         ).alias("cell"),
     ).select(token_col, "cell.j", "cell.bucket")
+    # Left join + coalesce(0): a probe token absent from the corpus has
+    # empty cells (no sketch row), and true CMS semantics count an empty
+    # cell as 0 — an inner join would inflate the MIN (or drop the probe
+    # entirely). Corpus-derived probes are unaffected: every cell they
+    # hash to holds at least their own count, so all their rows match.
     return (
-        cells.join(F.broadcast(sketch), on=["j", "bucket"])
+        cells.join(F.broadcast(sketch), on=["j", "bucket"], how="left")
         .groupBy(token_col)
-        .agg(F.min("cnt").alias("n_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
     )
 
 

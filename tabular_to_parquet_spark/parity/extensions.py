@@ -30,6 +30,27 @@ from tabular_to_parquet_spark.streaming.streams import (
     windowed_event_stats,
 )
 
+# Driver-side fixture materialization cap. A handful of queries
+# (avro1/2/3, sql1, st2, st3) build an external-format fixture —
+# Avro container, SQLite db, streaming-source parquet waves — by
+# materializing a testdata slice with toPandas(). That's harness
+# setup, not the measured operator, and is small at sf0.01/sf0.1;
+# the cap turns a future sf bump into a clear error instead of a
+# silent driver OOM.
+_FIXTURE_ROW_CAP = 2_000_000
+
+
+def _fixture_pdf(df: DataFrame, cap: int = _FIXTURE_ROW_CAP):
+    """``df.toPandas()`` with an explicit row bound for fixture builders."""
+    pdf = df.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        raise RuntimeError(
+            f"fixture materialization exceeds {cap} rows; "
+            "shrink the slice (filter/limit) before toPandas()"
+        )
+    return pdf
+
+
 # ---------------------------------------------------------------------------
 # shared DuckDB fragments — literal transcriptions of the Spark builders
 
@@ -1056,11 +1077,10 @@ def _q_stream_dedup_ingest(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     build_fingerprint_index(corpus, "st2_fp_idx")
 
-    batch = (
+    batch = _fixture_pdf(
         docs.where(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .toPandas()
     )
     mid = len(batch) // 2
     tmp = tempfile.mkdtemp(prefix="st2_ingest_")
@@ -1110,11 +1130,10 @@ def _q_stream_decontaminated_ingest(spark, sf_dir):
     eval_df = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     build_fingerprint_index(corpus, "st3_fp_idx")
 
-    batch = (
+    batch = _fixture_pdf(
         docs.where(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .toPandas()
     )
     mid = len(batch) // 2
     tmp = tempfile.mkdtemp(prefix="st3_ingest_")
@@ -2614,11 +2633,10 @@ def _q_avro_roundtrip(spark, sf_dir):
         convert_columnar_to_parquet,
     )
 
-    pdf = (
+    pdf = _fixture_pdf(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
                 "l_shipdate")
-        .toPandas()
     )
     schema = {"type": "record", "name": "lineitem", "fields": [
         {"name": "l_orderkey", "type": ["null", "long"]},
@@ -2656,12 +2674,12 @@ def _q_avro_string_inference(spark, sf_dir):
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    pdf = li.select(
+    pdf = _fixture_pdf(li.select(
         F.col("l_orderkey").cast("string"),
         F.col("l_quantity").cast("string"),
         F.col("l_returnflag").cast("string"),
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias("l_shipdate"),
-    ).toPandas()
+    ))
     schema = {"type": "record", "name": "stringly", "fields": [
         {"name": c, "type": ["null", "string"]} for c in pdf.columns
     ]}
@@ -3730,7 +3748,7 @@ def _q_bigram_lm_counts(spark, sf_dir):
     aggs are map-side-combined hash aggs on short string keys."""
     toks = _docs(spark, sf_dir).select(
         ta.tokens(F.lower(F.col("text"))).alias("t")
-    )
+    ).filter(F.size("t") >= 2)  # slice(t, 1, n-1) rejects n=0 at runtime
     n = F.size("t")
     pairs = toks.select(
         F.explode(
@@ -3851,11 +3869,10 @@ def _q_avro_datasource(spark, sf_dir):
         AvroContainerDataSource,
     )
 
-    pdf = (
+    pdf = _fixture_pdf(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
                 "l_shipdate")
-        .toPandas()
     )
     schema = {"type": "record", "name": "lineitem", "fields": [
         {"name": "l_orderkey", "type": ["null", "long"]},
@@ -4354,11 +4371,10 @@ def _q_sqlite_roundtrip(spark, sf_dir):
 
     from tabular_to_parquet_spark.sources.datasource_py import SqliteDataSource
 
-    pdf = (
+    pdf = _fixture_pdf(
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                 "o_orderpriority")
-        .toPandas()
     )
     db = os.path.join(tempfile.mkdtemp(prefix="sql1_"), "orders.sqlite")
     con = sqlite3.connect(db)
