@@ -373,6 +373,91 @@ def gen_fullouter_query(seed: int) -> str:
             f"FROM ({a}) a FULL JOIN ({b}) b ON a.k = b.k")
 
 
+def gen_outer_setop_query(seed: int) -> str:
+    """Outer join COMBINED with a set op: two outer-joined keyed
+    aggregates merged by UNION [ALL] / INTERSECT / EXCEPT. Exercises
+    null-safe set-op grouping over outer-join nulls — both engines
+    implement ANSI IS NOT DISTINCT grouping for set ops."""
+    rng = random.Random(seed)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+
+    def branch():
+        k1, r1 = rng.randint(2, 5), rng.randint(0, 1)
+        k2, r2 = rng.randint(2, 5), rng.randint(0, 1)
+        jt = rng.choice(["LEFT", "FULL"])
+        a = (f"SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na "
+             f"FROM orders WHERE o_orderkey % {k1} = {r1} GROUP BY o_custkey")
+        b = (f"SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb "
+             f"FROM customer WHERE c_custkey % {k2} = {r2} GROUP BY c_custkey")
+        return (f"SELECT COALESCE(a.k, b.k) AS k, a.na, b.nb "
+                f"FROM ({a}) a {jt} JOIN ({b}) b ON a.k = b.k")
+
+    return f"SELECT k, na, nb FROM ({branch()} {op} {branch()}) u"
+
+
+def gen_nested_in_query(seed: int) -> str:
+    """Multi-level nesting: a two-deep IN chain walking the FK graph
+    (fact → dim → dim2), with exact-integer filters at every level."""
+    rng = random.Random(seed)
+    chain = rng.choice([
+        # (fact, fk, dim, pk, dim_fk, dim2, dim2_pk)
+        ("lineitem", "l_orderkey", "orders", "o_orderkey",
+         "o_custkey", "customer", "c_custkey"),
+        ("orders", "o_custkey", "customer", "c_custkey",
+         "c_nationkey", "nation", "n_nationkey"),
+    ])
+    fact, fk, dim, pk, dim_fk, dim2, dim2_pk = chain
+    m = META[fact]
+    k2, r2 = rng.randint(2, 5), rng.randint(0, 1)
+    inner = f"SELECT {dim2_pk} FROM {dim2} WHERE {dim2_pk} % {k2} = {r2}"
+    mid_extra = ""
+    mid_lc = DIM_META.get(dim, (pk, {}))[1]
+    if mid_lc and rng.random() < 0.5:
+        c, vals = rng.choice(list(mid_lc.items()))
+        mid_extra = f" AND {c} IN ({', '.join(repr(v) for v in rng.sample(vals, rng.randint(1, min(2, len(vals)))))})"
+    mid = f"SELECT {pk} FROM {dim} WHERE {dim_fk} IN ({inner}){mid_extra}"
+    neg = "NOT " if rng.random() < 0.3 else ""
+    money = rng.choice(m["money"])
+    groups = rng.sample(list(m["lowcard"]), rng.randint(0, min(1, len(m["lowcard"]))))
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT) AS s_cents",
+        f"CAST(MIN({m['ints'][0]}) AS BIGINT) AS mn",
+    ]
+    sql = (f"SELECT {', '.join(groups + aggs)} FROM {fact} "
+           f"WHERE {fk} {neg}IN ({mid})")
+    if groups:
+        sql += " GROUP BY " + ", ".join(groups)
+    return sql
+
+
+def gen_agg_of_agg_query(seed: int) -> str:
+    """Multi-level derived tables: aggregate OF an aggregate (per-key
+    counts re-aggregated per group), three SELECT levels deep."""
+    rng = random.Random(seed)
+    fact, key, gsrc = rng.choice([
+        ("orders", "o_custkey", "o_orderstatus"),
+        ("lineitem", "l_suppkey", "l_returnflag"),
+        ("lineitem", "l_partkey", "l_linestatus"),
+    ])
+    m = META[fact]
+    money = rng.choice(m["money"])
+    where = ""
+    if rng.random() < 0.5:
+        icol = rng.choice(m["ints"])
+        where = f" WHERE {icol} % {rng.randint(2, 5)} = {rng.randint(0, 1)}"
+    inner = (f"SELECT {gsrc} AS g, {key} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+             f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT) AS cents "
+             f"FROM {fact}{where} GROUP BY {gsrc}, {key}")
+    mid_pred = f"n >= {rng.randint(1, 3)}" if rng.random() < 0.5 else f"k % {rng.randint(2, 4)} = 0"
+    return (
+        f"SELECT g, CAST(COUNT(*) AS BIGINT) AS nkeys, "
+        f"CAST(SUM(n) AS BIGINT) AS nrows, CAST(MAX(cents) AS BIGINT) AS mx, "
+        f"CAST(MIN(k) AS BIGINT) AS mnk "
+        f"FROM (SELECT * FROM ({inner}) i WHERE {mid_pred}) t GROUP BY g"
+    )
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -383,7 +468,8 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
     failures = []
     gens = [gen_query, gen_query, gen_window_query, gen_subquery_query,
             gen_setop_query, gen_fullouter_query, gen_groupingsets_query,
-            gen_combined_query, gen_correlated_select_query]
+            gen_combined_query, gen_correlated_select_query,
+            gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
