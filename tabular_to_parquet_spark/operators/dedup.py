@@ -775,3 +775,97 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_dist").between(0, max_dist))
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood near-dup pairs, scale path (no global window)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    max_dist: int = 2,
+    prefix_len: int = 80,
+    block_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking WITHOUT the single-partition sort:
+    result-identical to the d14 catalog query (lead() over a global
+    ``ORDER BY pfx, doc_id`` window) but every shuffle is a hash
+    equi-exchange, so it survives the 100 TB corpus the global window
+    dies on (measured 27.5x at 10x data for the window form —
+    tools/scale_experiment.py round 6).
+
+    Construction: the global sort position is recovered WITHOUT
+    globally sorting the data —
+
+    1. per-block ``row_number`` over ``(pfx, id)`` within coarse
+       prefix blocks (``substring(pfx, 1, block_chars)``) — a
+       partitioned window, parallel;
+    2. block offsets = running count over the sorted DISTINCT block
+       list — a single-partition window over at most
+       ``|alphabet|^block_chars`` rows (bounded, broadcastable);
+    3. global position = block offset + in-block row number;
+    4. neighbor candidates = equi-join ``pos2 = pos1 + i`` for
+       i in 1..window-1 (an explode + hash join, never a range or
+       cross join), then the banded 3-arg ``levenshtein`` verifier
+       and min-per-pair, exactly as the window form.
+
+    Unlike naive per-block lead(), pairs that CROSS block boundaries
+    are found (positions are global), so results match the global
+    window for every block granularity.
+    """
+    from pyspark.sql import Window as W
+
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    w_size = window
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(normalized_text(F.col(text_col)), 1, prefix_len).alias("pfx"),
+    ).withColumn("blk", F.substring("pfx", 1, block_chars))
+
+    rn = F.row_number().over(W.partitionBy("blk").orderBy("pfx", "id"))
+    local = pre.withColumn("rn", rn.cast("long"))
+
+    counts = local.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    # bounded single-partition window: one row per DISTINCT block
+    off = F.coalesce(
+        F.sum("n").over(
+            W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = counts.select("blk", off.cast("long").alias("off"))
+
+    pos = (
+        local.join(F.broadcast(offsets), "blk")
+        .select("id", "pfx", (F.col("off") + F.col("rn")).alias("pos"))
+    )
+
+    probe = pos.select(
+        "id",
+        "pfx",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, w_size)])
+        ).alias("i"),
+        "pos",
+    ).select("id", "pfx", (F.col("pos") + F.col("i")).alias("pos2"))
+
+    right = pos.select(
+        F.col("id").alias("id_r"),
+        F.col("pfx").alias("pfx_r"),
+        F.col("pos").alias("pos2"),
+    )
+    return (
+        probe.join(right, "pos2")
+        .select(
+            F.least("id", "id_r").alias("id_a"),
+            F.greatest("id", "id_r").alias("id_b"),
+            F.levenshtein(F.col("pfx"), F.col("pfx_r"), max_dist).alias("d"),
+        )
+        .filter(F.col("d").between(0, max_dist))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("d").cast("long").alias("edit_dist"))
+    )

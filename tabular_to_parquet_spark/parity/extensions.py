@@ -1087,8 +1087,13 @@ def _q_stream_dedup_ingest(spark, sf_dir):
     in_dir = os.path.join(tmp, "in")
     os.makedirs(in_dir)
     for i, wave in enumerate((batch.iloc[:mid], batch.iloc[mid:])):
-        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False),
-                       os.path.join(in_dir, f"w{i}.parquet"))
+        path = os.path.join(in_dir, f"w{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), path)
+        # FileStreamSource orders micro-batches by file MTIME, and both
+        # waves land within the same clock tick — pin strictly
+        # ascending mtimes or wave order (hence which dup survives)
+        # is nondeterministic across runs.
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     q = stream_dedup_ingest(
         spark, in_dir, "st2_fp_idx",
         os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
@@ -1140,8 +1145,13 @@ def _q_stream_decontaminated_ingest(spark, sf_dir):
     in_dir = os.path.join(tmp, "in")
     os.makedirs(in_dir)
     for i, wave in enumerate((batch.iloc[:mid], batch.iloc[mid:])):
-        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False),
-                       os.path.join(in_dir, f"w{i}.parquet"))
+        path = os.path.join(in_dir, f"w{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), path)
+        # FileStreamSource orders micro-batches by file MTIME, and both
+        # waves land within the same clock tick — pin strictly
+        # ascending mtimes or wave order (hence which dup survives)
+        # is nondeterministic across runs.
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     q = stream_dedup_ingest(
         spark, in_dir, "st3_fp_idx",
         os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
@@ -3237,12 +3247,16 @@ GROUP BY 1, 2
 def _q_termfreq_udtf(spark, sf_dir):
     """Per-document term frequencies via a registered Python UDTF
     driven from SQL with LATERAL — the API-surface demo for
-    user-defined table functions (multi-row output per input row;
-    row-at-a-time Python, so the SCALE path for this job remains the
-    explode + hash-agg in retrieval.corpus_term_stats)."""
+    user-defined table functions (multi-row output per input row).
+    Arrow-batched evaluation (ArrowEvalPythonUDTF) replaces the
+    default row-at-a-time pickling; the pure-expression SCALE path
+    for this job remains the explode + hash-agg in
+    retrieval.corpus_term_stats."""
     import re
 
     from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     ws_split = re.compile(r"[ \t\n\x0b\f\r]+")
 
@@ -4945,8 +4959,12 @@ def _q_sorted_neighborhood(spark, sf_dir):
     by banded levenshtein. Complements hash blocking (d12) and LSH
     (d04/d06): sorted-neighborhood catches near-dups that share a
     PREFIX but land in different buckets. The global sort is the
-    cost — at 100 TB use repartitionByRange on the key so each range
-    sorts locally and only range boundaries need a neighbor exchange."""
+    cost — measured 27.5x at 10x data (SCALE.md §10, sweep 4); the
+    100 TB path is the result-identical equi-join twin
+    ``dedup.sorted_neighborhood_pairs`` (per-block row_number +
+    bounded block-offset cumsum + pos+i hash joins, linear at 10x).
+    This form stays the catalog entry because it is the literal
+    transcription the DuckDB oracle re-derives."""
     from pyspark.sql import Window as W
 
     w_size, max_dist = 4, 2

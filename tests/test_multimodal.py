@@ -303,6 +303,29 @@ def test_gif_codec_roundtrip_exact():
     assert (dw, dh, back) == (w, h, bytes(rgb))
 
 
+def test_gif_decode_rejects_interlaced():
+    """An externally-encoded interlaced GIF (image-descriptor flag
+    0x40) must raise, not decode with scrambled row order."""
+    import pytest as _pytest
+
+    from tabular_to_parquet_spark.operators.codecs import decode_gif, encode_gif
+
+    data = bytearray(encode_gif(4, 4, bytes(range(48))))
+    # skip header + global color table, then find the 0x2C image
+    # descriptor (searching from byte 13 would hit palette bytes)
+    pos = 13
+    if data[10] & 0x80:
+        pos += 3 * (2 ** ((data[10] & 0x07) + 1))
+    while data[pos] != 0x2C:  # skip extension blocks
+        pos += 2
+        while data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+    data[pos + 9] |= 0x40  # set the interlace flag
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(data))
+
+
 def test_gif_encode_rejects_too_many_colors():
     import pytest as _pytest
 

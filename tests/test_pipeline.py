@@ -551,3 +551,12 @@ def test_negative_samples_never_self_and_deterministic(spark):
     for anchor, _j, neg in out1:
         assert neg != anchor
         assert 0 <= neg < 17
+
+
+def test_negative_samples_single_row_returns_empty(spark):
+    """N == 1: no valid negative exists (every draw would be the
+    anchor), so the invariant-preserving answer is zero rows."""
+    from tabular_to_parquet_spark.operators.pipeline import negative_samples
+
+    df = spark.createDataFrame([(0,)], ["vec_id"])
+    assert negative_samples(df, "vec_id", k=3).count() == 0

@@ -36,6 +36,19 @@ def test_cms_estimate_upper_bounds_truth(spark, docs):
     assert joined["the"][0] == 6
 
 
+def test_cms_estimate_absent_probe_is_zero(spark, docs):
+    """A probe token absent from the corpus hits empty cells, which a
+    true CMS counts as 0 — the probe must survive (not be dropped by
+    the grid join) with n_est = 0, never an inflated min."""
+    sketch = sk.cms_build(sk.token_counts(docs))
+    probes = spark.createDataFrame(
+        [("zzz_not_in_corpus",), ("the",)], ["token"]
+    )
+    got = {r["token"]: r["n_est"] for r in sk.cms_estimate(sketch, probes).collect()}
+    assert got["zzz_not_in_corpus"] == 0
+    assert got["the"] >= 6  # present probes keep the upper-bound property
+
+
 def test_cms_grid_is_bounded(spark, docs):
     sketch = sk.cms_build(sk.token_counts(docs), depth=2, width=16)
     rows = sketch.collect()

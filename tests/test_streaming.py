@@ -81,6 +81,8 @@ def test_stream_dedup_ingest_across_micro_batches(spark, tmp_path):
     """Two single-file micro-batches: wave 2 carries an in-wave dup, a
     dup of a wave-1 doc, and a dup of the seeded corpus — all dropped;
     the index accumulates the survivors' fingerprints."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -101,6 +103,10 @@ def test_stream_dedup_ingest_across_micro_batches(spark, tmp_path):
             pa.table({"doc_id": [10, 11], "text": ["epsilon zeta", "eta theta"]}),
             str(in_dir / "w0.parquet"),
         )
+        # pin wave order: FileStreamSource sorts by mtime, and same-tick
+        # writes make w1-before-w0 possible (observed: doc 12 survives
+        # instead of doc 10)
+        os.utime(str(in_dir / "w0.parquet"), (1_700_000_000, 1_700_000_000))
         pq.write_table(
             pa.table(
                 {

@@ -108,6 +108,16 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         ),
         "triangle_count": h("g02_triangle_count"),
         "boilerplate_strip": h("pl27_boilerplate_strip"),
+        # round-6 additions: the session-3 families never 10x-measured
+        "minhash_verified_pairs": h("d13_minhash_verified_pairs"),
+        "sorted_neighborhood_pairs": h("d14_sorted_neighborhood_pairs"),
+        # equi-join scale twin of d14 (no single-partition data window)
+        "sorted_neighborhood_scale": lambda: _noop(
+            dedup.sorted_neighborhood_pairs(docs)
+        ),
+        "window_function_zoo": h("a27_window_function_zoo"),
+        "asof_forward": h("a29_asof_forward"),
+        "association_rules": h("x32_association_rules"),
     }
     out = {}
     for name, fn in suite.items():
