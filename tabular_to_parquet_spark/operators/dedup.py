@@ -816,33 +816,17 @@ def sorted_neighborhood_pairs(
     are found (positions are global), so results match the global
     window for every block granularity.
     """
-    from pyspark.sql import Window as W
-
+    from tabular_to_parquet_spark.operators.ordering import with_global_position
     from tabular_to_parquet_spark.operators.text_analysis import normalized_text
 
     w_size = window
     pre = df.select(
         F.col(id_col).alias("id"),
         F.substring(normalized_text(F.col(text_col)), 1, prefix_len).alias("pfx"),
-    ).withColumn("blk", F.substring("pfx", 1, block_chars))
-
-    rn = F.row_number().over(W.partitionBy("blk").orderBy("pfx", "id"))
-    local = pre.withColumn("rn", rn.cast("long"))
-
-    counts = local.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
-    # bounded single-partition window: one row per DISTINCT block
-    off = F.coalesce(
-        F.sum("n").over(
-            W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
-        ),
-        F.lit(0),
     )
-    offsets = counts.select("blk", off.cast("long").alias("off"))
-
-    pos = (
-        local.join(F.broadcast(offsets), "blk")
-        .select("id", "pfx", (F.col("off") + F.col("rn")).alias("pos"))
-    )
+    pos = with_global_position(
+        pre, ["pfx", "id"], F.substring("pfx", 1, block_chars)
+    ).select("id", "pfx", "pos")
 
     probe = pos.select(
         "id",
