@@ -458,6 +458,37 @@ def gen_agg_of_agg_query(seed: int) -> str:
     )
 
 
+def gen_window_over_join_query(seed: int) -> str:
+    """Window functions over a JOINED relation — the combination the
+    single-feature generators never reach: rank per group computed
+    after a dim join, with the dim column as the partition key."""
+    rng = random.Random(seed)
+    fact, key, dim, fk, pk, dim_col, money = rng.choice([
+        ("orders", "o_orderkey", "customer", "o_custkey", "c_custkey",
+         "c_mktsegment", "o_totalprice"),
+        ("customer", "c_custkey", "nation", "c_nationkey", "n_nationkey",
+         "n_name", "c_acctbal"),
+    ])
+    cents = f"CAST(floor({money} * 100) AS BIGINT)"
+    n = rng.randint(1, 4)
+    k_mod, r_mod = rng.randint(2, 6), rng.randint(0, 1)
+    inner = (
+        f"SELECT {dim_col} AS g, {key} AS k, {cents} AS cents, "
+        f"CAST(row_number() OVER (PARTITION BY {dim_col} "
+        f"ORDER BY {cents} DESC, {key}) AS BIGINT) AS rn "
+        f"FROM {fact} JOIN {dim} ON {fk} = {pk} "
+        f"WHERE {key} % {k_mod} = {r_mod}"
+    )
+    if rng.random() < 0.5:
+        return f"SELECT g, k, cents, rn FROM ({inner}) t WHERE rn <= {n}"
+    # aggregate the ranked rows instead: per-group stats of the top-n
+    return (
+        f"SELECT g, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(cents) AS BIGINT) AS s, CAST(MIN(k) AS BIGINT) AS mn "
+        f"FROM ({inner}) t WHERE rn <= {n} GROUP BY g"
+    )
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -469,7 +500,8 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
     gens = [gen_query, gen_query, gen_window_query, gen_subquery_query,
             gen_setop_query, gen_fullouter_query, gen_groupingsets_query,
             gen_combined_query, gen_correlated_select_query,
-            gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query]
+            gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query,
+            gen_window_over_join_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
