@@ -44,87 +44,32 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
-# Priority order for the capped (~50-row) driver sweep. Round 6: the
-# 74 catalog queries that have never had a CORRECTNESS_r* driver row
-# (union of r1-r5) go first, in catalog registration order, so the r6
-# sweep certifies ~50 of them and r7 finishes the tail. Everything
-# already driver-green follows in registration order (via _catalog_ordered).
-_PRIORITY = [
-    "h20_red_part_shippers",
-    "h21_waiting_suppliers",
-    "h22_sales_opportunity",
-    "x17_bm25_topk",
-    "x18_tfidf_top_terms",
-    "pl15_merge_upsert",
-    "a20_cohort_retention",
-    "st4_stream_click_purchase_join",
-    "pr06_value_outliers",
-    "pl16_snapshot_diff",
-    "a21_scd2_intervals",
-    "xml1_typed_roundtrip",
-    "a22_recursive_hierarchy",
-    "g01_pagerank_copurchase",
-    "x19_copurchase_top_pairs",
-    "pr07_quality_expectations",
-    "a23_rolling_1h_features",
-    "x20_variant_props_stats",
-    "pl17_incremental_agg",
-    "st5_stream_dedup_within_watermark",
-    "pl18_schema_evolution",
-    "ev07_hopping_window_stats",
-    "pl19_temperature_mixture",
-    "pl20_budget_selection",
-    "x21_termfreq_udtf",
-    "pl21_prepare_training_run",
-    "x22_string_functions",
-    "pl22_zorder_clusters",
-    "s04_label_centroids",
-    "s05_nearest_centroid_confusion",
-    "x23_array_functions",
-    "ev08_session_window_dynamic_gap",
-    "x24_source_lang_gini",
-    "d12_edit_distance_pairs",
-    "x25_countmin_heavy_hitters",
-    "a24_event_transitions",
-    "pl23_context_target_pairs",
-    "pr08_approx_distinct_users",
-    "st6_stream_static_enrich",
-    "x26_bigram_lm_counts",
-    "ev09_hopping_window_streaming",
-    "x27_ascii_profile",
-    "pl24_negative_samples",
-    "avro3_python_datasource",
-    "a25_cusum_alerts",
-    "x28_grouped_agg_udaf",
-    "st7_python_stream_source",
-    "st8_python_stream_source_parallel",
-    "pr09_approx_event_percentiles",
-    "avro4_writer_roundtrip",
-    "st9_python_stream_sink",
-    "g02_triangle_count",
-    "pl25_curriculum_phases",
-    "x29_kwic",
-    "x30_duplicate_passages",
-    "x31_langid_confusion",
-    "pl26_epoch_shuffle",
-    "sql1_sqlite_roundtrip",
-    "m12_gif_decode_features",
-    "pl27_boilerplate_strip",
-    "a26_spend_growth",
-    "a27_window_function_zoo",
-    "a28_relational_division",
-    "pr10_benford_digits",
-    "m13_gif_resize_features",
-    "pr11_ols_sufficient_stats",
-    "x32_association_rules",
-    "s8_gzip_conversion",
-    "d13_minhash_verified_pairs",
-    "a29_asof_forward",
-    "pl29_pack_bpe_budget",
-    "x33_postings",
-    "pr12_fd_audit",
-    "d14_sorted_neighborhood_pairs",
-]
+# Priority order for the capped (~50-row) driver sweep, computed from
+# the committed CORRECTNESS_r*.json rows at import time: every catalog
+# query that has never had a driver row goes first, in registration
+# order, so each round's sweep certifies the oldest unverified slice
+# and the rotation never needs a manual edit. Already-verified queries
+# follow in registration order (via _catalog_ordered). Robust to a
+# missing/corrupt file (treated as no rows).
+
+
+def _never_driver_verified() -> list[str]:
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen.update(_json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return [name for name in CATALOG if name not in seen]
+
+
+_PRIORITY = _never_driver_verified()
 
 
 def _catalog_ordered():
