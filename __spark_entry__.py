@@ -46,11 +46,16 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Priority order for the capped (~50-row) driver sweep, computed from
 # the committed CORRECTNESS_r*.json rows at import time: every catalog
-# query that has never had a driver row goes first, in registration
-# order, so each round's sweep certifies the oldest unverified slice
-# and the rotation never needs a manual edit. Already-verified queries
-# follow in registration order (via _catalog_ordered). Robust to a
-# missing/corrupt file (treated as no rows).
+# query that has never had a *passing* driver row goes first, in
+# registration order, so each round's sweep certifies the oldest
+# unverified slice and the rotation never needs a manual edit. A row
+# counts as passing only if err is unset and no recorded match flag is
+# false (rows-only queries record null hash/schema flags — null is not
+# a failure); errored or mismatched rows re-queue automatically at the
+# sweep head (r6: x29_kwic's only row was a canonicalizer error, and
+# "any row == verified" would have dropped it past the cap forever).
+# Already-verified queries follow in registration order (via
+# _catalog_ordered). Robust to a missing/corrupt file (no rows).
 
 
 def _never_driver_verified() -> list[str]:
@@ -63,9 +68,20 @@ def _never_driver_verified() -> list[str]:
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(_json.load(fh).keys())
+                rows = _json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is not None:
+                continue
+            flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+            if any(f is False for f in flags):
+                continue
+            if all(f is None for f in flags):
+                continue  # no evidence at all — not a pass
+            seen.add(name)
     return [name for name in CATALOG if name not in seen]
 
 

@@ -42,9 +42,13 @@ def with_global_position(
 
     ``block`` must be monotone non-decreasing in the leading sort key
     (equal-block rows contiguous in the global order): a prefix of a
-    string key, ``floor(key / width)`` of a numeric key. ``order_cols``
-    must be a total order (include a unique tiebreak) or positions are
-    nondeterministic within ties.
+    string key, ``floor(key / width)`` of a numeric key. A NULL block
+    is allowed iff the rows it covers are exactly the NULL-leading-key
+    rows: NULLs form their own block, positioned FIRST — matching the
+    window form's default ``asc_nulls_first`` ordering (the offset
+    window and the groupBy both sort/group NULL first, and the join
+    back is null-safe). ``order_cols`` must be a total order (include
+    a unique tiebreak) or positions are nondeterministic within ties.
     """
     local = df.withColumn("_blk", block).withColumn(
         "_rn",
@@ -58,11 +62,16 @@ def with_global_position(
         F.sum("_n").over(W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)),
         F.lit(0),
     )
-    offsets = counts.select("_blk", off.cast("long").alias("_off"))
+    offsets = counts.select(F.col("_blk").alias("_blk_r"), off.cast("long").alias("_off"))
     return (
-        local.join(F.broadcast(offsets), "_blk")
+        # eqNullSafe: a NULL block must still find its offset row —
+        # a plain equi-join would silently drop NULL-key rows instead
+        # of positioning them nulls-first like the window form does.
+        local.join(
+            F.broadcast(offsets), F.col("_blk").eqNullSafe(F.col("_blk_r"))
+        )
         .withColumn(pos_col, F.col("_off") + F.col("_rn"))
-        .drop("_blk", "_rn", "_off")
+        .drop("_blk", "_blk_r", "_rn", "_off")
     )
 
 

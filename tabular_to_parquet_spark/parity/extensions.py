@@ -1989,6 +1989,26 @@ FROM w GROUP BY decile
 """)(_q_decile_stats)
 
 
+def _q_decile_stats_scale(spark, sf_dir):
+    """The 100 TB path for a16: result-identical decile stats with the
+    global ntile/lag window replaced by ``ordering.decile_stats_scale``
+    (exact global positions from per-block row_number + bounded
+    block-offset cumsum, arithmetic ntile, pos-1 equi-join lag).
+    Every data shuffle is a hash exchange; the only single-partition
+    work is one row per value-range block. Measured 1.8x at 10x data
+    vs the window form's 4.1x (crossover ~1.5M rows, SCALE.md §10).
+    Registered against the SAME oracle as a16 — the twin's claim IS
+    exact equality with the window form."""
+    from tabular_to_parquet_spark.operators.ordering import decile_stats_scale
+
+    return decile_stats_scale(load_table(spark, sf_dir, "orders"))
+
+
+register("a16_decile_stats_scale", CATALOG["a16_decile_stats"].oracle)(
+    _q_decile_stats_scale
+)
+
+
 def _q_interval_overlap(spark, sf_dir):
     """Interval×interval overlap join: error windows [ts, ts+value·60s)
     vs purchase windows [ts, ts+600s) per user. The engine bins both
@@ -3259,7 +3279,9 @@ def _q_termfreq_udtf(spark, sf_dir):
 
     from pyspark.sql.functions import udtf
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    # Arrow UDTF eval is a session default (_ensure_session_confs),
+    # not set here: a per-query conf.set would leak into every later
+    # query in the session as an order-dependent global.
 
     ws_split = re.compile(r"[ \t\n\x0b\f\r]+")
 
@@ -4237,7 +4259,10 @@ def _q_kwic(spark, sf_dir):
     sampling. Scale note: each exploded row materializes the token
     array until the slice projects it away, so at 100 TB filter to
     RARE probe terms (or pre-chunk long docs) before the explode —
-    for common terms the context copy cost is inherent to KWIC."""
+    for common terms the context copy cost is inherent to KWIC.
+    The context window is emitted as a space-joined STRING (tokens are
+    whitespace-free, so the join is lossless); ARRAY output is not
+    hashable by the driver's pandas-based canonicalizer."""
     term = "the"
     docs = _docs(spark, sf_dir)
     toks = docs.select(
@@ -4254,7 +4279,7 @@ def _q_kwic(spark, sf_dir):
     return hits.select(
         "doc_id",
         i.cast("long").alias("pos"),
-        F.slice("t", start, length).alias("context"),
+        F.concat_ws(" ", F.slice("t", start, length)).alias("context"),
     )
 
 
@@ -4266,7 +4291,7 @@ hits AS (
     WHERE t[i] = 'the'
 )
 SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       t[greatest(1, i - 2):least(i + 2, len(t))] AS context
+       array_to_string(t[greatest(1, i - 2):least(i + 2, len(t))], ' ') AS context
 FROM hits
 """)(_q_kwic)
 
@@ -5033,3 +5058,20 @@ WITH pre AS (
 SELECT id_a, id_b, CAST(MIN(d) AS BIGINT) AS edit_dist
 FROM pairs WHERE d <= 2 GROUP BY id_a, id_b
 """)(_q_sorted_neighborhood)
+
+
+def _q_sorted_neighborhood_scale(spark, sf_dir):
+    """The 100 TB path for d14: ``dedup.sorted_neighborhood_pairs`` —
+    result-identical to the global-window form (positions recovered
+    via with_global_position, neighbors via pos+i equi-joins) but
+    every shuffle is a hash exchange; linear 9.5x at 10x data vs the
+    window form's 27.5x (SCALE.md §10). Registered against the SAME
+    oracle as d14 — the twin's claim IS exact equality with the
+    window form."""
+    return dedup.sorted_neighborhood_pairs(_docs(spark, sf_dir))
+
+
+register(
+    "d14_sorted_neighborhood_scale",
+    CATALOG["d14_sorted_neighborhood_pairs"].oracle,
+)(_q_sorted_neighborhood_scale)

@@ -67,6 +67,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         cpus = os.cpu_count() or 8
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > cpus * 2:
             spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        # Arrow-batched UDTF evaluation (ArrowEvalPythonUDTF, not
+        # row-at-a-time pickling). Set here — uniformly, as a session
+        # default — rather than inside the one UDTF query builder,
+        # which would mutate the shared session as a hidden
+        # order-dependent side effect.
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     except Exception:  # pragma: no cover - never settable-failure in 4.x
         pass
 

@@ -35,6 +35,32 @@ def test_with_global_position_matches_global_row_number(spark):
     assert got == exp
 
 
+def test_with_global_position_null_block_sorts_first(spark):
+    """A NULL block (NULL leading sort key) must not be dropped: its
+    rows take positions 1..k, matching the window form's default
+    asc_nulls_first ordering."""
+    rows = [(i, None if i % 5 == 0 else f"k{i % 7}{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        r["id"]: r["pos"]
+        for r in with_global_position(
+            df, [F.col("key").asc_nulls_first(), "id"], F.substring("key", 1, 2)
+        ).collect()
+    }
+    exp = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.col("key").asc_nulls_first(), "id"))
+            .cast("long")
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) == 200  # no rows silently dropped
+
+
 @pytest.mark.parametrize("total", [1, 3, 9, 10, 11, 19, 100, 12345])
 def test_ntile_expr_matches_builtin(spark, total):
     df = spark.range(1, total + 1).select(F.col("id").alias("pos"))

@@ -35,6 +35,8 @@ REPRESENTATIVE = [
     "pl26_epoch_shuffle",
     "g02_triangle_count",
     "x32_association_rules",
+    "a16_decile_stats_scale",
+    "d14_sorted_neighborhood_scale",
 ]
 
 
