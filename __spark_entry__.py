@@ -79,7 +79,10 @@ def _never_driver_verified() -> list[str]:
             flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
             if any(f is False for f in flags):
                 continue
-            if all(f is None for f in flags):
+            # rows-only queries (no oracle) may record null match flags;
+            # a recorded non-null spark row count with no error is the
+            # weaker pass the driver documents for them
+            if all(f is None for f in flags) and row.get("spark_rows") is None:
                 continue  # no evidence at all — not a pass
             seen.add(name)
     return [name for name in CATALOG if name not in seen]

@@ -291,6 +291,14 @@ def knn_ivf(
     or materialize the corpus with :func:`build_ivf_index` so the probe
     join is co-located (no corpus-side shuffle). Recall tunes with
     IVF_PROBES.
+
+    Do NOT read the sf0.1 bench as the scale story: at 2k vectors
+    brute force wins wall time (IVF pays 2-3 extra stages to prune a
+    one-task corpus). Measured crossover (tools/ann_crossover.py,
+    local[32], 64-d, 200 queries): brute/IVF break even between 8k
+    and 32k corpus vectors (~2-6M query·corpus dot products); at 128k
+    vectors IVF is already 2.3x faster (10.2 s vs 4.5 s warm), and
+    the gap widens linearly in |C| from there.
     """
     return _ivf_probe_join(
         ivf_corpus_frame(df, vec_col, id_col, anchors),

@@ -4910,9 +4910,11 @@ def _q_postings(spark, sf_dir):
     """IR index construction: sorted distinct posting lists for a
     fixed probe-term set. The explode+distinct is the linear index
     build; collect_set is order-free but sort_array pins the output,
-    so the array compares exactly. At 100 TB postings write to a
-    bucketed table partitioned by term hash — this query verifies
-    the construction, not the storage."""
+    so the list compares exactly. Emitted as a space-joined STRING of
+    doc ids (ARRAY output is unhashable in the driver's pandas-based
+    canonicalizer — the x29 failure class). At 100 TB postings write
+    to a bucketed table partitioned by term hash — this query
+    verifies the construction, not the storage."""
     probes = ["the", "of", "data", "spark", "and"]
     docs = _docs(spark, sf_dir)
     pairs = (
@@ -4925,13 +4927,19 @@ def _q_postings(spark, sf_dir):
     )
     return pairs.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
     )
 
 
 register("x33_postings", f"""
 SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       array_agg(doc_id ORDER BY doc_id) AS postings
+       array_to_string(array_agg(doc_id ORDER BY doc_id), ' ') AS postings
 FROM (
     SELECT DISTINCT doc_id, t AS term
     FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)

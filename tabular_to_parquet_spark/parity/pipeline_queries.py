@@ -1034,7 +1034,8 @@ WITH pairs AS (
            event_type AS target
     FROM events
 )
-SELECT user_id, ts, event_id, context, target
+SELECT user_id, ts, event_id,
+       array_to_string(context, ' ') AS context, target
 FROM pairs WHERE len(context) = 3
 """,
 )
@@ -1043,9 +1044,13 @@ def _q_context_target(spark, sf_dir):
     3 previous events per user become the context, the current event
     the target — collect_list over a deterministic ROWS frame (unique
     event_id tiebreak), one shuffle on user_id, short contexts
-    dropped."""
+    dropped. The catalog projection space-joins the context (event
+    types are whitespace-free) — ARRAY output is unhashable in the
+    driver's pandas canonicalizer (the x29 failure class); the
+    operator itself keeps the typed array."""
     ev = load_table(spark, sf_dir, "events")
-    return pl.context_target_pairs(ev, context_len=3)
+    pairs = pl.context_target_pairs(ev, context_len=3)
+    return pairs.withColumn("context", F.concat_ws(" ", F.col("context")))
 
 
 # ---------------------------------------------------------------------------

@@ -55,7 +55,24 @@ def main() -> int:
 
         t0 = time.monotonic()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            out = fn(spark, sf_dir)
+            # The driver's canonicalizer sorts results through pandas;
+            # ARRAY/MAP/STRUCT cells are unhashable there and turn an
+            # exact-match answer into an error row (x29_kwic, r6).
+            # Flag the output TYPE here so the class can't recur.
+            from pyspark.sql import types as T
+
+            nested = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in out.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if nested:
+                failures.append(name)
+                print(f"FAIL {name}: driver-unhashable output column(s) "
+                      f"{nested} — project to scalars (concat_ws)")
+                continue
+            sdf = out.toPandas()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
