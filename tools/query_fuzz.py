@@ -489,6 +489,86 @@ def gen_window_over_join_query(seed: int) -> str:
     )
 
 
+def gen_scalar_expr_query(seed: int) -> str:
+    """Scalar-function parity: per-row computed columns over the
+    string/integer/timestamp intersection (substr, upper/lower,
+    length, replace, ||, CASE chains, EXTRACT(YEAR/MONTH)) — the
+    axis every other generator holds constant. Row-level output with
+    the unique key, so every computed value is compared, not an
+    aggregate of it."""
+    rng = random.Random(seed)
+    fact, key, scol, ts = rng.choice([
+        ("orders", "o_orderkey", "o_orderpriority", "o_orderdate"),
+        ("customer", "c_custkey", "c_mktsegment", None),
+    ])
+    cols = [f"CAST({key} AS BIGINT) AS k"]
+    s = scol
+    for _ in range(rng.randint(1, 3)):
+        fn = rng.choice(["upper", "lower", "sub", "rep", "cat"])
+        if fn == "sub":
+            s = f"substr({s}, {rng.randint(1, 3)}, {rng.randint(1, 6)})"
+        elif fn == "rep":
+            s = f"replace({s}, '{rng.choice('AEIOU-')}', '{rng.choice('xz_')}')"
+        elif fn == "cat":
+            s = f"({s} || '_' || CAST({key} % {rng.randint(2, 9)} AS STRING))"
+        else:
+            s = f"{fn}({s})"
+    cols.append(f"{s} AS sval")
+    cols.append(f"CAST(length({s}) AS BIGINT) AS slen")
+    if ts and rng.random() < 0.6:
+        part = rng.choice(["YEAR", "MONTH"])
+        cols.append(f"CAST(EXTRACT({part} FROM {ts}) AS BIGINT) AS tpart")
+    if rng.random() < 0.5:
+        v = rng.randint(2, 7)
+        cols.append(
+            f"CASE WHEN {key} % {v} = 0 THEN 'z' "
+            f"WHEN {key} % {v} = 1 THEN upper({scol}) "
+            f"ELSE substr({scol}, 1, 2) END AS branched"
+        )
+    k_mod, r_mod = rng.randint(2, 11), rng.randint(0, 1)
+    return (
+        f"SELECT {', '.join(cols)} FROM {fact} "
+        f"WHERE {key} % {k_mod} = {r_mod}"
+    )
+
+
+def gen_cte_chain_query(seed: int) -> str:
+    """Multi-CTE chains with REUSE: b is defined over a, and the
+    final query joins a to b — exercising CTE inlining/reuse planning
+    paths that single-reference derived tables never hit."""
+    rng = random.Random(seed)
+    fact, key, grp, money = rng.choice([
+        ("orders", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        ("customer", "c_custkey", "c_mktsegment", "c_acctbal"),
+        ("lineitem", "l_suppkey", "l_returnflag", "l_extendedprice"),
+    ])
+    cents = f"CAST(floor({money} * 100) AS BIGINT)"
+    k_mod, r_mod = rng.randint(2, 7), rng.randint(0, 1)
+    a = (
+        f"SELECT {grp} AS g, {key} % {rng.randint(3, 9)} AS bucket, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM({cents}) AS BIGINT) AS cents "
+        f"FROM {fact} WHERE {key} % {k_mod} = {r_mod} GROUP BY 1, 2"
+    )
+    b = (
+        "SELECT g, CAST(SUM(cents) AS BIGINT) AS g_cents, "
+        "CAST(SUM(n) AS BIGINT) AS g_n FROM a GROUP BY g"
+    )
+    if rng.random() < 0.5:
+        final = (
+            "SELECT a.g, a.bucket, a.n, a.cents, b.g_cents "
+            "FROM a JOIN b ON a.g = b.g"
+        )
+        if rng.random() < 0.5:
+            final += " WHERE a.cents * 3 > b.g_cents"
+    else:
+        final = (
+            "SELECT a.g, CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            "CAST(MIN(b.g_n) AS BIGINT) AS g_n "
+            "FROM a JOIN b ON a.g = b.g GROUP BY a.g"
+        )
+    return f"WITH a AS ({a}), b AS ({b}) {final}"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -501,7 +581,8 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
             gen_setop_query, gen_fullouter_query, gen_groupingsets_query,
             gen_combined_query, gen_correlated_select_query,
             gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query,
-            gen_window_over_join_query]
+            gen_window_over_join_query, gen_scalar_expr_query,
+            gen_cte_chain_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:

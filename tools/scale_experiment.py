@@ -8,7 +8,7 @@ overheads); super-linear ratios expose the place a 100 TB run dies.
 The replica is written as MULTI-file parquet so scans parallelize —
 removing the single-row-group floor noted in SCALE.md §9.
 
-Usage: python tools/scale_experiment.py [base_sf_dir] [copies]
+Usage: python tools/scale_experiment.py [base_sf_dir] [copies] [name_regex]
 """
 
 from __future__ import annotations
@@ -119,6 +119,43 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "asof_forward": h("a29_asof_forward"),
         "association_rules": h("x32_association_rules"),
     }
+
+    # round-7 additions: the families never 10x-measured, called via
+    # the RAW catalog builders (no total-order wrapper — big-output
+    # queries would otherwise measure the driver-facing global sort,
+    # not the operator)
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    def q(name):
+        return lambda: _noop(CATALOG[name].spark(spark, sf_dir))
+
+    suite.update({
+        "r7_merge_upsert": q("pl15_merge_upsert"),
+        "r7_snapshot_diff": q("pl16_snapshot_diff"),
+        "r7_incremental_agg": q("pl17_incremental_agg"),
+        "r7_budget_selection": q("pl20_budget_selection"),
+        "r7_zorder_clusters": q("pl22_zorder_clusters"),
+        "r7_epoch_shuffle": q("pl26_epoch_shuffle"),
+        "r7_pack_bpe_budget": q("pl29_pack_bpe_budget"),
+        "r7_value_outliers": q("pr06_value_outliers"),
+        "r7_quality_expectations": q("pr07_quality_expectations"),
+        "r7_approx_distinct_users": q("pr08_approx_distinct_users"),
+        "r7_approx_event_percentiles": q("pr09_approx_event_percentiles"),
+        "r7_ols_sufficient_stats": q("pr11_ols_sufficient_stats"),
+        "r7_fd_audit": q("pr12_fd_audit"),
+        "r7_red_part_shippers": q("h20_red_part_shippers"),
+        "r7_sales_opportunity": q("h22_sales_opportunity"),
+        "r7_kwic": q("x29_kwic"),
+        "r7_postings": q("x33_postings"),
+        "r7_decile_stats_scale": q("a16_decile_stats_scale"),
+    })
+    name_regex = sys.argv[3] if len(sys.argv) > 3 else ""
+    if name_regex:
+        import re as _re
+
+        suite = {k: v for k, v in suite.items() if _re.search(name_regex, k)}
+        if not suite:
+            raise SystemExit("name filter matched no suite entries")
     out = {}
     for name, fn in suite.items():
         runs = []
