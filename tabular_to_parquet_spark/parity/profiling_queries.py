@@ -371,8 +371,12 @@ WITH s AS (
     FROM lineitem
 )
 SELECT n, sx, sy, sxy, sxx,
-       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+            - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+            AS VARCHAR) AS slope_num,
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+            - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+            AS VARCHAR) AS slope_den
 FROM s
 """,
 )
@@ -383,9 +387,19 @@ def _q_ols_stats(spark, sf_dir):
     Slope ships as an exact integer numerator/denominator pair
     (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²): the single float division is
     the caller's, keeping the oracle bit-exact. Same pattern extends
-    to any GLM sufficient statistic."""
+    to any GLM sufficient statistic.
+
+    Overflow discipline (found by the 10× scale sweep, round 7: the
+    BIGINT product n·Σxy overflowed at 6M rows): the derived num/den
+    grow ~quadratically in n, so they are computed in DECIMAL(38,0)
+    — exact to 10³⁸, map-side math unchanged — and emitted as DIGIT
+    STRINGS, because decimal(38) survives neither engine's pandas
+    bridge exactly (DuckDB renders every decimal as float64; 2⁵³
+    truncation would corrupt the driver hash). The five BIGINT sums
+    themselves are linear in n and hold to ~10¹² rows at these value
+    magnitudes; past that Spark's ANSI sum fails loudly, and the fix
+    is lifting the per-row products to decimal too."""
     li = load_table(spark, sf_dir, "lineitem")
-    # whole units, not cents: keeps n*Σxy inside int64 at sf0.1
     x = F.floor(F.col("l_quantity")).cast("long")
     y = F.floor(F.col("l_extendedprice")).cast("long")
     s = li.agg(
@@ -395,12 +409,19 @@ def _q_ols_stats(spark, sf_dir):
         F.sum(x * y).cast("long").alias("sxy"),
         F.sum(x * x).cast("long").alias("sxx"),
     )
+    d = "decimal(19,0)"
+
+    def _dec(c):
+        return F.col(c).cast(d)
+
     return s.select(
         "n", "sx", "sy", "sxy", "sxx",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("long")
+        (_dec("n") * _dec("sxy") - _dec("sx") * _dec("sy"))
+        .cast("decimal(38,0)")
+        .cast("string")
         .alias("slope_num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long")
+        (_dec("n") * _dec("sxx") - _dec("sx") * _dec("sx"))
+        .cast("decimal(38,0)")
+        .cast("string")
         .alias("slope_den"),
     )
