@@ -166,8 +166,8 @@ s AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
            CAST(SUM(x * y) AS BIGINT) AS sxy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy
+           SUM(x * x)::HUGEINT AS sxx,
+           SUM(y * y)::HUGEINT AS syy
     FROM t)
 SELECT n, sx, sy, sxy,
        (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
@@ -180,24 +180,34 @@ FROM s
 def _q_correlation(spark, sf_dir):
     """Pearson correlation with a deterministic float story: Spark's
     ``corr()`` accumulates doubles in partition order (unverifiable),
-    so the engine computes the five sufficient statistics as EXACT
-    integer sums (quantity × price-cents fit i64 at any SF) and forms
-    r in one fixed-order double expression — bit-identical on both
-    engines, one map-side-combined agg to a single row."""
+    so the engine computes the sufficient statistics as EXACT integer
+    sums and forms r in one fixed-order double expression —
+    bit-identical on both engines, one map-side-combined agg to a
+    single row.
+
+    Overflow discipline (10× smoke, round 7): Σy² with y in cents
+    grows past i64 at ~6M rows (per-row y² ≈ 3·10¹³), so the square
+    sums accumulate in DECIMAL(38,0) here / HUGEINT in the oracle —
+    both exact — and never surface as output columns. The emitted
+    BIGINT sums (Σx, Σy, Σxy) are linear-to-near-linear and hold to
+    ~10¹⁰ rows at these magnitudes; Spark ANSI fails loudly past
+    that. n·Σy² ≈ 3·10³⁷ at 10¹² rows — still inside both wide
+    types."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
     s = li.select(x.alias("x"), y.alias("y")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
     )
-    # final products exceed i64 (n·Σy² ≈ 10^23): do them in exact wide
-    # integers — DECIMAL(38,0) here, HUGEINT in the oracle — and convert
-    # to double exactly once (same IEEE rounding on both engines)
+    # products exceed i64 (n·Σy² ≈ 10^23 at sf0.1): exact wide integers
+    # — DECIMAL(38,0) here, HUGEINT in the oracle — converted to double
+    # exactly once (same round-to-nearest on both engines)
     d = lambda c: F.col(c).cast("decimal(38,0)")
     num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
     den = F.sqrt((d("n") * d("sxx") - d("sx") * d("sx")).cast("double")) * F.sqrt(

@@ -246,6 +246,36 @@ class EventsReplayDataSource(DataSource):
         )
 
 
+def _normalize_events_ts(tbl):
+    """Normalize the ``ts`` column to timestamp[us, UTC] whatever the
+    file's physical type: raw epoch-ns int64 (the driver testdata's
+    events encoding) or a tz-naive timestamp (any Spark-written
+    parquet under a naive writer). Spark's Python-data-source Arrow
+    conversion REJECTS tz-naive datetimes for a tz-aware session
+    (``Cannot convert tz-naive Timestamp`` — found by the round-7
+    10x-replica smoke, where the replica stores real timestamps),
+    and raw ns ints would be misread as µs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    i = tbl.schema.get_field_index("ts")
+    if i < 0:  # pragma: no cover - events tables always carry ts
+        return tbl
+    t = tbl.schema.field(i).type
+    col = tbl.column(i)
+    if pa.types.is_integer(t):
+        col = col.cast(pa.timestamp("ns"), safe=False)
+        t = pa.timestamp("ns")
+    if pa.types.is_timestamp(t) and t.tz is None:
+        col = pc.assume_timezone(
+            col if isinstance(col, pa.ChunkedArray) else col, "UTC"
+        )
+    col = col.cast(pa.timestamp("us", tz="UTC"), safe=False)
+    return tbl.set_column(
+        i, pa.field("ts", pa.timestamp("us", tz="UTC")), col
+    )
+
+
 class EventsReplayStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str, batches: int):
         self.path = path
@@ -256,7 +286,9 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
         if self._rows is None:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(self.path).sort_by("event_id")
+            tbl = _normalize_events_ts(
+                pq.read_table(self.path).sort_by("event_id")
+            )
             self._rows = [
                 tuple(r[k] for k in ("event_id", "ts", "user_id",
                                      "event_type", "value", "props"))
@@ -317,11 +349,15 @@ class _RangePartition(InputPartition):
 
 class EventsReplayParallelReader(DataSourceStreamReader):
     def __init__(self, path: str, batches: int, parallelism: int):
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
 
         self.path = path
         self.parallelism = parallelism
-        self.total = pq.read_metadata(path).num_rows
+        # dataset, not read_metadata: the path may be a Spark-written
+        # parquet DIRECTORY (multi-file + _SUCCESS; '_'/'.'-prefixed
+        # files are ignored by dataset discovery) — single-file
+        # metadata reads fail on it (round-7 10x-replica smoke)
+        self.total = ds.dataset(path, format="parquet").count_rows()
         self.per = max(1, -(-self.total // batches))  # ceil-div
         self._cur = 0
 
@@ -347,8 +383,10 @@ class EventsReplayParallelReader(DataSourceStreamReader):
 
         if partition.end <= partition.start:
             return
-        tbl = pq.read_table(partition.path).slice(
-            partition.start, partition.end - partition.start
+        tbl = _normalize_events_ts(
+            pq.read_table(partition.path).slice(
+                partition.start, partition.end - partition.start
+            )
         )
         for r in tbl.to_pylist():
             yield (r["event_id"], r["ts"], r["user_id"],
