@@ -267,9 +267,7 @@ def _normalize_events_ts(tbl):
         col = col.cast(pa.timestamp("ns"), safe=False)
         t = pa.timestamp("ns")
     if pa.types.is_timestamp(t) and t.tz is None:
-        col = pc.assume_timezone(
-            col if isinstance(col, pa.ChunkedArray) else col, "UTC"
-        )
+        col = pc.assume_timezone(col, "UTC")
     col = col.cast(pa.timestamp("us", tz="UTC"), safe=False)
     return tbl.set_column(
         i, pa.field("ts", pa.timestamp("us", tz="UTC")), col
