@@ -74,6 +74,12 @@ def _never_driver_verified() -> list[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            # The driver records rows-only (no-oracle) queries with
+            # err='no_oracle' and a non-null spark_rows — that IS the
+            # documented weaker pass, not a failure (r7 verdict item 2).
+            if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                seen.add(name)
+                continue
             if row.get("err") is not None:
                 continue
             flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
