@@ -274,40 +274,66 @@ def _normalize_events_ts(tbl):
     )
 
 
+#: the source's declared schema as Arrow types — exactly what Spark's
+#: Python-data-source worker expects (``to_arrow_schema`` of the DDL:
+#: RecordBatch yields bypass per-value conversion, so types must match)
+def _events_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+
+def _events_to_batches(tbl):
+    """Column-ordered, schema-cast RecordBatch list for a (possibly
+    sliced) events table. A LIST (not a generator): the simple-reader
+    prefetch cache ``copy.copy``s the iterator on replay, which only
+    works for list iterators."""
+    sch = _events_arrow_schema()
+    return tbl.select(sch.names).cast(sch).combine_chunks().to_batches()
+
+
 class EventsReplayStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str, batches: int):
         self.path = path
         self.batches = batches
-        self._rows = None  # lazy; loaded once per (driver) instance
+        self._table = None  # lazy; loaded once per (driver) instance
 
     def _load(self):
-        if self._rows is None:
+        if self._table is None:
             import pyarrow.parquet as pq
 
-            tbl = _normalize_events_ts(
+            self._table = _normalize_events_ts(
                 pq.read_table(self.path).sort_by("event_id")
             )
-            self._rows = [
-                tuple(r[k] for k in ("event_id", "ts", "user_id",
-                                     "event_type", "value", "props"))
-                for r in tbl.to_pylist()
-            ]
-        return self._rows
+        return self._table
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
     def read(self, start: dict):
-        rows = self._load()
-        n = len(rows)
+        # Arrow-batched emission: zero-copy slices of the prefetched
+        # table, never per-row Python tuples (r7 verdict item 3)
+        tbl = self._load()
+        n = tbl.num_rows
         if start["pos"] >= n:
             return iter(()), start  # caught up: same offset, no data
         per = max(1, -(-n // self.batches))  # ceil-div
         end = min(n, start["pos"] + per)
-        return iter(rows[start["pos"]:end]), {"pos": end}
+        batches = _events_to_batches(tbl.slice(start["pos"], end - start["pos"]))
+        return iter(batches), {"pos": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._load()[start["pos"]:end["pos"]])
+        sliced = self._load().slice(start["pos"], end["pos"] - start["pos"])
+        return iter(_events_to_batches(sliced))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the source is a static file
@@ -377,18 +403,34 @@ class EventsReplayParallelReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _RangePartition):
-        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import pyarrow.dataset as ds
 
         if partition.end <= partition.start:
             return
-        tbl = _normalize_events_ts(
-            pq.read_table(partition.path).slice(
-                partition.start, partition.end - partition.start
-            )
-        )
-        for r in tbl.to_pylist():
-            yield (r["event_id"], r["ts"], r["user_id"],
-                   r["event_type"], r["value"], r["props"])
+        # Fragment-pruned read: walk per-fragment row counts (cheap —
+        # parquet footer metadata) and materialize ONLY the fragments
+        # overlapping this partition's row range, instead of a full
+        # table scan + slice per partition (which was P full scans per
+        # micro-batch). Fragment enumeration order is the same
+        # deterministic dataset-discovery order the offset planner's
+        # count_rows() walked, so global row positions line up.
+        dataset = ds.dataset(partition.path, format="parquet")
+        pos = 0
+        chunks = []
+        for frag in dataset.get_fragments():
+            n = frag.count_rows()
+            lo = max(partition.start, pos)
+            hi = min(partition.end, pos + n)
+            if lo < hi:
+                chunks.append(frag.to_table().slice(lo - pos, hi - lo))
+            pos += n
+            if pos >= partition.end:
+                break
+        tbl = _normalize_events_ts(pa.concat_tables(chunks))
+        # Arrow-batched emission (r7 verdict item 3): yield RecordBatch
+        # slices, never per-row Python tuples
+        yield from _events_to_batches(tbl)
 
     def commit(self, end: dict) -> None:
         pass

@@ -61,18 +61,20 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Arrow-batched UDTF evaluation (ArrowEvalPythonUDTF, not
+        # row-at-a-time pickling). Set here — uniformly, as a session
+        # default — rather than inside the one UDTF query builder,
+        # which would mutate the shared session as a hidden
+        # order-dependent side effect. Set BEFORE the shuffle-partition
+        # sizing below: a conf-get/parse failure there must not
+        # silently drop x21 back to pickled row-at-a-time eval.
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # size shuffles to the machine instead of the 200 default —
         # the small-SF harness otherwise pays 200-task overhead per
         # shuffle (AQE may be off in a caller-provided session)
         cpus = os.cpu_count() or 8
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > cpus * 2:
             spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
-        # Arrow-batched UDTF evaluation (ArrowEvalPythonUDTF, not
-        # row-at-a-time pickling). Set here — uniformly, as a session
-        # default — rather than inside the one UDTF query builder,
-        # which would mutate the shared session as a hidden
-        # order-dependent side effect.
-        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     except Exception:  # pragma: no cover - never settable-failure in 4.x
         pass
 

@@ -62,7 +62,7 @@ def build_replica(spark, base_dir: str, out_dir: str, copies: int) -> None:
         )
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
     li = load_table(spark, sf_dir, "lineitem")
@@ -149,7 +149,6 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "r7_postings": q("x33_postings"),
         "r7_decile_stats_scale": q("a16_decile_stats_scale"),
     })
-    name_regex = sys.argv[3] if len(sys.argv) > 3 else ""
     if name_regex:
         import re as _re
 
@@ -174,8 +173,9 @@ def main() -> None:
     replica = tempfile.mkdtemp(prefix="sfx_replica_")
     print(f"building {copies}x replica at {replica} ...", file=sys.stderr)
     build_replica(spark, base, replica, copies)
-    small = run_suite(spark, base)
-    big = run_suite(spark, replica)
+    name_regex = sys.argv[3] if len(sys.argv) > 3 else ""
+    small = run_suite(spark, base, name_regex)
+    big = run_suite(spark, replica, name_regex)
     print(f"{'operator':32s} {'sf0.1':>8s} {f'{copies}x':>8s} {'ratio':>7s}")
     for name in small:
         r = big[name] / small[name] if small[name] > 0 else float("inf")
