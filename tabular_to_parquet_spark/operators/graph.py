@@ -122,3 +122,68 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     n_edge = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_edge.crossJoin(n_tri)
+
+
+def copurchase_edges_threshold(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Co-purchase edges kept only when the pair co-occurs in at least
+    ``min_orders`` distinct orders — the support-thresholded (and far
+    sparser) variant of :func:`copurchase_edges`. Symmetric by
+    construction (the distinct-order count is identical for (a,b) and
+    (b,a)). One groupBy on the pair key; the distinct-count is a
+    map-side-combinable exact agg over bounded per-order baskets."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("ok").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .select("src", "dst")
+    )
+
+
+def kcore(edges: DataFrame, k: int = 3, max_iters: int = 40) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex keeps degree >= k, by iterative peel (remove all
+    vertices of degree < k, recompute, repeat to fixpoint).
+
+    ``edges`` must be SYMMETRIC distinct (src, dst) pairs, so a
+    vertex's degree is its src-side edge count. The driver loop runs
+    one count per round (the d11 fixpoint-CC shape): each round is a
+    degree aggregation plus two semi-joins of the edge list against
+    the surviving vertex set — all equi-joins on vertex ids, no
+    cross products; ``localCheckpoint`` truncates per-round lineage.
+    Rounds are O(peel depth), data-dependent but small in practice
+    (11 at sf0.01 for the thresholded co-purchase graph); at 100 TB
+    the survivor set shrinks monotonically so rounds get cheaper as
+    they proceed. Returns (node, core_degree) for core members, with
+    core_degree the degree INSIDE the core (>= k by definition)."""
+    e = edges.select("src", "dst").localCheckpoint()
+    prev = -1
+    for _ in range(max_iters):
+        core = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        n = core.count()
+        if n == prev:
+            break
+        prev = n
+        e = (
+            e.join(core, "src")
+            .join(core.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )

@@ -193,3 +193,88 @@ def expectation_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         n=len(names), args=", ".join(f"'{c}', {c}" for c in names)
     )
     return row.select(F.expr(stack_expr), F.col("_n").alias("n_rows"))
+
+
+def fk_orphan_audit(
+    specs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (fk_name, fact, fk_col,
+    dim, pk_col) spec, count fact rows whose non-null FK value has no
+    matching dimension key — the star-schema data-quality check the
+    expectation report (``expectation_report``) doesn't cover.
+
+    NULL FKs are NOT violations (SQL FK semantics) and are excluded
+    from both counts. Scale shape: the fact side is first reduced to
+    (key, row_count) by a map-side-combinable groupBy, so the join
+    input is distinct keys, not rows; the dim side is reduced to its
+    distinct key set. Both sides shuffle on the key (AQE broadcasts
+    the dim side when it is small); per-FK results are single rows,
+    unioned driver-free into one frame."""
+    from functools import reduce
+
+    out = []
+    for fk_name, fact, fk_col, dim, pk_col in specs:
+        keys = (
+            fact.where(F.col(fk_col).isNotNull())
+            .groupBy(F.col(fk_col).cast("long").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        dim_keys = (
+            dim.select(F.col(pk_col).cast("long").alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        joined = keys.join(dim_keys, "k", "left")
+        out.append(
+            joined.agg(
+                F.lit(fk_name).alias("fk_name"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit").isNull(), F.col("n")).otherwise(F.lit(0)))
+                , F.lit(0)).cast("long").alias("n_orphans"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value: Column,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram from EXACT quantile
+    edges: one ``percentile`` aggregate computes the n_bins-1 interior
+    edges, broadcast as a scalar row; bin assignment is then a pure
+    comparison projection (no global sort, no ntile) and the stats one
+    hash-agg on the bounded bin key — the pl25 broadcast-quantile
+    shape applied to profiling.
+
+    ``n_bins`` must be a power of two so every quantile q = i/n_bins
+    is an exact dyadic fraction: the (n-1)*q position and the
+    lo + (hi-lo)*frac interpolation over integer inputs are then exact
+    in binary floating point on BOTH engines (the pr03/pl25-proven
+    argument), which is what makes the edges — and therefore the bin
+    populations — bit-reproducible. Ties across an edge all fall on
+    one deterministic side (``>`` comparisons), so equal-frequency is
+    approximate in the presence of heavy ties, as for any equi-depth
+    histogram. The 100 TB path swaps ``percentile`` for
+    ``approx_percentile`` (t-digest, mergeable) — same shape, not
+    oracle-exact."""
+    assert n_bins & (n_bins - 1) == 0, "n_bins must be a power of two"
+    v = value.alias("v")
+    base = df.select(v).where(F.col("v").isNotNull())
+    qs = ", ".join(f"{i}D / {n_bins}D" for i in range(1, n_bins))
+    edges = base.agg(F.expr(f"percentile(v, array({qs}))").alias("es"))
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        "v",
+        sum(
+            [(F.col("v") > F.col("es")[i]).cast("int") for i in range(n_bins - 1)],
+            F.lit(1),
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").cast("long").alias("min_value"),
+        F.max("v").cast("long").alias("max_value"),
+        F.sum("v").cast("long").alias("sum_value"),
+    )

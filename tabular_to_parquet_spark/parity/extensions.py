@@ -5092,3 +5092,221 @@ register(
     "d14_sorted_neighborhood_scale",
     CATALOG["d14_sorted_neighborhood_pairs"].oracle,
 )(_q_sorted_neighborhood_scale)
+
+
+# ---------------------------------------------------------------------------
+# g03 — k-core decomposition of the support-thresholded co-purchase graph
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled-peel DuckDB twin of graph.kcore: each round drops
+    vertices of degree < k and keeps edges between survivors. The
+    Spark side iterates to FIXPOINT; ``rounds`` must exceed the peel
+    depth at the certified scale (11 at sf0.01 — asserted by
+    tests/test_graph_kcore.py, which pins rounds-1 == rounds)."""
+    ctes = ["""e0 AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS n
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2)
+    WHERE n >= 2
+)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""v{i} AS MATERIALIZED (
+    SELECT src FROM e{i-1} GROUP BY src HAVING COUNT(*) >= {k}
+)""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{i-1} e
+    JOIN v{i} a ON e.src = a.src
+    JOIN v{i} b ON e.dst = b.src
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        + f"\nFROM e{rounds} GROUP BY src"
+    )
+
+
+def _q_kcore(spark, sf_dir):
+    """3-core of the co-purchase graph restricted to pairs bought
+    together in >= 2 distinct orders (graph.kcore over
+    graph.copurchase_edges_threshold): iterative peel to fixpoint —
+    the standard dense-subgraph/community primitive that extends
+    g01/g02's one-shot metrics with a converging loop. Every round is
+    a degree hash-agg plus two vertex-id equi-joins (no cross
+    products); the driver pays one count per round and lineage is
+    checkpoint-truncated, so 100 TB cost is O(peel-depth) bounded
+    shuffles over a monotonically SHRINKING edge set."""
+    from tabular_to_parquet_spark.operators import graph as g
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = g.copurchase_edges_threshold(li, min_orders=2)
+    return g.kcore(edges, k=3)
+
+
+register("g03_kcore", _kcore_oracle(3, 16))(_q_kcore)
+
+
+# ---------------------------------------------------------------------------
+# a30 — funnel stages WITHIN session boundaries (a14 × ev03)
+
+#: per-event session tagging, identical to ev03's oracle CTE but
+#: keeping event_type for the stage predicates
+_A30_TAGGED = """
+tagged AS (
+    SELECT user_id, ts, event_type,
+           SUM(CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us > 14400000000 THEN 1
+                    ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM (SELECT *, lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_us
+          FROM events)
+)"""
+
+
+def _q_sessionized_funnel(spark, sf_dir):
+    """a14's view->click->purchase funnel scoped to ev03's session
+    boundaries: a conversion must complete INSIDE one session, the
+    form a product analyst actually asks for (cross-session 'funnels'
+    conflate intent). Implementation: session_tags (the ev03 tagger)
+    then three chained whole-partition window mins over (user_id,
+    session_no) — t_view, then first click after t_view, then first
+    purchase after that click — and one collapse agg. ONE shuffle on
+    the session key serves all three windows and the final groupBy
+    (Catalyst reuses the exchange); no self-joins at all, so at
+    100 TB this costs a single exchange of the events table."""
+    from pyspark.sql import Window as W
+
+    from tabular_to_parquet_spark.streaming.streams import session_tags
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = session_tags(ev).select("user_id", "ts", "event_type", "session_no")
+    w = W.partitionBy("user_id", "session_no")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = tagged.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t_purchase", t_purchase)
+    out = (
+        s3.groupBy("user_id", "session_no")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+        .where(F.col("t_view").isNotNull())
+    )
+    stages = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "t_view", "t_click", "t_purchase",
+        stages.cast("long").alias("stages_reached"),
+    )
+
+
+register("a30_sessionized_funnel", f"""
+WITH {_A30_TAGGED},
+s AS (
+    SELECT user_id, session_no,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM tagged GROUP BY 1, 2
+),
+c AS (
+    SELECT t.user_id, t.session_no, MIN(t.ts) AS t_click
+    FROM tagged t JOIN s ON t.user_id = s.user_id AND t.session_no = s.session_no
+    WHERE t.event_type = 'click' AND t.ts > s.t_view
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT t.user_id, t.session_no, MIN(t.ts) AS t_purchase
+    FROM tagged t JOIN c ON t.user_id = c.user_id AND t.session_no = c.session_no
+    WHERE t.event_type = 'purchase' AND t.ts > c.t_click
+    GROUP BY 1, 2
+)
+SELECT s.user_id, CAST(s.session_no AS BIGINT) AS session_no,
+       s.t_view, c.t_click, p.t_purchase,
+       CAST(1 + (c.t_click IS NOT NULL)::INT
+              + (p.t_purchase IS NOT NULL)::INT AS BIGINT) AS stages_reached
+FROM s LEFT JOIN c ON s.user_id = c.user_id AND s.session_no = c.session_no
+       LEFT JOIN p ON s.user_id = p.user_id AND s.session_no = p.session_no
+WHERE s.t_view IS NOT NULL
+""")(_q_sessionized_funnel)
+
+
+# ---------------------------------------------------------------------------
+# a31 — ROLLUP subtotal lattice with GROUPING flags
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    """Region -> order-priority subtotal lattice via native ROLLUP
+    (region totals, grand total) with GROUPING flags disambiguating
+    rollup NULLs from data NULLs — the subtotal-report shape the
+    fuzzer exercises randomly (GROUPING SETS generators, r6) pinned
+    as a driver-certified catalog row. Revenue stays in integer
+    cents; the join tree is orders->customer->nation->region with
+    both tiny dims broadcast. ROLLUP is one Expand (x3 here) over the
+    aggregation — no extra shuffle vs a plain groupBy at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "r_name", "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        j.rollup("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .select(
+            "r_name", "o_orderpriority", "n_orders", "revenue_cents",
+            "g_region", "g_priority",
+        )
+    )
+
+
+register("a31_rollup_revenue", """
+SELECT r_name, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM (SELECT r_name, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey)
+GROUP BY ROLLUP (r_name, o_orderpriority)
+""")(_q_rollup_revenue)

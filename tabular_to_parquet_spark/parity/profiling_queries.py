@@ -435,3 +435,95 @@ def _q_ols_stats(spark, sf_dir):
         .cast("string")
         .alias("slope_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pr13 — referential-integrity / FK-orphan audit across the star schema
+
+#: (fk_name, fact table, fk column, dim table, pk column)
+_FK_SPECS = [
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id -> customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_arm(fk_name: str, fact: str, fk: str, dim: str, pk: str) -> str:
+    return f"""
+SELECT '{fk_name}' AS fk_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_orphans
+FROM (SELECT CAST({fk} AS BIGINT) AS k FROM {fact} WHERE {fk} IS NOT NULL) f
+LEFT JOIN (SELECT DISTINCT CAST({pk} AS BIGINT) AS k FROM {dim}) d USING (k)"""
+
+
+@register(
+    "pr13_fk_orphans",
+    "\nUNION ALL\n".join(_fk_arm(*s) for s in _FK_SPECS),
+)
+def _q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit over every FK edge of the star
+    schema (profiling.fk_orphan_audit): per edge, how many non-null
+    fact keys have no dimension match — the data-quality shape the
+    pr07 expectation report doesn't cover (it validates values in
+    isolation; this validates RELATIONSHIPS). Fact sides are reduced
+    to distinct (key, count) before the join, so at 100 TB each edge
+    costs one map-side-combined agg plus a key-join AQE can broadcast
+    (every dim here is small); no row-level join anywhere."""
+    from tabular_to_parquet_spark.operators.profiling import fk_orphan_audit
+
+    t = {name: load_table(spark, sf_dir, name)
+         for name in ("lineitem", "orders", "part", "supplier",
+                      "customer", "nation", "region", "events")}
+    specs = [(n, t[fact], fk, t[dim], pk) for n, fact, fk, dim, pk in _FK_SPECS]
+    return fk_orphan_audit(specs)
+
+
+# ---------------------------------------------------------------------------
+# pr14 — equi-depth histogram from exact octile edges
+
+_ED_BINS = 8
+
+
+@register(
+    "pr14_equi_depth_histogram",
+    f"""
+WITH t AS (
+    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    WHERE o_totalprice IS NOT NULL
+),
+b AS (
+    SELECT {", ".join(f"quantile_cont(v, {i}.0/{_ED_BINS}) AS e{i}" for i in range(1, _ED_BINS))}
+    FROM t
+)
+SELECT CAST(1 + {" + ".join(f"(v > e{i})::INT" for i in range(1, _ED_BINS))} AS BIGINT)
+           AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS min_value,
+       CAST(MAX(v) AS BIGINT) AS max_value,
+       CAST(SUM(v) AS BIGINT) AS sum_value
+FROM t, b
+GROUP BY 1
+""",
+)
+def _q_equi_depth(spark, sf_dir):
+    """8-bin equi-depth histogram of order totals in integer cents
+    (profiling.equi_depth_histogram): exact octile edges from ONE
+    percentile aggregate broadcast as a scalar row, bin assignment a
+    pure comparison projection, stats one bounded-key hash agg — the
+    equal-frequency companion to pr02's fixed-width histogram, with
+    no global sort or ntile anywhere. Dyadic q = i/8 keeps the
+    interpolated edges bit-identical across engines (the pl25
+    argument); at 100 TB swap percentile for approx_percentile."""
+    from tabular_to_parquet_spark.operators.profiling import equi_depth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(
+        orders, F.floor(F.col("o_totalprice") * 100).cast("long"), _ED_BINS
+    )

@@ -166,6 +166,27 @@ def windowed_event_stats_frame(events: DataFrame, window: str = "5 minutes") -> 
     )
 
 
+def session_tags(events: DataFrame, gap_minutes: int = 240) -> DataFrame:
+    """Per-EVENT session tagging: every input column plus
+    ``session_no`` (1-based per user), sessions split on event-time
+    gaps strictly greater than ``gap_minutes``. The lag + running-sum
+    pair shares one (user_id)-partitioned sort; exact integer
+    microsecond gap math. This is :func:`sessionize_frame`'s tagger,
+    exposed so session-scoped analyses (e.g. the a30 sessionized
+    funnel) can join behaviour to session boundaries without
+    re-deriving them."""
+    from pyspark.sql import Window as W
+
+    gap_us = gap_minutes * 60_000_000
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess_no = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return events.withColumn("session_no", sess_no)
+
+
 def sessionize_frame(events: DataFrame, gap_minutes: int = 240) -> DataFrame:
     """Batch sessionization: per-user sessions split on event-time gaps
     larger than ``gap_minutes``.
@@ -177,17 +198,8 @@ def sessionize_frame(events: DataFrame, gap_minutes: int = 240) -> DataFrame:
     microseconds; the value sum is integer cents — fully
     oracle-reproducible.
     """
-    from pyspark.sql import Window as W
-
-    gap_us = gap_minutes * 60_000_000
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_new = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
-    ).otherwise(0)
-    sess_no = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    tagged = events.select(
-        "user_id", "ts", "value", "event_id", sess_no.alias("session_no")
+    tagged = session_tags(events, gap_minutes).select(
+        "user_id", "ts", "value", "event_id", "session_no"
     )
     return (
         tagged.groupBy("user_id", "session_no")

@@ -1,0 +1,119 @@
+"""Round-8 operators: k-core peel (operators/graph.kcore), the FK
+orphan audit and equi-depth histogram (operators/profiling), and the
+session-tagger extraction (streaming/streams.session_tags).
+
+Exact large-scale values are oracle-gated (g03, pr13, pr14, a30);
+these tests pin the semantics on hand-built inputs plus the g03
+oracle's unroll-depth safety margin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import graph
+from tabular_to_parquet_spark.operators.profiling import (
+    equi_depth_histogram,
+    fk_orphan_audit,
+)
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle 1-2-3 plus a pendant 3-4: the 2-core is the triangle
+    edges = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (1, 3), (3, 4)]), "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"] for r in graph.kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_to_empty(spark):
+    # 1-2-3-4 chain: each peel round exposes a new degree-1 endpoint,
+    # so convergence needs >1 iteration and ends empty
+    edges = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (3, 4)]), "src long, dst long"
+    )
+    assert graph.kcore(edges, k=2).count() == 0
+
+
+def test_kcore_keeps_whole_clique(spark):
+    edges = spark.createDataFrame(
+        _sym([(a, b) for a in range(4) for b in range(a + 1, 4)]),
+        "src long, dst long",
+    )
+    out = {r["node"]: r["core_degree"] for r in graph.kcore(edges, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_oracle_unroll_depth_has_margin():
+    """The g03 DuckDB oracle unrolls 16 peel rounds; the Spark side
+    runs to fixpoint. Certification is only sound if the peel
+    CONVERGES within the unroll at the certified scale — pin that
+    round 15 and round 16 produce identical row sets (i.e. fixpoint
+    reached with at least one round to spare)."""
+    import duckdb
+
+    from tabular_to_parquet_spark.parity.extensions import _kcore_oracle
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS "
+        "SELECT * FROM '/root/testdata/sf0.01/lineitem.parquet'"
+    )
+    r15 = con.sql(_kcore_oracle(3, 15) + " ORDER BY node").fetchall()
+    r16 = con.sql(_kcore_oracle(3, 16) + " ORDER BY node").fetchall()
+    assert r15 == r16
+    assert len(r16) > 0
+
+
+def test_fk_orphan_audit_counts_orphans_not_nulls(spark):
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = fk_orphan_audit([("fact.fk -> dim.pk", fact, "fk", dim, "pk")]).collect()[0]
+    assert row["fk_name"] == "fact.fk -> dim.pk"
+    assert row["n_rows"] == 4  # the NULL FK is excluded entirely
+    assert row["n_orphans"] == 1  # only 99
+
+
+def test_fk_orphan_audit_empty_fact(spark):
+    fact = spark.createDataFrame([], "fk long")
+    dim = spark.createDataFrame([(1,)], "pk long")
+    row = fk_orphan_audit([("f", fact, "fk", dim, "pk")]).collect()[0]
+    assert (row["n_rows"], row["n_orphans"]) == (0, 0)
+
+
+def test_equi_depth_histogram_uniform_fill(spark):
+    df = spark.createDataFrame([(i,) for i in range(16)], "v long")
+    out = {
+        r["bin"]: (r["n"], r["min_value"], r["max_value"])
+        for r in equi_depth_histogram(df, F.col("v"), n_bins=4).collect()
+    }
+    # 16 uniform values into 4 bins: exactly 4 per bin, contiguous
+    assert {b: n for b, (n, _, _) in out.items()} == {1: 4, 2: 4, 3: 4, 4: 4}
+    assert out[1][1] == 0 and out[4][2] == 15
+
+
+def test_session_tags_preserves_columns_and_matches_frame(spark):
+    """The extracted tagger must carry every input column and
+    reproduce sessionize_frame's boundaries (the ev03 contract)."""
+    from tabular_to_parquet_spark.sources.tables import load_table
+    from tabular_to_parquet_spark.streaming.streams import (
+        session_tags,
+        sessionize_frame,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    tagged = session_tags(ev)
+    assert set(ev.columns) | {"session_no"} == set(tagged.columns)
+    via_tags = (
+        tagged.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    direct = sessionize_frame(ev).select("user_id", "session_no", "n_events")
+    assert via_tags.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_tags).count() == 0

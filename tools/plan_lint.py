@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "pl21_prepare_training_run": "1-row scalar aggregate (token budget)",
     "pl24_negative_samples": "1-row scalar aggregate (corpus size N)",
     "pl25_curriculum_phases": "1-row scalar aggregate (exact quartiles)",
+    "pr14_equi_depth_histogram": "1-row scalar aggregate (exact octile edges)",
     "g02_triangle_count": "1-row scalar aggregate (global count)",
     "x32_association_rules": "1-row scalar aggregate (basket total)",
     "a16_decile_stats_scale": "1-row scalar aggregate (total row count for ntile)",
