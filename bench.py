@@ -327,23 +327,32 @@ def main() -> None:
         file=sys.stderr,
     )
     shutil.rmtree(work, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_mean": timings_mean,
-                "queries_spread": timings_spread,
-                "reps": REPS,
-                "sf": _sf(),
-                "lines": n_lines,
-                "convert_lines_per_sec": round(n_lines / conv),
-                "baseline_ref_lines_per_sec": 10_000,  # BASELINE.md, README.md:127
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_mean": timings_mean,
+            "queries_spread": timings_spread,
+            "reps": REPS,
+            "sf": _sf(),
+            "lines": n_lines,
+            "convert_lines_per_sec": round(n_lines / conv),
+            "baseline_ref_lines_per_sec": 10_000,  # BASELINE.md, README.md:127
+        }
     )
+    print(payload)
+    # The driver clips long stdout lines when recording BENCH_r{N}.json
+    # (the r7 file lost the first four query entries) — also write the
+    # full JSON to a stable file so every judge/round reads complete
+    # numbers without reconstructing from queries_spread.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -574,6 +574,49 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def gen_agg_product_query(seed: int) -> str:
+    """Products OF aggregates (agg x agg in one SELECT) — the round-7
+    overflow class: n*Sxy-style BIGINT products overflow int64 once
+    row counts hit millions, so the durable rule (SCALE.md §12) is
+    agg-product math in DECIMAL(38,0) emitted as DIGIT STRINGS (wide
+    decimals don't survive either engine's pandas bridge exactly).
+    This generator fuzz-enforces that rule: the linear sums stay
+    BIGINT, every product is decimal-lifted and stringified."""
+    rng = random.Random(seed)
+    fact, g = rng.choice([
+        ("orders", "o_orderstatus"),
+        ("orders", "o_orderpriority"),
+        ("lineitem", "l_returnflag"),
+        ("lineitem", "l_linestatus"),
+        ("customer", "c_mktsegment"),
+    ])
+    m = META[fact]
+    money = rng.choice(m["money"])
+    icol = rng.choice(m["ints"])
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {rng.choice(m['ints'])} % {rng.randint(2, 5)} = {rng.randint(0, 1)}"
+    x = f"CAST(floor({money} * 100) AS BIGINT)"
+    y = f"CAST({icol} AS BIGINT)"
+    d = "DECIMAL(19,0)"
+    n_d = f"CAST(COUNT(*) AS {d})"
+    sx_d = f"CAST(SUM({x}) AS {d})"
+    sy_d = f"CAST(SUM({y}) AS {d})"
+    sxy_d = f"CAST(SUM({x} * {y}) AS {d})"
+    products = rng.sample([
+        f"CAST(CAST({n_d} * {sxy_d} - {sx_d} * {sy_d} AS DECIMAL(38,0)) AS STRING) AS cov_num",
+        f"CAST(CAST({sx_d} * {sy_d} AS DECIMAL(38,0)) AS STRING) AS sxsy",
+        f"CAST(CAST({n_d} * {sx_d} AS DECIMAL(38,0)) AS STRING) AS nsx",
+        f"CAST(CAST({sx_d} * {sx_d} AS DECIMAL(38,0)) AS STRING) AS sx2",
+    ], k=rng.randint(1, 3))
+    return (
+        f"SELECT {g} AS g, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({x}) AS BIGINT) AS sx, "
+        + ", ".join(products)
+        + f" FROM {fact}{where} GROUP BY {g}"
+    )
+
+
 def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str, str]]:
     """Returns a list of (seed, sql, reason) failures (empty = all match)."""
     failures = []
@@ -582,7 +625,7 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
             gen_combined_query, gen_correlated_select_query,
             gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query,
             gen_window_over_join_query, gen_scalar_expr_query,
-            gen_cte_chain_query]
+            gen_cte_chain_query, gen_agg_product_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
