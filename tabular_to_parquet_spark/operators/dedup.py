@@ -558,18 +558,29 @@ def semantic_dup_pairs(
     Output: ``(id_a, id_b, cell, cosine)`` with ``id_a < id_b``,
     cosine ≥ threshold.
     """
-    from tabular_to_parquet_spark.operators.similarity import ivf_cell
+    from tabular_to_parquet_spark.operators.similarity import (
+        ivf_cell,
+        ivf_cell_vectorized,
+    )
 
     # norms are precomputed per VECTOR, not per pair: the array folds
     # are interpreted (higher-order functions don't codegen), so moving
     # 2 of the 3 folds from |pairs| to |N| is a ~3× win on the join
     # (measured 14.2 s → ~5 s at sf0.1). dot/(norm_a*norm_b) is the
     # same expression tree the oracle uses — bit-identical.
+    # fast mode assigns cells with the batch-matmul UDF: at scale the
+    # anchor count grows with the corpus (suggest_cells) and the
+    # literal-dot unroll would blow up planning; per-vector norms are
+    # skipped there (cosine_vectorized derives them in the batch).
+    cell_fn = ivf_cell_vectorized if fast else ivf_cell
     docs = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        ivf_cell(F.col(vec_col), anchors).alias("cell"),
-        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        cell_fn(F.col(vec_col), anchors).alias("cell"),
+        (
+            F.lit(0.0) if fast
+            else F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+        ).alias("nrm"),
     )
     a, b = docs.alias("a"), docs.alias("b")
     if fast:

@@ -479,3 +479,33 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_cell_vectorized(
+    vec: Column, anchors: list[list[float]] | None = None
+) -> Column:
+    """Arrow-batched numpy IVF cell assignment — the many-anchor path.
+
+    :func:`ivf_cell` unrolls one literal-array dot per anchor into the
+    projection; fine at 16 cells, but Catalyst planning cost and
+    per-row interpreted folds grow linearly with the anchor count (the
+    known literal-dot-unroll blowup). At 100 TB the cell count must
+    grow with the corpus (``suggest_cells``), so cell assignment has to
+    be a batch matmul: stack the Arrow batch to a (B, d) matrix, one
+    (B, d) @ (d, C) product, row argmax. numpy argmax takes the lowest
+    index on ties — the same tie-break as the expression form; the
+    matmul's sum order is NOT the sequential fold's (last-ulp), so
+    oracle-gated queries keep :func:`ivf_cell` and scale paths use
+    this."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.asarray(anchors or ivf_anchors(), dtype="float64").T  # (d, C)
+
+    def _cell_impl(xs):
+        xa = np.stack(xs.to_numpy()).astype("float64")
+        return pd.Series(np.argmax(xa @ a, axis=1).astype("int32"))
+
+    _cell_impl.__annotations__ = {"xs": pd.Series, "return": pd.Series}
+    return pandas_udf("int")(_cell_impl)(vec)

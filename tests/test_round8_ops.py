@@ -117,3 +117,44 @@ def test_session_tags_preserves_columns_and_matches_frame(spark):
     direct = sessionize_frame(ev).select("user_id", "session_no", "n_events")
     assert via_tags.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_tags).count() == 0
+
+
+def test_ivf_cell_vectorized_matches_expression(spark):
+    """The batch-matmul cell assigner must agree with the expression
+    argmax on real vectors (same tie-break: lowest index), at both the
+    default and an enlarged anchor count."""
+    from tabular_to_parquet_spark.operators.similarity import (
+        ivf_anchors,
+        ivf_cell,
+        ivf_cell_vectorized,
+    )
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for anchors in (None, ivf_anchors(cells=64)):
+        both = emb.select(
+            ivf_cell(F.col("embedding"), anchors).alias("e"),
+            ivf_cell_vectorized(F.col("embedding"), anchors).alias("v"),
+        )
+        assert both.where(F.col("e") != F.col("v")).count() == 0
+
+
+def test_semantic_dup_pairs_fast_matches_exact_pair_set(spark):
+    """fast=True (vectorized cells + cosine) must produce the same
+    (id_a, id_b, cell) pair set as the exact fold away from the
+    threshold boundary (cosines can differ in the last ulp)."""
+    from tabular_to_parquet_spark.operators import dedup
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").limit(500)
+    exact = {
+        (r.id_a, r.id_b, r.cell)
+        for r in dedup.semantic_dup_pairs(emb, threshold=0.4).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.cell)
+        for r in dedup.semantic_dup_pairs(emb, threshold=0.4, fast=True).collect()
+    }
+    # identical up to threshold-boundary ulps: require symmetric
+    # difference empty (the fixture has no cosine within 1e-9 of 0.4)
+    assert exact == fast
