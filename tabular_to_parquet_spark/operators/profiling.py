@@ -278,3 +278,37 @@ def equi_depth_histogram(
         F.max("v").cast("long").alias("max_value"),
         F.sum("v").cast("long").alias("sum_value"),
     )
+
+
+def key_uniqueness_audit(
+    specs: list[tuple[str, DataFrame, Column]],
+) -> DataFrame:
+    """Key-uniqueness audit: for each (key_name, df, key_expr) spec,
+    report row count, distinct-key count, number of duplicated key
+    values and the worst multiplicity — the "is this column really a
+    key" check that completes :func:`fk_orphan_audit` (FKs can only be
+    trusted against verified-unique PKs).
+
+    One map-side-combinable groupBy per table reduces rows to (key,
+    count) before the single-row summary agg; NULL keys group like any
+    value (a null 'key' shows up as multiplicity, which is the point
+    of an audit). Per-key results union driver-free."""
+    from functools import reduce
+
+    out = []
+    for key_name, df, key in specs:
+        per_key = df.groupBy(key.alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out.append(
+            per_key.agg(
+                F.lit(key_name).alias("key_name"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 1, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias("n_dup_keys"),
+                F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_multiplicity"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)

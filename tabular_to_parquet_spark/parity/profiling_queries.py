@@ -527,3 +527,58 @@ def _q_equi_depth(spark, sf_dir):
     return equi_depth_histogram(
         orders, F.floor(F.col("o_totalprice") * 100).cast("long"), _ED_BINS
     )
+
+
+# ---------------------------------------------------------------------------
+# pr15 — key-uniqueness audit (the PK half of pr13's FK audit)
+
+#: (key_name, table, key expression — dialect-shared SQL text)
+_UK_SPECS = [
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("supplier.s_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("region.r_regionkey", "region", "r_regionkey"),
+    ("events.event_id", "events", "event_id"),
+    ("documents.doc_id", "documents", "doc_id"),
+    ("embeddings.vec_id", "embeddings", "vec_id"),
+    # lineitem has NO unique key in the synthetic data (TESTDATA /
+    # harness note) — auditing its usual candidate makes the report
+    # value-rich: n_dup_keys > 0 is a real finding, not a fixture
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     "l_orderkey * 10 + l_linenumber"),
+]
+
+
+def _uk_arm(key_name: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{key_name}' AS key_name,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_dup_keys,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_multiplicity
+FROM (SELECT CAST({key} AS BIGINT) AS k, COUNT(*) AS n
+      FROM {table} GROUP BY 1) g"""
+
+
+@register(
+    "pr15_key_uniqueness",
+    "\nUNION ALL\n".join(_uk_arm(*s) for s in _UK_SPECS),
+)
+def _q_key_uniqueness(spark, sf_dir):
+    """Key-uniqueness audit over every declared key of the star
+    schema plus lineitem's (orderkey, linenumber) candidate — which
+    is NOT unique in the synthetic data, so the report demonstrates a
+    real dup finding. Per table: one map-side-combined groupBy to
+    (key, count), then a single-row summary — at 100 TB each audit
+    costs one shuffle of distinct keys, nothing row-level."""
+    from tabular_to_parquet_spark.operators.profiling import key_uniqueness_audit
+
+    tables = {t for _, t, _ in _UK_SPECS}
+    loaded = {t: load_table(spark, sf_dir, t) for t in tables}
+    specs = []
+    for key_name, table, key in _UK_SPECS:
+        specs.append((key_name, loaded[table], F.expr(key).cast("long")))
+    return key_uniqueness_audit(specs)

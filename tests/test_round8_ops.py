@@ -158,3 +158,14 @@ def test_semantic_dup_pairs_fast_matches_exact_pair_set(spark):
     # identical up to threshold-boundary ulps: require symmetric
     # difference empty (the fixture has no cosine within 1e-9 of 0.4)
     assert exact == fast
+
+
+def test_key_uniqueness_audit_finds_dups_and_nulls(spark):
+    from tabular_to_parquet_spark.operators.profiling import key_uniqueness_audit
+
+    df = spark.createDataFrame([(1,), (2,), (2,), (2,), (None,)], "k long")
+    row = key_uniqueness_audit([("t.k", df, F.col("k"))]).collect()[0]
+    assert row["n_rows"] == 5
+    assert row["n_keys"] == 3  # 1, 2, NULL
+    assert row["n_dup_keys"] == 1  # only 2
+    assert row["max_multiplicity"] == 3

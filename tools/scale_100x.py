@@ -1,0 +1,200 @@
+"""The 100x leg (SCALE.md §13): execution + scaling evidence for the
+heaviest operator families at ~60M-row lineitem / 6M-doc / 200k-vector
+scale — 600x the sf0.01 certification scale, 10x the round-7 smoke.
+
+Replica: tools/scale_experiment.build_replica (key-shifted copies,
+dims fixed) PLUS a ``documents_salted.parquet`` variant where every
+copy i>0 interleaves a copy-specific token after each space. The
+standard replica makes every document 100x-duplicated — the correct
+growth mode for orders/events, but PATHOLOGICAL for pair-emitting
+dedup: LSH candidates inside a 100-copy cluster grow as copies², so
+the measurement would follow the synthetic dup structure, not the
+operator. The salted corpus shares no shingles across copies (every
+k-gram contains the copy token), so true-dup density stays at the
+base level while the corpus grows 100x — the "100x more unique data"
+scenario those operators actually face.
+
+Anchor scaling: semantic_dup_pairs runs fast=True with
+suggest_cells(n, target_rows_per_cell=512) anchors (bounded
+Σ|cell|²) — cell assignment via the batch-matmul
+ivf_cell_vectorized, because the literal-dot unroll cannot carry
+hundreds of anchors. knn_ivf probes a FIXED 40-query workload
+(original-id vectors only) so hit volume measures corpus scaling,
+not workload growth.
+
+Usage: python tools/scale_100x.py [copies=100] [name_regex]
+Writes the replica to /tmp/sfx_<copies> once and reuses it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import dedup, graph
+from tabular_to_parquet_spark.operators import text_analysis as ta
+from tabular_to_parquet_spark.operators.convert import convert_delimited_to_parquet
+from tabular_to_parquet_spark.operators.similarity import (
+    ivf_anchors,
+    knn_ivf,
+    suggest_cells,
+)
+from tabular_to_parquet_spark.session import get_spark
+from tabular_to_parquet_spark.sources.tables import load_table
+from tools.scale_experiment import build_replica
+
+BASE = "/root/testdata/sf0.1"
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_salted_documents(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    """100 key-shifted document copies whose texts share no shingles
+    across copies: copy i>0 rewrites every space to " w<i> "."""
+    base = load_table(spark, base_dir, "documents")
+    parts = []
+    for i in range(copies):
+        p = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            p = p.withColumn(
+                "text", F.regexp_replace(F.col("text"), " ", f" w{i} ")
+            )
+        parts.append(p)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents_salted.parquet")
+    )
+
+
+def ensure_replica(spark, copies: int) -> str:
+    out = f"/tmp/sfx_{copies}"
+    marker = os.path.join(out, "_BUILT")
+    if not os.path.exists(marker):
+        print(f"building {copies}x replica at {out} ...", file=sys.stderr)
+        t0 = time.monotonic()
+        build_replica(spark, BASE, out, copies)
+        build_salted_documents(spark, BASE, out, copies)
+        with open(marker, "w") as fh:
+            fh.write(str(time.monotonic() - t0))
+        print(f"replica built in {time.monotonic() - t0:.0f}s", file=sys.stderr)
+    return out
+
+
+def convert_fixture(spark, sf_dir: str, work: str) -> str:
+    """Materialize lineitem as CSV (untimed setup — the bench.py
+    fixture, parallel write since a 6 GB coalesce(1) would bottleneck
+    the setup, while the timed conversion scan splits files anyway)."""
+    import glob as _glob
+
+    csv_dir = os.path.join(work, "lineitem_csv")
+    if not _glob.glob(os.path.join(csv_dir, "*.csv")):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+            .csv(csv_dir)
+        )
+    return csv_dir
+
+
+def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = (
+        spark.read.parquet(salted_docs_path) if salted_docs_path else docs
+    )
+    n_vec = emb.count()
+    dedup_cells = suggest_cells(n_vec, target_rows_per_cell=512, min_cells=4)
+    knn_cells = max(16, suggest_cells(n_vec, target_rows_per_cell=4096, min_cells=16))
+    queries = emb.filter(F.expr("vec_id % 50 = 0 AND vec_id < 10000000"))
+
+    def conv():
+        csv_dir = convert_fixture(spark, sf_dir, work)
+        convert_delimited_to_parquet(
+            spark, csv_dir, os.path.join(work, "lineitem_out.parquet")
+        )
+
+    return {
+        "conversion": conv,
+        "winnow_rolling": lambda: _noop(ta.winnow_fingerprints_rolling(docs)),
+        "dup_clusters_salted": lambda: _noop(
+            dedup.dup_clusters(
+                dedup.minhash_pairs(salted, threshold=0.5),
+                salted.select("doc_id"),
+                hops=2,
+            )
+        ),
+        "semantic_dup_fast_scaled": lambda: _noop(
+            dedup.semantic_dup_pairs(
+                emb,
+                threshold=0.4,
+                fast=True,
+                anchors=ivf_anchors(cells=dedup_cells),
+            )
+        ),
+        "knn_ivf_fixed_queries": lambda: _noop(
+            knn_ivf(emb, queries, k=5, anchors=ivf_anchors(cells=knn_cells))
+        ),
+        "sorted_neighborhood_scale": lambda: _noop(
+            dedup.sorted_neighborhood_pairs(docs)
+        ),
+        "kcore": lambda: _noop(
+            graph.kcore(graph.copurchase_edges_threshold(li, min_orders=2), k=3)
+        ),
+    }
+
+
+def main() -> None:
+    import tempfile
+
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    name_regex = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("scale-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    replica = ensure_replica(spark, copies)
+
+    results: dict[str, tuple[float, float]] = {}
+    for scale, sf_dir, salted in (
+        ("base", BASE, None),
+        (f"{copies}x", replica, os.path.join(replica, "documents_salted.parquet")),
+    ):
+        work = tempfile.mkdtemp(prefix=f"s100_{scale}_")
+        ops = suite(spark, sf_dir, salted, work)
+        for name, fn in ops.items():
+            if name_regex and not re.search(name_regex, name):
+                continue
+            t0 = time.monotonic()
+            try:
+                fn()
+                dt = time.monotonic() - t0
+                results.setdefault(name, [None, None])[0 if scale == "base" else 1] = dt
+                print(f"[{scale}] {name}: {dt:.1f}s", flush=True)
+            except Exception as exc:
+                msg = str(exc).splitlines()[0][:160] if str(exc) else type(exc).__name__
+                print(f"[{scale}] FAIL {name}: {msg}", flush=True)
+
+    print(f"\n{'operator':28s} {'base':>8s} {f'{copies}x':>9s} {'ratio':>8s} {'/copies':>8s}")
+    for name, (b, big) in results.items():
+        if b is None or big is None:
+            print(f"{name:28s} {'—':>8s}")
+            continue
+        r = big / b
+        print(f"{name:28s} {b:8.1f} {big:9.1f} {r:8.1f} {r / copies:8.2f}")
+
+
+if __name__ == "__main__":
+    main()
