@@ -314,6 +314,14 @@ def main() -> None:
         "h09_product_profit",
         "h18_large_volume_customers",
         "h21_waiting_suppliers",
+        # round-8 additions: audits, equi-depth, session funnel,
+        # rollup lattice, k-core fixpoint peel
+        "pr13_fk_orphans",
+        "pr14_equi_depth_histogram",
+        "pr15_key_uniqueness",
+        "a30_sessionized_funnel",
+        "a31_rollup_revenue",
+        "g03_kcore",
     ):
         @timed(_hq)
         def _(q=_hq):
