@@ -864,3 +864,48 @@ def sorted_neighborhood_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("d").cast("long").alias("edit_dist"))
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    min_members: int = 2,
+) -> DataFrame:
+    """Canonical-representative selection — the step every dedup
+    pipeline ends with: given (id, cluster_id) assignments (from
+    :func:`dup_clusters` / :func:`dup_clusters_fixpoint`) and a
+    per-id quality frame, keep ONE representative per cluster
+    (highest quality, lowest id on ties) with cluster stats.
+
+    One shuffle on cluster_id serves the ranking window and the
+    per-cluster aggregates (whole-partition window frames — Catalyst
+    reuses the exchange); clusters below ``min_members`` are dropped
+    (singletons are every unclustered id). Cluster sizes are dup-group
+    sizes — bounded by true dup structure, never corpus-sized, so the
+    per-partition window is safe at 100 TB."""
+    from pyspark.sql import Window as W
+
+    j = clusters.join(quality.select(id_col, quality_col), id_col)
+    w = W.partitionBy("cluster_id")
+    ranked = j.select(
+        "cluster_id",
+        F.col(id_col),
+        F.row_number()
+        .over(w.orderBy(F.col(quality_col).desc(), F.col(id_col).asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        F.max(quality_col).over(w).cast("long").alias("max_quality"),
+        F.sum(quality_col).over(w).cast("long").alias("sum_quality"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= min_members))
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("rep_" + id_col),
+            "n_members",
+            "max_quality",
+            "sum_quality",
+        )
+    )

@@ -5310,3 +5310,45 @@ FROM (SELECT r_name, o_orderpriority,
       JOIN region ON n_regionkey = r_regionkey)
 GROUP BY ROLLUP (r_name, o_orderpriority)
 """)(_q_rollup_revenue)
+
+
+# ---------------------------------------------------------------------------
+# d15 — canonical representative per dup cluster (the dedup endgame)
+
+
+def _q_cluster_representatives(spark, sf_dir):
+    """dedup.cluster_representatives over the d10 bounded clusters:
+    per near-dup cluster, keep the longest document (doc_id tiebreak)
+    with member count and quality stats — the keep-one-copy decision
+    a corpus pipeline actually ships. One cluster-keyed exchange
+    serves ranking window and stats; cluster sizes follow true dup
+    structure, never corpus size."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2)
+    quality = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return dedup.cluster_representatives(clusters, quality)
+
+
+def _d15_oracle() -> str:
+    d10 = CATALOG["d10_dup_clusters"].oracle
+    return f"""
+WITH cl AS ({d10}),
+j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+      FROM cl JOIN documents d USING (doc_id)),
+r AS (SELECT cluster_id, doc_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+             MAX(n_chars) OVER (PARTITION BY cluster_id) AS max_quality,
+             SUM(n_chars) OVER (PARTITION BY cluster_id) AS sum_quality
+      FROM j)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(max_quality AS BIGINT) AS max_quality,
+       CAST(sum_quality AS BIGINT) AS sum_quality
+FROM r WHERE rn = 1 AND n_members >= 2
+"""
+
+
+register("d15_cluster_representatives", _d15_oracle())(_q_cluster_representatives)

@@ -169,3 +169,26 @@ def test_key_uniqueness_audit_finds_dups_and_nulls(spark):
     assert row["n_keys"] == 3  # 1, 2, NULL
     assert row["n_dup_keys"] == 1  # only 2
     assert row["max_multiplicity"] == 3
+
+
+def test_cluster_representatives_picks_longest_then_lowest_id(spark):
+    from tabular_to_parquet_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 7), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r["cluster_id"]: (r["rep_doc_id"], r["n_members"], r["max_quality"], r["sum_quality"])
+        for r in cluster_representatives(clusters, quality).collect()
+    }
+    # cluster 1: quality tie 30/30 between 2 and 3 -> lowest id 2 wins
+    assert out[1] == (2, 3, 30, 70)
+    # cluster 4: tie 7/7 -> doc 4
+    assert out[4] == (4, 2, 7, 14)
+    # singleton cluster 9 dropped
+    assert 9 not in out
