@@ -909,3 +909,66 @@ def cluster_representatives(
             "sum_quality",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs via rare-anchor blocking:
+    |S_a ∩ S_b| / min(|S_a|, |S_b|) ≥ threshold.
+
+    The shape whole-document LSH structurally misses: a short document
+    quoted inside a long one has high containment but LOW Jaccard, so
+    its minhash signature never collides. Candidates here are pairs
+    sharing at least one RARE shingle (document frequency in
+    [2, max_df]) — rare shingles are near-certain in any contained
+    copy, and the df cap bounds the per-anchor fan-out at max_df²/2
+    pairs, so candidate volume is Σ_rare df² ≤ max_df · |postings|,
+    linear in corpus size. Exact set intersection then runs ONLY on
+    candidates (the d07 array_intersect verifier pattern). The single
+    division is one IEEE rounding — oracle-exact."""
+    docs = df.select(
+        F.col(id_col), word_shingles(F.col(text_col)).alias("sh")
+    )
+    ex = docs.select(F.col(id_col), F.explode("sh").alias("g"))
+    rare = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    anchored = ex.join(rare, "g")
+    x, y = anchored.alias("x"), anchored.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+    )
+    contain = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return scored.withColumn("containment", contain).filter(
+        F.col("containment") >= threshold
+    )

@@ -5352,3 +5352,39 @@ FROM r WHERE rn = 1 AND n_members >= 2
 
 
 register("d15_cluster_representatives", _d15_oracle())(_q_cluster_representatives)
+
+
+# ---------------------------------------------------------------------------
+# d16 — asymmetric containment pairs (rare-anchor blocking)
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """dedup.containment_pairs: small-in-big duplicate detection —
+    |S_a ∩ S_b| / min set size over pairs sharing a rare shingle
+    (df ∈ [2,5]). Whole-doc LSH can't see these (low Jaccard); the
+    rare-anchor block is linear in postings with a df-capped fan-out,
+    and exact intersection runs only on candidates."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+register("d16_containment_pairs", f"""
+WITH docs AS (SELECT doc_id, {_shingles(_TOKS)} AS sh FROM documents),
+g AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+         WHERE df BETWEEN 2 AND 5),
+anch AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM anch x JOIN anch y ON x.g = y.g AND x.doc_id < y.doc_id),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+           CAST(len(da.sh) AS BIGINT) AS n_a,
+           CAST(len(db.sh) AS BIGINT) AS n_b
+    FROM cand c JOIN docs da ON da.doc_id = c.id_a
+                JOIN docs db ON db.doc_id = c.id_b
+)
+SELECT id_a, id_b, inter, n_a, n_b,
+       inter::DOUBLE / LEAST(n_a, n_b) AS containment
+FROM scored
+WHERE inter::DOUBLE / LEAST(n_a, n_b) >= 0.8
+""")(_q_containment_pairs)

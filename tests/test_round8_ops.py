@@ -192,3 +192,24 @@ def test_cluster_representatives_picks_longest_then_lowest_id(spark):
     assert out[4] == (4, 2, 7, 14)
     # singleton cluster 9 dropped
     assert 9 not in out
+
+
+def test_containment_catches_small_in_big_that_jaccard_misses(spark):
+    from tabular_to_parquet_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} plus{i} extra{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote, "en"), (2, filler + " " + quote + " " + filler, "en"),
+         (3, "totally unrelated text about nothing at all here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cont = containment_pairs(df, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0  # every quote shingle is in doc 2
+    # whole-doc Jaccard misses the same pair at any usable threshold
+    jac = jaccard_pairs(df, block_col="lang", threshold=0.5).collect()
+    assert (1, 2) not in [(r.id_a, r.id_b) for r in jac]
