@@ -5388,3 +5388,43 @@ SELECT id_a, id_b, inter, n_a, n_b,
 FROM scored
 WHERE inter::DOUBLE / LEAST(n_a, n_b) >= 0.8
 """)(_q_containment_pairs)
+
+
+# ---------------------------------------------------------------------------
+# a32 — trailing-window distinct users (sliding COUNT DISTINCT)
+
+
+def _q_trailing_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) no window frame can express (distinct doesn't
+    decompose over frames). The distributed pattern: reduce events to
+    distinct (epoch-day, user), fan each out to the ≤7 target days its
+    activity covers (bounded sequence explode), then one exact
+    distinct-agg per day. Cost is 7·|distinct day-user| rows — linear,
+    shuffle on the day key; the naive per-day re-scan would be 7× the
+    corpus PER DAY. Integer epoch-day arithmetic (the a20 pattern)
+    keeps the day key dtype-identical across engines. At extreme
+    cardinality swap the exact distinct for approx_count_distinct
+    (mergeable HLL, same plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    du = ev.select(day.cast("long").alias("d"), "user_id").distinct()
+    fanned = du.select(
+        F.explode(F.expr("sequence(d, d + 6)")).alias("day_num"),
+        "user_id",
+    )
+    return fanned.groupBy("day_num").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users_7d")
+    )
+
+
+register("a32_trailing_active_users", """
+WITH du AS (SELECT DISTINCT (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+                            user_id
+            FROM events),
+t AS (SELECT CAST(unnest(generate_series(d, d + 6)) AS BIGINT) AS day_num,
+             user_id
+      FROM du)
+SELECT day_num, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM t GROUP BY day_num
+""")(_q_trailing_active_users)
