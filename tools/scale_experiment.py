@@ -149,6 +149,19 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r7_postings": q("x33_postings"),
         "r7_decile_stats_scale": q("a16_decile_stats_scale"),
     })
+
+    # round-8 additions: the unfreeze-round families
+    suite.update({
+        "r8_fk_orphans": q("pr13_fk_orphans"),
+        "r8_equi_depth_histogram": q("pr14_equi_depth_histogram"),
+        "r8_key_uniqueness": q("pr15_key_uniqueness"),
+        "r8_kcore": q("g03_kcore"),
+        "r8_sessionized_funnel": q("a30_sessionized_funnel"),
+        "r8_rollup_revenue": q("a31_rollup_revenue"),
+        "r8_cluster_representatives": q("d15_cluster_representatives"),
+        "r8_containment_pairs": q("d16_containment_pairs"),
+        "r8_trailing_active_users": q("a32_trailing_active_users"),
+    })
     if name_regex:
         import re as _re
 
