@@ -741,3 +741,58 @@ def decode_image_features_arrow(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInArrow(batches, IMG_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("mean_gray", T.LongType(), True),
+        T.StructField("ahash_lo", T.LongType(), True),
+        T.StructField("ahash_hi", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def perceptual_hash_features(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual image signatures — the classic
+    near-dup image fingerprint: decode with the REAL codec, nearest
+    resize to hash_w × hash_h, integer grayscale (r+g+b)//3 per cell,
+    then one bit per cell for gray > integer mean. Visually identical
+    images (crops aside) collide; a groupBy on the hash is image
+    dedup, a hamming-band join (the d05 simhash machinery) is image
+    NEAR-dup — the multimodal twin of text fingerprinting.
+
+    All-integer math end to end, so an oracle re-derives every bit.
+    The 64 bits ship as two 32-bit halves (ahash_lo = cells 0-31 in
+    row-major order, ahash_hi = 32-63): bit 63 of one BIGINT would
+    collide with the sign. Arrow-batched mapInPandas, no per-row UDF;
+    at 100 TB this is a pure map pass over payload bytes."""
+    n = hash_w * hash_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tabular_to_parquet_spark.operators.codecs import resize_nearest
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _try_decode(payload)
+                if img is None:
+                    rows.append((mid, None, None, None, False))
+                    continue
+                w, h, rgb = img
+                out = resize_nearest(w, h, rgb, hash_w, hash_h)
+                grays = [
+                    (out[3 * p] + out[3 * p + 1] + out[3 * p + 2]) // 3
+                    for p in range(n)
+                ]
+                mean = sum(grays) // n
+                lo = sum(1 << p for p in range(min(32, n)) if grays[p] > mean)
+                hi = sum(1 << (p - 32) for p in range(32, n) if grays[p] > mean)
+                rows.append((mid, mean, lo, hi, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mean_gray", "ahash_lo", "ahash_hi", "decoded"],
+            )
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)

@@ -5428,3 +5428,44 @@ t AS (SELECT CAST(unnest(generate_series(d, d + 6)) AS BIGINT) AS day_num,
 SELECT day_num, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
 FROM t GROUP BY day_num
 """)(_q_trailing_active_users)
+
+
+# ---------------------------------------------------------------------------
+# m14 — perceptual aHash image signatures (multimodal dedup fingerprint)
+
+
+def _q_image_ahash(spark, sf_dir):
+    """multimodal.perceptual_hash_features over real BMP payloads:
+    decode → 8×8 nearest resize → integer grayscale → above-mean bit
+    per cell. The image-dedup fingerprint: equal hashes = visually
+    identical images (groupBy = dedup; hamming bands = near-dup, the
+    d05 machinery). Arrow-batched map pass, zero shuffle; the oracle
+    re-derives every bit from the pixel formulas."""
+    media = multimodal.attach_bmp_payload(_docs(spark, sf_dir))
+    return multimodal.perceptual_hash_features(media)
+
+
+register("m14_image_ahash", """
+WITH px AS (
+    SELECT doc_id, (j * 8 + i) AS p,
+           (((x + y + doc_id) % 256) + ((2 * x + doc_id) % 256)
+            + ((y + 2 * doc_id) % 256)) // 3 AS gray
+    FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+          FROM documents),
+         LATERAL (SELECT unnest(range(0, 8)) AS i),
+         LATERAL (SELECT unnest(range(0, 8)) AS j),
+         LATERAL (SELECT (i * w) // 8 AS x, (j * h) // 8 AS y)
+),
+m AS (SELECT doc_id, SUM(gray) // 64 AS mean_gray FROM px GROUP BY doc_id)
+SELECT px.doc_id AS media_id,
+       CAST(m.mean_gray AS BIGINT) AS mean_gray,
+       CAST(COALESCE(SUM(CASE WHEN gray > m.mean_gray AND p < 32
+                              THEN (1::BIGINT << p) END), 0) AS BIGINT)
+           AS ahash_lo,
+       CAST(COALESCE(SUM(CASE WHEN gray > m.mean_gray AND p >= 32
+                              THEN (1::BIGINT << (p - 32)) END), 0) AS BIGINT)
+           AS ahash_hi,
+       true AS decoded
+FROM px JOIN m ON px.doc_id = m.doc_id
+GROUP BY px.doc_id, m.mean_gray
+""")(_q_image_ahash)

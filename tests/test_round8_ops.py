@@ -213,3 +213,27 @@ def test_containment_catches_small_in_big_that_jaccard_misses(spark):
     # whole-doc Jaccard misses the same pair at any usable threshold
     jac = jaccard_pairs(df, block_col="lang", threshold=0.5).collect()
     assert (1, 2) not in [(r.id_a, r.id_b) for r in jac]
+
+
+def test_image_ahash_collides_for_identical_images(spark):
+    """Identical pixel content -> identical aHash; different content
+    -> different hash (the dedup contract); undecodable -> nulls."""
+    from tabular_to_parquet_spark.operators.codecs import encode_bmp
+    from tabular_to_parquet_spark.operators.multimodal import (
+        _img_rgb,
+        perceptual_hash_features,
+    )
+
+    rgb = _img_rgb(7, 12, 10)
+    bmp = encode_bmp(12, 10, rgb)
+    other = encode_bmp(12, 10, _img_rgb(8, 12, 10))
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(bmp)), (3, bytearray(other)),
+         (4, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: (r.ahash_lo, r.ahash_hi, r.decoded)
+           for r in perceptual_hash_features(df).collect()}
+    assert out[1] == out[2]
+    assert out[1][:2] != out[3][:2]
+    assert out[4] == (None, None, False)
