@@ -5469,3 +5469,60 @@ SELECT px.doc_id AS media_id,
 FROM px JOIN m ON px.doc_id = m.doc_id
 GROUP BY px.doc_id, m.mean_gray
 """)(_q_image_ahash)
+
+
+# ---------------------------------------------------------------------------
+# m15 — perceptual image dedup groups (groupBy the m14 aHash)
+
+
+def _q_image_dedup_groups(spark, sf_dir):
+    """Image dedup over the m14 perceptual hashes: one map-side-
+    combined groupBy on the 64-bit signature (as its two halves) —
+    the d01 exact-groups plan applied to pixels instead of text.
+    Groups of visually identical images keep the min-id
+    representative. Near-dup would band the hash through the d05
+    hamming machinery; on THIS synthetic corpus the gradient images
+    cluster so tightly (3.4k of 125k pairs are hash-equal at sf0.01)
+    that banding would degenerate toward all-pairs — the honest scale
+    note is that banded near-dup needs hash diversity, which real
+    photos have and synthetic gradients don't."""
+    media = multimodal.attach_bmp_payload(_docs(spark, sf_dir))
+    sigs = multimodal.perceptual_hash_features(media)
+    return (
+        sigs.where(F.col("decoded"))
+        .groupBy("ahash_lo", "ahash_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("media_id").cast("long").alias("keeper_id"),
+        )
+        .where(F.col("n_images") >= 2)
+    )
+
+
+register("m15_image_dedup_groups", """
+WITH px AS (
+    SELECT doc_id, (j * 8 + i) AS p,
+           (((x + y + doc_id) % 256) + ((2 * x + doc_id) % 256)
+            + ((y + 2 * doc_id) % 256)) // 3 AS gray
+    FROM (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+          FROM documents),
+         LATERAL (SELECT unnest(range(0, 8)) AS i),
+         LATERAL (SELECT unnest(range(0, 8)) AS j),
+         LATERAL (SELECT (i * w) // 8 AS x, (j * h) // 8 AS y)
+),
+m AS (SELECT doc_id, SUM(gray) // 64 AS mean_gray FROM px GROUP BY doc_id),
+h AS (
+    SELECT px.doc_id,
+           COALESCE(SUM(CASE WHEN gray > m.mean_gray AND p < 32
+                             THEN (1::BIGINT << p) END), 0) AS ahash_lo,
+           COALESCE(SUM(CASE WHEN gray > m.mean_gray AND p >= 32
+                             THEN (1::BIGINT << (p - 32)) END), 0) AS ahash_hi
+    FROM px JOIN m ON px.doc_id = m.doc_id
+    GROUP BY px.doc_id
+)
+SELECT CAST(ahash_lo AS BIGINT) AS ahash_lo,
+       CAST(ahash_hi AS BIGINT) AS ahash_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM h GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""")(_q_image_dedup_groups)
