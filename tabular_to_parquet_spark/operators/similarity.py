@@ -227,12 +227,20 @@ def ivf_corpus_frame(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     anchors: list[list[float]] | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
-    """Corpus with its IVF cell assignment (one projection, no shuffle)."""
+    """Corpus with its IVF cell assignment (one projection, no
+    shuffle). ``vectorized=True`` assigns cells with the batch-matmul
+    UDF (:func:`ivf_cell_vectorized`) — required once the anchor count
+    grows with the corpus (``suggest_cells``), where the literal-dot
+    expression unroll blows up Catalyst planning. The probe side stays
+    the expression form (|Q| is small and the assignments agree —
+    test-pinned), so oracle-gated queries keep the default."""
+    cell_fn = ivf_cell_vectorized if vectorized else ivf_cell
     return df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        ivf_cell(F.col(vec_col), anchors).alias("cell"),
+        cell_fn(F.col(vec_col), anchors).alias("cell"),
         F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cn"),
     )
 
@@ -278,6 +286,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     anchors: list[list[float]] | None = None,
     probes: int = IVF_PROBES,
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is bucketed by nearest
     anchor (one projection); each query probes its IVF_PROBES best
@@ -301,7 +310,7 @@ def knn_ivf(
     the gap widens linearly in |C| from there.
     """
     return _ivf_probe_join(
-        ivf_corpus_frame(df, vec_col, id_col, anchors),
+        ivf_corpus_frame(df, vec_col, id_col, anchors, vectorized=vectorized),
         queries, k, vec_col, id_col, anchors, probes=probes,
     )
 
@@ -383,6 +392,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     anchors: list[list[float]] | None = None,
     buckets: int = IVF_CELLS,
+    vectorized: bool = False,
 ) -> None:
     """Materialize the corpus as a parquet table BUCKETED BY cell.
 
@@ -396,7 +406,7 @@ def build_ivf_index(
 
     reset_managed_table(spark, table_name)
     (
-        ivf_corpus_frame(df, vec_col, id_col, anchors)
+        ivf_corpus_frame(df, vec_col, id_col, anchors, vectorized=vectorized)
         .write.mode("overwrite")
         .bucketBy(buckets, "cell")
         .sortBy("cell")
