@@ -573,15 +573,18 @@ def semantic_dup_pairs(
     # literal-dot unroll would blow up planning; per-vector norms are
     # skipped there (cosine_vectorized derives them in the batch).
     cell_fn = ivf_cell_vectorized if fast else ivf_cell
-    docs = df.select(
+    cols = [
         F.col(id_col),
         F.col(vec_col).alias("v"),
         cell_fn(F.col(vec_col), anchors).alias("cell"),
-        (
-            F.lit(0.0) if fast
-            else F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
-        ).alias("nrm"),
-    )
+    ]
+    if not fast:
+        # fast mode derives norms inside the batch scorer; carrying a
+        # placeholder through the |pairs| join would be dead schema
+        cols.append(
+            F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm")
+        )
+    docs = df.select(*cols)
     a, b = docs.alias("a"), docs.alias("b")
     if fast:
         # Arrow-vectorized numpy scorer: the 100 TB path (last-ulp sum

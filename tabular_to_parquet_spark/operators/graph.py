@@ -79,20 +79,26 @@ def pagerank_fixed(
     return ranks
 
 
-def copurchase_edges(lineitem: DataFrame, max_lines_per_order: int = 20) -> DataFrame:
-    """Distinct co-purchase part pairs (both directions) from orders:
-    a self-join on the order key, bounded per order by the line count
-    (the standard market-basket edge build — quadratic only in the
-    per-order basket size, never across orders)."""
+def _basket_pairs(lineitem: DataFrame) -> DataFrame:
+    """Shared basket self-join: all ordered (src, dst) part pairs that
+    co-occur in an order (src != dst) with the order key — the one
+    place the basket-join shape lives for both edge builders."""
     a = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
     )
     b = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
     )
+    return a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+
+
+def copurchase_edges(lineitem: DataFrame, max_lines_per_order: int = 20) -> DataFrame:
+    """Distinct co-purchase part pairs (both directions) from orders:
+    a self-join on the order key, bounded per order by the line count
+    (the standard market-basket edge build — quadratic only in the
+    per-order basket size, never across orders)."""
     return (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
+        _basket_pairs(lineitem)
         .select("src", "dst")
         .distinct()
     )
@@ -131,15 +137,8 @@ def copurchase_edges_threshold(lineitem: DataFrame, min_orders: int = 2) -> Data
     construction (the distinct-order count is identical for (a,b) and
     (b,a)). One groupBy on the pair key; the distinct-count is a
     map-side-combinable exact agg over bounded per-order baskets."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
+        _basket_pairs(lineitem)
         .groupBy("src", "dst")
         .agg(F.countDistinct("ok").alias("n_orders"))
         .filter(F.col("n_orders") >= min_orders)
@@ -181,6 +180,15 @@ def kcore(edges: DataFrame, k: int = 3, max_iters: int = 40) -> DataFrame:
             .join(core.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
             .localCheckpoint()
+        )
+    else:
+        # exhausting the bound would silently return a subgraph whose
+        # vertices may still have degree < k — never ship that as "the
+        # k-core" (a path of 2*max_iters+ vertices peels one endpoint
+        # pair per round and needs more rounds than the default bound)
+        raise RuntimeError(
+            f"kcore did not converge within max_iters={max_iters}; "
+            "raise max_iters for this graph"
         )
     return (
         e.groupBy("src")

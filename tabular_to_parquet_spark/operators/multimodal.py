@@ -769,6 +769,11 @@ def perceptual_hash_features(df: DataFrame, hash_w: int = 8, hash_h: int = 8) ->
     collide with the sign. Arrow-batched mapInPandas, no per-row UDF;
     at 100 TB this is a pure map pass over payload bytes."""
     n = hash_w * hash_h
+    if n > 64:
+        raise ValueError(
+            "hash_w * hash_h must be <= 64: the signature ships as two "
+            "32-bit BIGINT halves (a 65th cell has no bit to live in)"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tabular_to_parquet_spark.operators.codecs import resize_nearest

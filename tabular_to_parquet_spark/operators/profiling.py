@@ -212,6 +212,8 @@ def fk_orphan_audit(
     unioned driver-free into one frame."""
     from functools import reduce
 
+    if not specs:
+        raise ValueError("fk_orphan_audit needs at least one FK spec")
     out = []
     for fk_name, fact, fk_col, dim, pk_col in specs:
         keys = (
@@ -295,6 +297,8 @@ def key_uniqueness_audit(
     of an audit). Per-key results union driver-free."""
     from functools import reduce
 
+    if not specs:
+        raise ValueError("key_uniqueness_audit needs at least one key spec")
     out = []
     for key_name, df, key in specs:
         per_key = df.groupBy(key.alias("k")).agg(

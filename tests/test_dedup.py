@@ -135,22 +135,30 @@ def test_minhash_fast_mode(spark, docs):
     assert s1 != slow  # different hash family, by design
 
 
+def _persisted_ids(spark):
+    """Persistent RDD id set — compared as SETS OF IDS, not counts:
+    checkpointed RDDs leaked by earlier tests get unpersisted
+    asynchronously by the ContextCleaner, so a raw count can drift
+    mid-test; new-id tracking pins exactly the claim under test."""
+    jsc = spark.sparkContext._jsc
+    return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+
 def test_pair_queries_leave_no_persisted_blocks(spark, docs):
     """VERDICT r2 #4: the default (one-shot) pair queries must not pin
     storage; cache_signatures=True is the opt-in iterative path and is
     released via unpersist_cache."""
-    jsc = spark.sparkContext._jsc
-    base = len(jsc.getPersistentRDDs())
+    base = _persisted_ids(spark)
     dedup.minhash_pairs(docs).count()
     dedup.simhash_pairs(docs).count()
-    assert len(jsc.getPersistentRDDs()) == base
+    assert _persisted_ids(spark) - base == set()
 
     cached = dedup.minhash_pairs(docs, cache_signatures=True)
     n1 = cached.count()
-    assert len(jsc.getPersistentRDDs()) == base + 1
+    assert len(_persisted_ids(spark) - base) == 1
     assert cached.count() == n1  # second materialization hits the cache
     dedup.unpersist_cache(cached)
-    assert len(jsc.getPersistentRDDs()) == base
+    assert _persisted_ids(spark) - base == set()
     dedup.unpersist_cache(dedup.minhash_pairs(docs))  # no-op path
 
 
@@ -160,14 +168,13 @@ def test_warm_codegen_runs_tiny_slice_plans(spark, docs):
     side effects: no persisted blocks, results unchanged."""
     from tabular_to_parquet_spark.session import warm_codegen
 
-    jsc = spark.sparkContext._jsc
-    base = len(jsc.getPersistentRDDs())
+    base = _persisted_ids(spark)
     secs = warm_codegen(
         dedup.minhash_pairs(docs.limit(50)),
         dedup.simhash_pairs(docs.limit(50)),
     )
     assert secs > 0
-    assert len(jsc.getPersistentRDDs()) == base
+    assert _persisted_ids(spark) - base == set()
     # the real (full-input) plan still returns the same pairs after warm
     n = dedup.minhash_pairs(docs).count()
     assert n == dedup.minhash_pairs(docs).count()

@@ -252,3 +252,41 @@ def test_knn_ivf_vectorized_corpus_matches_expression(spark):
     vect = {(r.query_id, r.rank): r.neighbor_id
             for r in knn_ivf(emb, q, k=5, vectorized=True).collect()}
     assert expr == vect
+
+
+def test_kcore_raises_instead_of_returning_non_core(spark):
+    """A long path needs one peel round per endpoint pair; exhausting
+    max_iters must raise, never return a subgraph with degree < k."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        _sym([(i, i + 1) for i in range(9)]), "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(edges, k=2, max_iters=2)
+
+
+def test_perceptual_hash_rejects_oversized_grid(spark):
+    import pytest
+
+    from tabular_to_parquet_spark.operators.multimodal import (
+        perceptual_hash_features,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="<= 64"):
+        perceptual_hash_features(df, hash_w=16, hash_h=8)
+
+
+def test_audits_reject_empty_specs(spark):
+    import pytest
+
+    from tabular_to_parquet_spark.operators.profiling import (
+        fk_orphan_audit,
+        key_uniqueness_audit,
+    )
+
+    with pytest.raises(ValueError):
+        fk_orphan_audit([])
+    with pytest.raises(ValueError):
+        key_uniqueness_audit([])

@@ -190,7 +190,11 @@ def main() -> None:
     print(f"\n{'operator':28s} {'base':>8s} {f'{copies}x':>9s} {'ratio':>8s} {'/copies':>8s}")
     for name, (b, big) in results.items():
         if b is None or big is None:
-            print(f"{name:28s} {'—':>8s}")
+            # one-sided result (an op failed at one scale): keep the
+            # surviving measurement instead of discarding the evidence
+            bs = f"{b:8.1f}" if b is not None else f"{'—':>8s}"
+            gs = f"{big:9.1f}" if big is not None else f"{'—':>9s}"
+            print(f"{name:28s} {bs} {gs} {'—':>8s} {'—':>8s}")
             continue
         r = big / b
         print(f"{name:28s} {b:8.1f} {big:9.1f} {r:8.1f} {r / copies:8.2f}")

@@ -34,15 +34,23 @@ from tabular_to_parquet_spark.sources.datasource_py import (
 
 
 class RowsSimpleReader(EventsReplayStreamReader):
-    """The round-7 per-row simple reader, reconstructed for A/B."""
+    """The round-7 per-row simple reader, reconstructed for A/B.
+
+    The tuple list is cached once per driver instance, exactly as the
+    round-7 implementation cached ``self._rows`` — re-materializing it
+    per read() would overstate the Arrow win by ~batches×."""
+
+    _tuples = None
 
     def _rows(self):
-        tbl = self._load()
-        return [
-            tuple(r[k] for k in ("event_id", "ts", "user_id",
-                                 "event_type", "value", "props"))
-            for r in tbl.to_pylist()
-        ]
+        if self._tuples is None:
+            tbl = self._load()
+            self._tuples = [
+                tuple(r[k] for k in ("event_id", "ts", "user_id",
+                                     "event_type", "value", "props"))
+                for r in tbl.to_pylist()
+            ]
+        return self._tuples
 
     def read(self, start):
         rows = self._rows()
