@@ -316,3 +316,33 @@ def key_uniqueness_audit(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def profile_table_grouped(
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Per-GROUP column profile — :func:`profile_table` segmented by a
+    grouping column (per-source / per-tenant / per-day data health,
+    the dbt-style segmented audit). One map-side-combinable
+    aggregation per profiled column (each with its own exact distinct
+    count — no multi-column Expand), unioned driver-free; group
+    cardinality bounds the output, not the input."""
+    from functools import reduce
+
+    if not cols:
+        raise ValueError("profile_table_grouped needs at least one column")
+    out = []
+    for c in cols:
+        out.append(
+            df.groupBy(F.col(group_col).alias("group_key")).agg(
+                F.lit(c).alias("col_name"),
+                F.count(c).cast("long").alias("n_values"),
+                F.sum(F.col(c).isNull().cast("int")).cast("long").alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)

@@ -582,3 +582,38 @@ def _q_key_uniqueness(spark, sf_dir):
     for key_name, table, key in _UK_SPECS:
         specs.append((key_name, loaded[table], F.expr(key).cast("long")))
     return key_uniqueness_audit(specs)
+
+
+# ---------------------------------------------------------------------------
+# pr16 — per-group column profile (segmented data health)
+
+_GP_COLS = ["user_id", "props"]
+
+
+def _gp_arm(c: str) -> str:
+    return f"""
+SELECT event_type AS group_key, '{c}' AS col_name,
+       CAST(COUNT({c}) AS BIGINT) AS n_values,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN({c})::VARCHAR AS min_value,
+       MAX({c})::VARCHAR AS max_value
+FROM events GROUP BY event_type"""
+
+
+@register(
+    "pr16_grouped_profile",
+    "\nUNION ALL\n".join(_gp_arm(c) for c in _GP_COLS),
+)
+def _q_grouped_profile(spark, sf_dir):
+    """pr01's column profile segmented per event type
+    (profiling.profile_table_grouped): the per-source data-health
+    matrix a pipeline dashboards — every (group, column) row carries
+    value/null/distinct counts and min/max. Integer/varchar columns
+    only in the gate (double min/max STRING rendering differs across
+    engines — the pr01 rule); the operator itself profiles any
+    type."""
+    from tabular_to_parquet_spark.operators.profiling import profile_table_grouped
+
+    events = load_table(spark, sf_dir, "events")
+    return profile_table_grouped(events, "event_type", _GP_COLS)
