@@ -5526,3 +5526,68 @@ SELECT CAST(ahash_lo AS BIGINT) AS ahash_lo,
        CAST(MIN(doc_id) AS BIGINT) AS keeper_id
 FROM h GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """)(_q_image_dedup_groups)
+
+
+# ---------------------------------------------------------------------------
+# x36 — tokenizer fertility audit (BPE vs whitespace, per language)
+
+
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility — the metric that decides
+    whether a tokenizer is fair to a language: chars per REAL-BPE
+    token and BPE-inflation vs whitespace words, aggregated from
+    exact integer sums (the single divisions happen once per language
+    row, oracle-safe). Both token counts are codegen'd projections
+    (x06's regex count, x11's literal-replace BPE chain) feeding one
+    map-side-combined groupBy on the bounded lang key — a pure
+    two-pass-free scan at any corpus size."""
+    from tabular_to_parquet_spark.functions import bpe
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(ta.tokens(F.col("text"))).cast("long").alias("ws"),
+        bpe.bpe_token_count(F.col("text"), bpe.BPE_MERGES).cast("long").alias("bpe"),
+    )
+    agg = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("ws").cast("long").alias("sum_ws_tokens"),
+        F.sum("bpe").cast("long").alias("sum_bpe_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "sum_chars", "sum_ws_tokens", "sum_bpe_tokens",
+        (F.col("sum_chars").cast("double") / F.col("sum_bpe_tokens"))
+        .alias("chars_per_bpe_token"),
+        (F.col("sum_bpe_tokens").cast("double") / F.col("sum_ws_tokens"))
+        .alias("bpe_per_word"),
+    )
+
+
+def _x36_sql() -> str:
+    from tabular_to_parquet_spark.functions import bpe
+
+    cnt = bpe.bpe_token_count_sql("text", bpe.BPE_MERGES, _BPE_RE_SQL)
+    return f"""
+WITH t AS (
+    SELECT lang, n_chars,
+           CAST(len({_TOKS}) AS BIGINT) AS ws,
+           CAST({cnt} AS BIGINT) AS bpe
+    FROM documents
+),
+a AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tokens
+    FROM t GROUP BY lang
+)
+SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_bpe_tokens,
+       sum_chars::DOUBLE / sum_bpe_tokens AS chars_per_bpe_token,
+       sum_bpe_tokens::DOUBLE / sum_ws_tokens AS bpe_per_word
+FROM a
+"""
+
+
+register("x36_tokenizer_fertility", _x36_sql())(_q_tokenizer_fertility)
