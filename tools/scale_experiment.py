@@ -161,6 +161,10 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_cluster_representatives": q("d15_cluster_representatives"),
         "r8_containment_pairs": q("d16_containment_pairs"),
         "r8_trailing_active_users": q("a32_trailing_active_users"),
+        "r8_image_ahash": q("m14_image_ahash"),
+        "r8_image_dedup_groups": q("m15_image_dedup_groups"),
+        "r8_grouped_profile": q("pr16_grouped_profile"),
+        "r8_tokenizer_fertility": q("x36_tokenizer_fertility"),
     })
     if name_regex:
         import re as _re
