@@ -988,3 +988,29 @@ def negative_samples(
         # in-plan (no driver round-trip to inspect N).
         .filter(F.col("neg_id") != F.col(id_col))
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    score: Column,
+    max_score: int,
+    id_col: str,
+    seed: str = "imp",
+) -> DataFrame:
+    """Row-level importance sampling: keep each row with probability
+    ``score / max_score``, deterministically — the per-DOCUMENT
+    acceptance that mixture_sample's per-SOURCE rates can't express
+    (quality-proportional corpus selection; how a pipeline upsamples
+    good documents without a stored random state).
+
+    Acceptance is the exact integer comparison
+    ``md5(id) % M  <  score * M / max_score`` rearranged as
+    ``u * max_score < score * M`` so no division happens at all —
+    reproducible, monotone in the score (raising a doc's score can
+    only add it), zero shuffles. Both products stay well inside i64
+    for max_score up to ~9·10^12 / M."""
+    from tabular_to_parquet_spark.functions.hashing import md5_i64
+
+    m = 1_000_000
+    u = md5_i64(F.col(id_col).cast("string"), seed=seed) % m
+    return df.where(u * F.lit(max_score) < score.cast("long") * F.lit(m))

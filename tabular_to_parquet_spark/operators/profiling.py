@@ -346,3 +346,45 @@ def profile_table_grouped(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: Column,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier stats per group: median / MAD (median absolute
+    deviation) and the count of values beyond ``k * MAD`` — the
+    breakdown-point-0.5 twin of :func:`zscore_outliers` (one wild
+    value shifts a mean and explodes a stddev; it moves a median not
+    at all). Two bounded-key aggregations (median, then median of
+    |x - median|) plus one broadcast-joined filter pass; exact
+    ``percentile`` is safe for bounded group cardinality and q=0.5
+    interpolation over integers is exact dyadic on both engines (the
+    pr03 argument). The 100 TB / high-cardinality path swaps in
+    approx_percentile — same shape, not oracle-exact."""
+    base = df.select(F.col(group_col).alias("g"), value.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    med = base.groupBy("g").agg(F.expr("percentile(v, 0.5D)").alias("med"))
+    dev = base.join(med, "g").select(
+        "g", "v", "med", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("g").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(ad, 0.5D)").alias("mad"),
+    )
+    flagged = dev.drop("med").join(mad, "g")
+    return (
+        flagged.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("ad") > F.lit(k) * F.col("mad")).cast("int")
+            ).cast("long").alias("n_outliers"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

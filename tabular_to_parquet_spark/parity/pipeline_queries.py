@@ -1237,3 +1237,50 @@ def _q_pack_bpe(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# pl30 — quality-proportional importance sampling
+
+_IMP_CAP = 2000
+
+
+@register(
+    "pl30_importance_sample",
+    f"""
+WITH t AS (
+    SELECT doc_id, lang, n_chars,
+           LEAST(n_chars, {_IMP_CAP}) AS score,
+           ({pl.md5_i64_sql("(doc_id)::VARCHAR", seed="imp")} % 1000000) AS u
+    FROM documents
+),
+kept AS (SELECT * FROM t WHERE u * {_IMP_CAP} < score * 1000000)
+SELECT lang,
+       CAST((SELECT COUNT(*) FROM t t2 WHERE t2.lang = kept.lang) AS BIGINT)
+           AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_accepted,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang
+""",
+)
+def _q_importance_sample(spark, sf_dir):
+    """pipeline.importance_sample over a length-capped quality score:
+    each doc survives with probability min(n_chars, 2000)/2000 via an
+    exact integer hash comparison (no division, no rand state) — the
+    row-level acceptance mixture_sample's group rates can't express.
+    Per-lang acceptance stats; the total-count column re-counts the
+    stratum so the acceptance RATE is readable from one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = pl.importance_sample(
+        docs, F.least(F.col("n_chars"), F.lit(_IMP_CAP)), _IMP_CAP, "doc_id"
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    acc = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accepted"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return totals.join(acc, "lang").select(
+        "lang", "n_docs", "n_accepted", "id_checksum", "sum_chars"
+    )

@@ -617,3 +617,44 @@ def _q_grouped_profile(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return profile_table_grouped(events, "event_type", _GP_COLS)
+
+
+# ---------------------------------------------------------------------------
+# pr17 — MAD robust outliers (the breakdown-resistant twin of pr06)
+
+
+@register(
+    "pr17_mad_outliers",
+    """
+WITH t AS (
+    SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM t GROUP BY g),
+dev AS (SELECT t.g, t.v, med.med, ABS(t.v - med.med) AS ad
+        FROM t JOIN med ON t.g = med.g),
+mad AS (SELECT g, ANY_VALUE(med) AS med, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY g)
+SELECT dev.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ANY_VALUE(mad.med) AS med,
+       ANY_VALUE(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dev.ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad ON dev.g = mad.g
+GROUP BY dev.g
+""",
+)
+def _q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier audit of event cents per type
+    (profiling.mad_outliers): the pr06 z-score audit breaks down when
+    the contamination it hunts moves the mean — MAD's 50% breakdown
+    point doesn't. q=0.5 interpolation over integer cents is exact
+    dyadic (.0/.5 values), |x−med| and the 3·MAD comparison stay
+    dyadic-exact, so every count and both statistics hash-match."""
+    from tabular_to_parquet_spark.operators.profiling import mad_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        events, F.floor(F.col("value") * 100).cast("long"), "event_type"
+    ).withColumnRenamed("g", "event_type")

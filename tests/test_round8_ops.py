@@ -290,3 +290,32 @@ def test_audits_reject_empty_specs(spark):
         fk_orphan_audit([])
     with pytest.raises(ValueError):
         key_uniqueness_audit([])
+
+
+def test_importance_sample_monotone_and_deterministic(spark):
+    from tabular_to_parquet_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(i, i % 100) for i in range(2000)], "id long, q long")
+    lo = set(r.id for r in pl.importance_sample(df, F.col("q"), 100, "id").collect())
+    lo2 = set(r.id for r in pl.importance_sample(df, F.col("q"), 100, "id").collect())
+    assert lo == lo2  # deterministic
+    hi = set(r.id for r in pl.importance_sample(
+        df, F.least(F.col("q") * 2, F.lit(100)), 100, "id").collect())
+    assert lo <= hi  # monotone: raising scores only adds rows
+    # zero score never accepted; max score always accepted
+    zero = df.where(F.col("q") == 0)
+    assert pl.importance_sample(zero, F.col("q"), 100, "id").count() == 0
+    full = pl.importance_sample(df, F.lit(100), 100, "id").count()
+    assert full == 2000
+
+
+def test_mad_outliers_resists_contamination(spark):
+    """One wild value must not move the median/MAD (the pr06 z-score
+    contrast: it would shift a mean and explode a stddev)."""
+    from tabular_to_parquet_spark.operators.profiling import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 15, 16, 17, 18, 1_000_000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, F.col("v").cast("long"), "g").collect()[0]
+    assert out["med"] == 14.5 and out["mad"] == 2.5
+    assert out["n_outliers"] == 1  # only the wild value
