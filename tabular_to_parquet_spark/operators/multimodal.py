@@ -801,3 +801,53 @@ def perceptual_hash_features(df: DataFrame, hash_w: int = 8, hash_h: int = 8) ->
             )
 
     return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("n_windows", T.LongType(), True),
+        T.StructField("mean_energy", T.LongType(), True),
+        T.StructField("fingerprint", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, window: int = 8, max_windows: int = 63) -> DataFrame:
+    """Energy-profile audio fingerprint — the m14 aHash idea on PCM:
+    decode with the real RIFF/PCM codec, frame into fixed windows,
+    exact integer energy (Σ s²) per window, one bit per window for
+    energy above the integer mean. Equal fingerprints = same loudness
+    envelope (the cheap audio dedup key; a hamming band join is the
+    near-dup path). All-integer math end to end — oracle-exact.
+    Windows are capped at 63 bits (clip longer audio or raise the
+    window size; bit 63 would collide with the BIGINT sign)."""
+    from tabular_to_parquet_spark.operators.codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _rate, samples = decode_wav(bytes(payload))
+                except (ValueError, TypeError):
+                    rows.append((mid, None, None, None, False))
+                    continue
+                energies = [
+                    sum(s * s for s in samples[start : start + window])
+                    for start in range(0, len(samples), window)
+                ][:max_windows]
+                nw = len(energies)
+                if nw == 0:
+                    rows.append((mid, 0, 0, 0, True))
+                    continue
+                mean = sum(energies) // nw
+                fp = sum(1 << i for i, e in enumerate(energies) if e > mean)
+                rows.append((mid, nw, mean, fp, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_windows", "mean_energy", "fingerprint", "decoded"],
+            )
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)

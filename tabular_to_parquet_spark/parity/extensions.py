@@ -5591,3 +5591,110 @@ FROM a
 
 
 register("x36_tokenizer_fertility", _x36_sql())(_q_tokenizer_fertility)
+
+
+# ---------------------------------------------------------------------------
+# a33 — per-user active-time coverage (interval union over sessions)
+
+
+def _q_user_active_time(spark, sf_dir):
+    """Interval-union coverage per user: total time inside ev03
+    sessions (the union of per-session [start, end] intervals —
+    sessionization already merged overlaps, so the union length is a
+    plain sum), session count, and the longest inter-session gap.
+    One user-keyed exchange serves the sessionize windows, the
+    session aggregate, the gap lag and the final rollup (all
+    partitioned by user_id — Catalyst reuses it); integer microsecond
+    arithmetic end to end."""
+    from pyspark.sql import Window as W
+
+    from tabular_to_parquet_spark.streaming.streams import sessionize_frame
+
+    sess = sessionize_frame(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("session_no")
+    gap = F.unix_micros(F.col("session_start")) - F.lag(
+        F.unix_micros(F.col("session_end"))
+    ).over(w)
+    staged = sess.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("session_end"))
+            - F.unix_micros(F.col("session_start"))
+        ).alias("dur_us"),
+        gap.alias("gap_us"),
+    )
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dur_us").cast("long").alias("active_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
+register("a33_user_active_time", """
+WITH tagged AS (
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us > 14400000000 THEN 1
+                    ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM (SELECT *, lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_us
+          FROM events)
+),
+sess AS (
+    SELECT user_id, session_no,
+           MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+    FROM tagged GROUP BY user_id, session_no
+),
+g AS (
+    SELECT user_id, e_us - s_us AS dur_us,
+           s_us - lag(e_us) OVER (PARTITION BY user_id ORDER BY session_no)
+               AS gap_us
+    FROM sess
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur_us) AS BIGINT) AS active_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+""")(_q_user_active_time)
+
+
+# ---------------------------------------------------------------------------
+# m16 — energy-profile audio fingerprint (audio dedup key)
+
+
+def _q_audio_fingerprint(spark, sf_dir):
+    """multimodal.audio_fingerprint over real PCM-16 WAV payloads:
+    8-sample window energies (exact Σs²), one above-integer-mean bit
+    per window — the loudness-envelope dedup key, m14's aHash idea on
+    audio. Arrow-batched map pass over the real RIFF decode; the
+    oracle re-derives every bit from the sample formula."""
+    media = multimodal.attach_wav_payload(_docs(spark, sf_dir))
+    return multimodal.audio_fingerprint(media)
+
+
+register("m16_audio_fingerprint", """
+WITH w AS (
+    SELECT doc_id, i // 8 AS widx,
+           SUM(((i * (doc_id + 7)) % 2003 - 1001)
+               * ((i * (doc_id + 7)) % 2003 - 1001)) AS energy
+    FROM (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         LATERAL (SELECT unnest(range(0, n)) AS i)
+    GROUP BY 1, 2
+),
+m AS (SELECT doc_id, COUNT(*) AS nw, SUM(energy) // COUNT(*) AS mean_e
+      FROM w GROUP BY doc_id)
+SELECT w.doc_id AS media_id,
+       CAST(m.nw AS BIGINT) AS n_windows,
+       CAST(m.mean_e AS BIGINT) AS mean_energy,
+       CAST(COALESCE(SUM(CASE WHEN w.energy > m.mean_e
+                              THEN (1::BIGINT << w.widx) END), 0) AS BIGINT)
+           AS fingerprint,
+       true AS decoded
+FROM w JOIN m ON w.doc_id = m.doc_id
+GROUP BY w.doc_id, m.nw, m.mean_e
+""")(_q_audio_fingerprint)
