@@ -165,6 +165,10 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_image_dedup_groups": q("m15_image_dedup_groups"),
         "r8_grouped_profile": q("pr16_grouped_profile"),
         "r8_tokenizer_fertility": q("x36_tokenizer_fertility"),
+        "r8_importance_sample": q("pl30_importance_sample"),
+        "r8_mad_outliers": q("pr17_mad_outliers"),
+        "r8_user_active_time": q("a33_user_active_time"),
+        "r8_audio_fingerprint": q("m16_audio_fingerprint"),
     })
     if name_regex:
         import re as _re
