@@ -658,3 +658,78 @@ def _q_mad_outliers(spark, sf_dir):
     return mad_outliers(
         events, F.floor(F.col("value") * 100).cast("long"), "event_type"
     ).withColumnRenamed("g", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# pr18 — two-sample distribution drift (log-free PSI twin)
+
+_DRIFT_SPLIT = "2024-01-15"
+
+
+@register(
+    "pr18_distribution_drift",
+    f"""
+WITH t AS (
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN -1
+                     WHEN value >= 500 THEN 25
+                     ELSE floor(value / 20.0)
+                END AS BIGINT) AS bin,
+           CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS late
+    FROM events WHERE value IS NOT NULL
+),
+b AS (
+    SELECT event_type, bin,
+           CAST(SUM(1 - late) AS BIGINT) AS n_early,
+           CAST(SUM(late) AS BIGINT) AS n_late
+    FROM t GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type,
+           SUM(n_early) AS t_early, SUM(n_late) AS t_late
+    FROM b GROUP BY 1
+)
+SELECT b.event_type, b.bin, b.n_early, b.n_late,
+       CAST(ABS(b.n_early * tot.t_late - b.n_late * tot.t_early) AS BIGINT)
+           AS l1_num
+FROM b JOIN tot ON b.event_type = tot.event_type
+""",
+)
+def _q_distribution_drift(spark, sf_dir):
+    """Two-sample distribution drift per event type: the value
+    histogram before vs after a fixed split date, with the exact
+    integer L1-drift numerator |n_e·T_l − n_l·T_e| per bin (divide by
+    T_e·T_l once at the consumer for the rate-difference — log-free,
+    unlike PSI, so it stays in the deterministic cross-engine
+    intersection). One scan, one (type, bin) hash agg, one bounded
+    per-type totals join (AQE broadcasts it). At 100 TB the products
+    follow the r7 agg×agg rule: lift to DECIMAL(38,0)/digit strings
+    once counts can exceed ~3·10⁹."""
+    events = load_table(spark, sf_dir, "events")
+    late = (F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp")).cast("int")
+    t = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(F.col("value") < 0, F.lit(-1))
+        .when(F.col("value") >= 500, F.lit(25))
+        .otherwise(F.floor(F.col("value") / 20.0))
+        .cast("long")
+        .alias("bin"),
+        late.alias("late"),
+    )
+    b = t.groupBy("event_type", "bin").agg(
+        F.sum(F.lit(1) - F.col("late")).cast("long").alias("n_early"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum("n_early").alias("t_early"), F.sum("n_late").alias("t_late")
+    )
+    return (
+        b.join(tot, "event_type")
+        .select(
+            "event_type", "bin", "n_early", "n_late",
+            F.abs(
+                F.col("n_early") * F.col("t_late")
+                - F.col("n_late") * F.col("t_early")
+            ).cast("long").alias("l1_num"),
+        )
+    )
