@@ -169,6 +169,7 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_mad_outliers": q("pr17_mad_outliers"),
         "r8_user_active_time": q("a33_user_active_time"),
         "r8_audio_fingerprint": q("m16_audio_fingerprint"),
+        "r8_distribution_drift": q("pr18_distribution_drift"),
     })
     if name_regex:
         import re as _re
