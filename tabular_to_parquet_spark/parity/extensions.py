@@ -5698,3 +5698,157 @@ SELECT w.doc_id AS media_id,
 FROM w JOIN m ON w.doc_id = m.doc_id
 GROUP BY w.doc_id, m.nw, m.mean_e
 """)(_q_audio_fingerprint)
+
+
+# ---------------------------------------------------------------------------
+# a34 — ratio-to-report (percent of parent, exact share arithmetic)
+
+
+def _q_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each (region, priority) revenue cell as a
+    share of its region's total — the report shape ROLLUP subtotals
+    (a31) don't give directly. Cell sums and region totals are exact
+    integer cents; the share is ONE division per output row (26 rows)
+    so it stays bit-reproducible. Plan: the groupBy feeds a
+    region-partitioned window sum — same exchange, no second scan."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+    )
+    tot = F.sum("cents").over(W.partitionBy("r_name"))
+    return cells.select(
+        "r_name", "o_orderpriority", "cents",
+        tot.cast("long").alias("region_cents"),
+        (F.col("cents").cast("double") / tot).alias("share"),
+    )
+
+
+register("a34_revenue_share", """
+WITH cells AS (
+    SELECT r_name, o_orderpriority,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderpriority
+)
+SELECT r_name, o_orderpriority, cents,
+       CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+       cents::DOUBLE / SUM(cents) OVER (PARTITION BY r_name) AS share
+FROM cells
+""")(_q_revenue_share)
+
+
+# ---------------------------------------------------------------------------
+# ev11 — event-time disorder audit (the watermark-sizing evidence)
+
+
+def _q_event_disorder(spark, sf_dir):
+    """Out-of-orderness audit per event type: how often does event
+    time run BACKWARDS along the arrival order (event_id), and by how
+    much — the measurement that justifies a watermark delay before
+    anyone picks one. One user-partitioned lag pass (arrival order
+    per user), then a bounded-key aggregate: n_events, n_inversions,
+    the worst backwards jump and the total backwards microseconds —
+    all exact integer arithmetic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    back = F.lag(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))
+    staged = ev.select(
+        "event_type", F.when(back > 0, back).otherwise(F.lit(0)).alias("back_us")
+    )
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("back_us") > 0).cast("int")).cast("long").alias("n_inversions"),
+        F.max("back_us").cast("long").alias("max_backwards_us"),
+        F.sum("back_us").cast("long").alias("sum_backwards_us"),
+    )
+
+
+register("ev11_event_disorder", """
+WITH g AS (
+    SELECT event_type,
+           GREATEST(COALESCE(lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY event_id)
+                    - epoch_us(ts), 0), 0) AS back_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN back_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inversions,
+       CAST(MAX(back_us) AS BIGINT) AS max_backwards_us,
+       CAST(SUM(back_us) AS BIGINT) AS sum_backwards_us
+FROM g GROUP BY event_type
+""")(_q_event_disorder)
+
+
+# ---------------------------------------------------------------------------
+# d17 — sketch calibration: MinHash estimate vs TRUE Jaccard
+
+
+def _q_minhash_calibration(spark, sf_dir):
+    """Calibration audit for the d04 sketch: every LSH candidate pair
+    scored by BOTH its 16-component signature estimate and the true
+    shingle-set Jaccard (exact array_intersect on the candidates only
+    — the d07 verifier pattern), so the estimator's error is
+    measurable from the report instead of trusted. sig_matches is
+    recovered exactly as est·16 (the estimate is a dyadic k/16);
+    true_jaccard is one division per candidate row. At 100 TB the
+    candidate set is banded-bounded, never all-pairs — the exact
+    verification cost follows true dup structure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    sh = docs.select(F.col("doc_id"), ta.word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    un = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        (F.col("est_jaccard") * 16).cast("long").alias("sig_matches"),
+        inter.cast("long").alias("inter"),
+        un.cast("long").alias("un"),
+        "est_jaccard",
+        (inter.cast("double") / un).alias("true_jaccard"),
+    )
+
+
+def _d17_oracle() -> str:
+    d04 = CATALOG["d04_minhash_pairs"].oracle
+    return f"""
+WITH cand AS ({d04}),
+sh AS (SELECT doc_id, {_shingles(_TOKS)} AS sh FROM documents),
+j AS (
+    SELECT c.id_a, c.id_b, c.est_jaccard,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+    FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(est_jaccard * 16 AS BIGINT) AS sig_matches,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(un AS BIGINT) AS un,
+       est_jaccard,
+       inter::DOUBLE / un AS true_jaccard
+FROM j
+"""
+
+
+register("d17_minhash_calibration", _d17_oracle())(_q_minhash_calibration)
