@@ -170,6 +170,9 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_user_active_time": q("a33_user_active_time"),
         "r8_audio_fingerprint": q("m16_audio_fingerprint"),
         "r8_distribution_drift": q("pr18_distribution_drift"),
+        "r8_revenue_share": q("a34_revenue_share"),
+        "r8_event_disorder": q("ev11_event_disorder"),
+        "r8_minhash_calibration": q("d17_minhash_calibration"),
     })
     if name_regex:
         import re as _re
