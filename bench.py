@@ -323,6 +323,12 @@ def main() -> None:
         "a30_sessionized_funnel",
         "a31_rollup_revenue",
         "g03_kcore",
+        # round-8 second wave: skew audit, winsorized stats, BFS,
+        # gap-fill forward-fill
+        "pr19_key_skew_audit",
+        "pr20_winsorized_stats",
+        "g04_bfs_hops",
+        "a35_gap_fill",
     ):
         @timed(_hq)
         def _(q=_hq):

@@ -195,3 +195,47 @@ def kcore(edges: DataFrame, k: int = 3, max_iters: int = 40) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("src").alias("node"), "core_degree")
     )
+
+
+def bfs_hops(edges: DataFrame, seed: int | None = None, max_hops: int = 12) -> DataFrame:
+    """BFS distances from ``seed`` over an undirected graph given as
+    SYMMETRIC distinct (src, dst) pairs: (node, hop) for every vertex
+    reachable within ``max_hops``, hop = exact shortest-path length —
+    the reachability/radius primitive the one-shot g01/g02 metrics and
+    the g03 peel don't give.
+
+    Level-synchronous frontier expansion, the Pregel shape flattened
+    into DataFrame ops: each round is ONE equi-join of the (shrinking)
+    frontier against the edge list plus an anti-join against the
+    visited set — never a cross product, never a driver-side
+    traversal; ``localCheckpoint`` truncates per-round lineage and the
+    driver pays one count per level (O(diameter), like kcore's
+    O(peel-depth)). At 100 TB the frontier join is the textbook BSP
+    BFS: cost per level ∝ edges touched by that level, monotonically
+    bounded by the true edge count. ``seed=None`` picks MIN(src) —
+    one O(1) scalar aggregate, deterministic."""
+    e = edges.select("src", "dst").localCheckpoint()
+    if seed is None:
+        seed = e.agg(F.min("src")).collect()[0][0]
+        if seed is None:
+            raise ValueError("bfs_hops on an empty edge set")
+    spark = e.sparkSession
+    dist = spark.range(1).select(
+        F.lit(seed).cast("long").alias("node"), F.lit(0).cast("long").alias("hop")
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.union(
+            nxt.select("node", F.lit(h).cast("long").alias("hop"))
+        ).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

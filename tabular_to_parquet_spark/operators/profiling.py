@@ -388,3 +388,99 @@ def mad_outliers(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def key_skew_audit(
+    specs: list[tuple[str, DataFrame, Column]],
+) -> DataFrame:
+    """Join/shuffle-key skew audit: for each (key_name, df, key_expr)
+    spec, summarize the per-key row-count DISTRIBUTION — the
+    measurement that decides whether a key needs salting
+    (operators/skew.py) or an AQE skew-join split BEFORE the shuffle
+    melts down, instead of after. Per key column: row/key counts, the
+    hottest key's count, the exact dyadic median per-key count, and
+    the skew factor's exact integer numerator ``max_cnt * n_keys``
+    (divide by n_rows once at the consumer for max/mean — emitted as
+    a DECIMAL(38,0) digit string per the agg-product overflow rule,
+    since both factors grow with data volume).
+
+    Scale shape: each spec costs ONE map-side-combined groupBy down
+    to (key, count) — the audit never shuffles more than the distinct
+    keys it is judging — plus a single-row summary; exact
+    ``percentile`` over per-key counts is safe because the summary
+    input is already one row per key (at 100 TB swap for
+    approx_percentile if distinct keys themselves are huge)."""
+    from functools import reduce
+
+    if not specs:
+        raise ValueError("key_skew_audit needs at least one key spec")
+    out = []
+    for key_name, df, key in specs:
+        per_key = (
+            df.where(key.isNotNull())
+            .groupBy(key.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        d = "decimal(19,0)"
+        out.append(
+            per_key.agg(
+                F.lit(key_name).alias("key_name"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_cnt"),
+                F.expr("percentile(n, 0.5D)").alias("median_cnt"),
+                (
+                    F.coalesce(F.max("n"), F.lit(0)).cast(d)
+                    * F.count(F.lit(1)).cast(d)
+                )
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("skew_num"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value: Column,
+    group_col: str,
+    q: float = 0.125,
+) -> DataFrame:
+    """Winsorized descriptive stats per group: clamp values into the
+    exact [q, 1-q] quantile band, then aggregate — the
+    tail-contamination-proof mean that completes the robust family
+    (pr06 z-scores break on wild tails, pr17's MAD flags them; this
+    SUMMARIZES despite them, the trimmed-estimator shape).
+
+    Determinism: q must be dyadic (default 1/8) so the interpolated
+    edges are exact k/8 values on both engines (the pr14/pl25
+    argument), and the clamped sum ships as ``sum8x`` = Σ(8·clamped)
+    — an exact BIGINT because every clamped value has at most three
+    fractional bits; the consumer divides by 8·n once. One bounded-key
+    percentile aggregate broadcast back onto one scan."""
+    if not (0.0 < q < 0.5):
+        raise ValueError(f"winsorize fraction must be in (0, 0.5), got {q}")
+    if (q * 8) != int(q * 8):
+        raise ValueError(f"winsorize fraction must be dyadic (k/8), got {q}")
+    base = df.select(F.col(group_col).alias("g"), value.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    edges = base.groupBy("g").agg(
+        F.expr(f"percentile(v, {q}D)").alias("lo"),
+        F.expr(f"percentile(v, {1.0 - q}D)").alias("hi"),
+    )
+    j = base.join(edges, "g")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v").cast("double")))
+    return (
+        j.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum((F.col("v") < F.col("lo")).cast("int")).cast("long").alias("n_low"),
+            F.sum((F.col("v") > F.col("hi")).cast("int")).cast("long").alias("n_high"),
+            F.sum((clamped * 8).cast("long")).cast("long").alias("sum8x"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

@@ -5852,3 +5852,120 @@ FROM j
 
 
 register("d17_minhash_calibration", _d17_oracle())(_q_minhash_calibration)
+
+
+# ---------------------------------------------------------------------------
+# g04 — BFS shortest-path hops (level-synchronous frontier expansion)
+
+
+def _bfs_oracle(max_hops: int = 12) -> str:
+    """Recursive-CTE DuckDB twin of graph.bfs_hops over the g03 edge
+    build: UNION-dedup'd (node, hop) exploration bounded at
+    ``max_hops``, MIN(hop) per node == BFS distance (level order makes
+    the first reach minimal on both engines; both truncate at the same
+    bound). Edge CTE MATERIALIZED per the g03 lesson."""
+    return f"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS n
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2)
+    WHERE n >= 2
+),
+walk(node, hop) AS (
+    SELECT MIN(src), 0 FROM e0
+    UNION
+    SELECT e0.dst, walk.hop + 1
+    FROM walk JOIN e0 ON e0.src = walk.node
+    WHERE walk.hop + 1 <= {max_hops}
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+"""
+
+
+def _q_bfs_hops(spark, sf_dir):
+    """BFS hop distances from the smallest part id over the
+    support-thresholded co-purchase graph (graph.bfs_hops over
+    graph.copurchase_edges_threshold): the reachability/radius
+    primitive — exact shortest-path lengths within 12 hops. Each level
+    is one frontier-edge equi-join plus a visited anti-join (the BSP
+    BFS shape, O(diameter) bounded shuffles over a shrinking
+    frontier); the oracle re-walks the same levels as a bounded
+    recursive CTE and takes MIN(hop)."""
+    from tabular_to_parquet_spark.operators import graph as g
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = g.copurchase_edges_threshold(li, min_orders=2)
+    return g.bfs_hops(edges, max_hops=12)
+
+
+register("g04_bfs_hops", _bfs_oracle(12))(_q_bfs_hops)
+
+
+# ---------------------------------------------------------------------------
+# a35 — per-user daily spine with forward-fill (time-series gap repair)
+
+
+def _q_gap_fill(spark, sf_dir):
+    """Per-user daily revenue series with gap days FILLED by
+    carry-forward: generate each user's full day spine (min..max
+    active day, integer epoch days — the a20/a32 temporal-key rule),
+    left-join the observed daily sums, forward-fill with
+    last(ignorenulls) — the time-series regularization every
+    training-data featurizer needs before windowing (a gap day must
+    carry the prior value, not silently vanish). Plan: one daily
+    hash agg, a per-user sequence explode (spine ∝ span days, never
+    a global calendar cross join), one user-day left join and ONE
+    user-partitioned ordered pass for the fill — the join and the
+    window share the user-keyed exchange. First spine day is always
+    observed, so the fill never emits null."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.expr("unix_micros(ts) div 86400000000").cast("long")
+    daily = (
+        ev.select("user_id", day.alias("day"),
+                  F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").cast("long").alias("day_cents"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = W.partitionBy("user_id").orderBy("day")
+    return j.select(
+        "user_id",
+        F.col("day").cast("long").alias("day"),
+        F.last("day_cents", ignorenulls=True).over(w).cast("long").alias("cents"),
+        F.col("day_cents").isNotNull().cast("long").alias("observed"),
+    )
+
+
+register("a35_gap_fill", """
+WITH daily AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS day_cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM b),
+j AS (
+    SELECT s.user_id, s.day, d.day_cents
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       CAST(LAST_VALUE(day_cents IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cents,
+       CAST(CASE WHEN day_cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS observed
+FROM j
+""")(_q_gap_fill)

@@ -733,3 +733,94 @@ def _q_distribution_drift(spark, sf_dir):
             ).cast("long").alias("l1_num"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pr19 — shuffle/join-key skew audit (the pre-salting measurement)
+
+#: (key_name, table, key column) — the shuffle keys the engine's own
+#: joins and aggregations hash on, so the audit reads as a shuffle plan
+_SKEW_SPECS = [
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+]
+
+
+def _skew_arm(key_name: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{key_name}' AS key_name,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_cnt,
+       quantile_cont(n, 0.5) AS median_cnt,
+       CAST(CAST(COALESCE(MAX(n), 0) AS DECIMAL(19,0))
+            * CAST(COUNT(*) AS DECIMAL(19,0)) AS VARCHAR) AS skew_num
+FROM (SELECT {key} AS k, COUNT(*) AS n FROM {table}
+      WHERE {key} IS NOT NULL GROUP BY 1) g"""
+
+
+@register(
+    "pr19_key_skew_audit",
+    "\nUNION ALL\n".join(_skew_arm(*s) for s in _SKEW_SPECS),
+)
+def _q_key_skew(spark, sf_dir):
+    """Shuffle-key skew audit over the engine's own join/agg keys
+    (profiling.key_skew_audit): per key column, the per-key count
+    distribution — n_rows/n_keys/max_cnt, the exact dyadic median
+    count, and the skew factor max·n_keys as an exact digit string
+    (÷ n_rows at the consumer = hottest-key-to-mean ratio). This is
+    the measurement that justifies salting (operators/skew.py) or an
+    AQE skew split BEFORE a 100 TB shuffle stalls on one reducer;
+    each arm costs one map-side-combined groupBy of the distinct
+    keys, nothing row-level leaves the scan."""
+    tables = {t for _, t, _ in _SKEW_SPECS}
+    loaded = {t: load_table(spark, sf_dir, t) for t in tables}
+    specs = [(n, loaded[t], F.col(k)) for n, t, k in _SKEW_SPECS]
+    return pr.key_skew_audit(specs)
+
+
+# ---------------------------------------------------------------------------
+# pr20 — winsorized stats (the trimmed-estimator robust summary)
+
+
+@register(
+    "pr20_winsorized_stats",
+    """
+WITH t AS (
+    SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+e AS (
+    SELECT g, quantile_cont(v, 0.125) AS lo, quantile_cont(v, 0.875) AS hi
+    FROM t GROUP BY g
+)
+SELECT t.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ANY_VALUE(e.lo) AS lo,
+       ANY_VALUE(e.hi) AS hi,
+       CAST(SUM(CASE WHEN t.v < e.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN t.v > e.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CAST(GREATEST(e.lo, LEAST(e.hi, t.v::DOUBLE)) * 8
+                     AS BIGINT)) AS BIGINT) AS sum8x
+FROM t JOIN e ON t.g = e.g
+GROUP BY t.g
+""",
+)
+def _q_winsorized(spark, sf_dir):
+    """Winsorized event-cents summary per type
+    (profiling.winsorized_stats): values clamped into the exact
+    [1/8, 7/8] quantile band before aggregating — the trimmed
+    estimator that SUMMARIZES tail-contaminated data (pr06 flags
+    tails, pr17 resists them, this reports through them). Dyadic
+    edges are bit-identical across engines; the clamped sum ships as
+    Σ(8·clamped) in BIGINT (≤3 fractional bits, exact), one division
+    by 8n at the consumer. One percentile agg over bounded keys
+    broadcast onto one scan."""
+    events = load_table(spark, sf_dir, "events")
+    return pr.winsorized_stats(
+        events, F.floor(F.col("value") * 100).cast("long"), "event_type"
+    )
