@@ -329,6 +329,8 @@ def main() -> None:
         "pr20_winsorized_stats",
         "g04_bfs_hops",
         "a35_gap_fill",
+        "m17_scene_cuts",
+        "a36_weighted_median",
     ):
         @timed(_hq)
         def _(q=_hq):

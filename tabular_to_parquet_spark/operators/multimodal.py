@@ -469,6 +469,58 @@ def decode_video_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
 
 
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("frame", T.LongType(), True),
+        T.StructField("diff_sum", T.LongType(), True),
+        T.StructField("is_cut", T.BooleanType(), True),
+    ]
+)
+
+
+def scene_cut_frames(df: DataFrame) -> DataFrame:
+    """Per-transition scene-cut series over the REAL AVI decode: one
+    row per consecutive-frame pair (``frame`` = index of the later
+    frame) with the exact integer byte-difference sum, flagged as a
+    cut when the transition's energy exceeds 2x the clip's mean —
+    compared as ``diff * n_transitions > 2 * total`` so no division
+    ever happens. This is the per-frame view m11's per-video total
+    collapses away: the boundary detector that turns raw video into
+    trainable shot clips.
+
+    Scale shape: decode, the transition series AND the per-clip mean
+    all happen inside one Arrow batch (a clip never spans batches), so
+    the operator is a ZERO-shuffle mapInPandas scan — at 100 TB it
+    parallelizes per video file with no exchange at all. Single-frame
+    clips emit nothing; undecodable payloads are skipped."""
+    from tabular_to_parquet_spark.operators.codecs import decode_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    _w, _h, frames = decode_avi(bytes(payload))
+                except ValueError:
+                    continue
+                diffs = [
+                    sum(abs(pa - pb) for pa, pb in zip(a, b))
+                    for a, b in zip(frames, frames[1:])
+                ]
+                total = sum(diffs)
+                nt = len(diffs)
+                for f, d in enumerate(diffs, start=1):
+                    rows.append((mid, f, d, d * nt > 2 * total))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame", "diff_sum", "is_cut"]
+            )
+
+    return df.mapInPandas(batches, SCENE_CUT_SCHEMA)
+
+
 # --- audio ------------------------------------------------------------------
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

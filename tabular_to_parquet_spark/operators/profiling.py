@@ -484,3 +484,45 @@ def winsorized_stats(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value: Column,
+    weight: Column,
+    group_col: str,
+) -> DataFrame:
+    """Weighted (lower) median per group: the smallest value whose
+    cumulative weight reaches half the total — ``2·cumw >= totw``
+    compared in exact integers, so the order statistic needs no
+    percentile builtin and no division (the weighted twin the
+    unweighted ``percentile`` family can't express; value and weight
+    should be integral for cross-engine exactness).
+
+    Shape: one (group, value) pre-aggregation collapses rows to
+    DISTINCT values per group, then a group-PARTITIONED ordered cumsum
+    (parallel across groups; the window input is the bounded
+    distinct-value set, never raw rows) and a min over the crossing
+    suffix. If distinct values per group are themselves huge at 100 TB,
+    rebucket values first (floor(v / width) blocks) and recurse into
+    the one crossing bucket — same crossing rule, logarithmic rounds."""
+    from pyspark.sql import Window as W
+
+    pv = df.groupBy(F.col(group_col).alias("g"), value.alias("v")).agg(
+        F.sum(weight).alias("wv")
+    )
+    cw = F.sum("wv").over(
+        W.partitionBy("g").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tw = F.sum("wv").over(W.partitionBy("g"))
+    c = pv.select("g", "v", cw.alias("cw"), tw.alias("tw"))
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(
+            F.min("v").cast("long").alias("wmedian"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

@@ -5969,3 +5969,90 @@ SELECT user_id, CAST(day AS BIGINT) AS day,
            AS observed
 FROM j
 """)(_q_gap_fill)
+
+
+# ---------------------------------------------------------------------------
+# m17 — per-transition scene-cut series (the per-frame view under m11)
+
+
+def _q_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over the real AVI decode
+    (multimodal.scene_cut_frames): one row per consecutive-frame
+    transition with its exact byte-difference sum, flagged as a cut
+    when the transition exceeds 2x the clip's mean energy — compared
+    as diff·n_transitions > 2·total so no division happens. The
+    per-frame series m11's per-video total collapses away; decode,
+    series and per-clip mean all stay inside one Arrow batch, so the
+    whole operator is a zero-shuffle mapInPandas scan. The oracle
+    re-derives every transition from the synthetic frame formula."""
+    media = multimodal.attach_avi_payload(_docs(spark, sf_dir))
+    return multimodal.scene_cut_frames(media)
+
+
+register("m17_scene_cuts", """
+WITH px AS (
+    SELECT doc_id, f,
+           3 * SUM(abs(((x + y + f + doc_id) % 256)
+                       - ((x + y + f - 1 + doc_id) % 256))) AS diff_sum
+    FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+                 2 + doc_id % 4 AS n
+          FROM documents),
+         LATERAL (SELECT unnest(range(1, n)) AS f),
+         LATERAL (SELECT unnest(range(0, w)) AS x),
+         LATERAL (SELECT unnest(range(0, h)) AS y)
+    GROUP BY doc_id, f
+),
+t AS (SELECT doc_id, COUNT(*) AS nt, SUM(diff_sum) AS tot
+      FROM px GROUP BY doc_id)
+SELECT px.doc_id AS media_id, CAST(px.f AS BIGINT) AS frame,
+       CAST(px.diff_sum AS BIGINT) AS diff_sum,
+       (px.diff_sum * t.nt > 2 * t.tot) AS is_cut
+FROM px JOIN t ON px.doc_id = t.doc_id
+""")(_q_scene_cuts)
+
+
+# ---------------------------------------------------------------------------
+# a36 — weighted median (cumulative-weight crossing, no percentile)
+
+
+def _q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag
+    (profiling.weighted_median): the smallest cents value whose
+    cumulative weight reaches half the total — 2·cumw >= totw compared
+    in exact integers, so the order statistic needs no percentile
+    builtin and no division. Shape: one (flag, value) pre-aggregation
+    collapses rows to DISTINCT values per group, then a
+    group-PARTITIONED ordered cumsum (parallel across groups; the
+    window input is the bounded distinct-value set, never raw rows)
+    and a min over the crossing suffix — the weighted twin pr03's
+    unweighted percentiles can't express."""
+    from tabular_to_parquet_spark.operators.profiling import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        F.floor(F.col("l_extendedprice") * 100).cast("long"),
+        F.floor(F.col("l_quantity")).cast("long"),
+        "l_returnflag",
+    ).withColumnRenamed("wmedian", "wmedian_cents")
+
+
+register("a36_weighted_median", """
+WITH pv AS (
+    SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+           SUM(CAST(floor(l_quantity) AS BIGINT)) AS wv
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT l_returnflag, v, wv,
+           SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+           SUM(wv) OVER (PARTITION BY l_returnflag) AS tw
+    FROM pv
+)
+SELECT l_returnflag,
+       CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+""")(_q_weighted_median)

@@ -126,3 +126,73 @@ def test_winsorized_stats_rejects_non_dyadic_fraction(spark):
         winsorized_stats(df, F.col("v"), "g", q=0.1)
     with pytest.raises(ValueError):
         winsorized_stats(df, F.col("v"), "g", q=0.6)
+
+
+def test_scene_cut_flags_real_jump(spark):
+    """Hand-built AVI with a genuine scene cut: three near-identical
+    frames then a full black->white jump — only that transition is
+    flagged."""
+    import pandas as pd
+
+    from tabular_to_parquet_spark.operators.codecs import encode_avi
+    from tabular_to_parquet_spark.operators.multimodal import scene_cut_frames
+
+    w, h = 4, 3
+    quiet = bytes([10] * (w * h * 3))
+    quiet2 = bytes([11] * (w * h * 3))
+    white = bytes([255] * (w * h * 3))
+    payload = encode_avi(w, h, [quiet, quiet2, quiet, white])
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload], "media_type": ["video/avi"]})
+    )
+    rows = {r["frame"]: r for r in scene_cut_frames(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["diff_sum"] == w * h * 3 and not rows[1]["is_cut"]
+    assert rows[3]["diff_sum"] == (255 - 10) * w * h * 3 and rows[3]["is_cut"]
+
+
+def test_scene_cut_single_frame_and_bad_payload(spark):
+    import pandas as pd
+
+    from tabular_to_parquet_spark.operators.codecs import encode_avi
+    from tabular_to_parquet_spark.operators.multimodal import scene_cut_frames
+
+    one = encode_avi(2, 2, [bytes([0] * 12)])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2], "payload": [one, b"not an avi"],
+             "media_type": ["video/avi"] * 2}
+        )
+    )
+    assert scene_cut_frames(df).count() == 0
+
+
+def test_weighted_median_crossing(spark):
+    # values 1 (w=1), 2 (w=2), 10 (w=1): total 4, half 2 -> cumw at
+    # v=2 is 3 >= 2, so weighted median 2 (plain median of values is 2
+    # too, but the weight placement is what's under test: shift the
+    # heavy weight to 10 and the median must follow)
+    from tabular_to_parquet_spark.operators.profiling import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 2), ("g", 10, 1)], "g string, v long, w long"
+    )
+    row = weighted_median(df, F.col("v"), F.col("w"), "g").collect()[0]
+    assert (row["wmedian"], row["total_weight"]) == (2, 4)
+
+    heavy = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 10, 6)], "g string, v long, w long"
+    )
+    row = weighted_median(heavy, F.col("v"), F.col("w"), "g").collect()[0]
+    assert (row["wmedian"], row["total_weight"]) == (10, 8)
+
+
+def test_weighted_median_exact_half_takes_lower(spark):
+    # cumw at v=5 is exactly half (2*2 >= 4): lower weighted median
+    from tabular_to_parquet_spark.operators.profiling import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 5, 2), ("g", 9, 2)], "g string, v long, w long"
+    )
+    row = weighted_median(df, F.col("v"), F.col("w"), "g").collect()[0]
+    assert row["wmedian"] == 5
