@@ -331,6 +331,9 @@ def main() -> None:
         "a35_gap_fill",
         "m17_scene_cuts",
         "a36_weighted_median",
+        "d18_source_overlap",
+        "ev12_session_concurrency",
+        "pr21_corr_matrix",
     ):
         @timed(_hq)
         def _(q=_hq):

@@ -6056,3 +6056,145 @@ SELECT l_returnflag,
        CAST(MIN(tw) AS BIGINT) AS total_weight
 FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
 """)(_q_weighted_median)
+
+
+# ---------------------------------------------------------------------------
+# d18 — cross-source shingle overlap (corpus-level contamination matrix)
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Source-pair contamination matrix: for every pair of document
+    sources, the count of DISTINCT 3-word shingles they share plus
+    each side's distinct-shingle count and the Jaccard (one division
+    per output row, pairs bounded by the source count squared) — the
+    corpus-level view the doc-pair dedup family (d03-d17) never
+    aggregates to: which FEEDS overlap, not which documents. Scale
+    shape: one distinct (source, shingle) projection, then a
+    shingle-keyed self-equi-join whose fan-out per shingle is bounded
+    by the number of sources carrying it (never doc-quadratic), and a
+    pair-keyed count — at 100 TB add a df-cap on promiscuous shingles
+    (the d16 rare-anchor trick inverted) to bound the worst key."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select("source", F.explode(ta.word_shingles(F.col("text"))).alias("s"))
+        .distinct()
+    )
+    n = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+register("d18_source_overlap", f"""
+WITH sh AS (
+    SELECT DISTINCT source, s
+    FROM (SELECT source, unnest({_shingles(_TOKS)}) AS s FROM documents)
+),
+n AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+p AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(na.n_sh AS BIGINT) AS n_a,
+       CAST(nb.n_sh AS BIGINT) AS n_b,
+       p.inter::DOUBLE / (na.n_sh + nb.n_sh - p.inter) AS jaccard
+FROM p JOIN n na ON p.source_a = na.source
+       JOIN n nb ON p.source_b = nb.source
+""")(_q_source_overlap)
+
+
+# ---------------------------------------------------------------------------
+# ev12 — session concurrency sweep-line (how many sessions at once)
+
+
+def _q_session_concurrency(spark, sf_dir):
+    """Concurrent-session sweep-line: every ev03 session contributes a
+    +1 boundary at its start and a -1 at its end; the running sum over
+    the time-ordered boundaries IS the number of simultaneously-open
+    sessions — the load curve that sizes streaming state stores and
+    capacity, which no per-session aggregate (a30/a33) can produce.
+    Tie rule encoded identically on both engines: (ts, delta DESC,
+    user, session) — starts before ends at a shared instant, so
+    touching sessions count as overlapping. The ordered cumsum is a
+    global window, but its input is SESSION BOUNDARIES (2 rows per
+    session, orders of magnitude below raw events); if sessions
+    themselves were huge, with_global_position (operators/ordering.py)
+    rewrites the same cumsum shuffle-parallel — the a16 precedent."""
+    from pyspark.sql import Window as W
+
+    sess = sessionize_frame(load_table(spark, sf_dir, "events"))
+    starts = sess.select(
+        F.unix_micros(F.col("session_start")).alias("ts_us"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id", "session_no",
+    )
+    ends = sess.select(
+        F.unix_micros(F.col("session_end")).alias("ts_us"),
+        F.lit(-1).cast("long").alias("delta"),
+        "user_id", "session_no",
+    )
+    b = starts.unionByName(ends)
+    w = (
+        W.orderBy(F.col("ts_us"), F.col("delta").desc(), "user_id", "session_no")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return b.select(
+        "ts_us", "delta", F.sum("delta").over(w).cast("long").alias("concurrency")
+    )
+
+
+register("ev12_session_concurrency", """
+WITH tagged AS (
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us > 14400000000 THEN 1
+                    ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM (SELECT *, lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_us
+          FROM events)
+),
+sess AS (
+    SELECT user_id, session_no,
+           MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+    FROM tagged GROUP BY user_id, session_no
+),
+b AS (
+    SELECT s_us AS ts_us, CAST(1 AS BIGINT) AS delta, user_id, session_no
+    FROM sess
+    UNION ALL
+    SELECT e_us, CAST(-1 AS BIGINT), user_id, session_no FROM sess
+)
+SELECT ts_us, delta,
+       CAST(SUM(delta) OVER (ORDER BY ts_us, delta DESC, user_id, session_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS concurrency
+FROM b
+""")(_q_session_concurrency)

@@ -824,3 +824,116 @@ def _q_winsorized(spark, sf_dir):
     return pr.winsorized_stats(
         events, F.floor(F.col("value") * 100).cast("long"), "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# pr21 — correlation matrix from ONE scan of sufficient statistics
+
+
+@register(
+    "pr21_corr_matrix",
+    """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(q * q) AS BIGINT) AS sqq,
+           CAST(SUM(p * p) AS BIGINT) AS spp,
+           CAST(SUM(d * d) AS BIGINT) AS sdd,
+           CAST(SUM(q * p) AS BIGINT) AS sqp,
+           CAST(SUM(q * d) AS BIGINT) AS sqd,
+           CAST(SUM(p * d) AS BIGINT) AS spd
+    FROM (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+                 CAST(floor(l_extendedprice) AS BIGINT) AS p,
+                 CAST(floor(l_discount * 100) AS BIGINT) AS d
+          FROM lineitem)
+)
+SELECT 'quantity' AS x_name, 'extendedprice' AS y_name, n,
+       sq AS sx, sp AS sy,
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sqp AS DECIMAL(19,0))
+            - CAST(sq AS DECIMAL(19,0)) * CAST(sp AS DECIMAL(19,0))
+            AS VARCHAR) AS cov_num,
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sqq AS DECIMAL(19,0))
+            - CAST(sq AS DECIMAL(19,0)) * CAST(sq AS DECIMAL(19,0))
+            AS VARCHAR) AS varx_num,
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(spp AS DECIMAL(19,0))
+            - CAST(sp AS DECIMAL(19,0)) * CAST(sp AS DECIMAL(19,0))
+            AS VARCHAR) AS vary_num
+FROM s
+UNION ALL
+SELECT 'quantity', 'discount', n, sq, sd,
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sqd AS DECIMAL(19,0))
+            - CAST(sq AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))
+            AS VARCHAR),
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sqq AS DECIMAL(19,0))
+            - CAST(sq AS DECIMAL(19,0)) * CAST(sq AS DECIMAL(19,0))
+            AS VARCHAR),
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sdd AS DECIMAL(19,0))
+            - CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))
+            AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'extendedprice', 'discount', n, sp, sd,
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(spd AS DECIMAL(19,0))
+            - CAST(sp AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))
+            AS VARCHAR),
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(spp AS DECIMAL(19,0))
+            - CAST(sp AS DECIMAL(19,0)) * CAST(sp AS DECIMAL(19,0))
+            AS VARCHAR),
+       CAST(CAST(n AS DECIMAL(19,0)) * CAST(sdd AS DECIMAL(19,0))
+            - CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))
+            AS VARCHAR)
+FROM s
+""",
+)
+def _q_corr_matrix(spark, sf_dir):
+    """Full pairwise correlation structure of three lineitem measures
+    from ONE scan: a single map-side-combined aggregate collects every
+    sufficient statistic (n, the three sums, three square-sums, three
+    cross-sums), then each pair's covariance and variance NUMERATORS
+    (n·Σxy − ΣxΣy, n·Σx² − (Σx)²) come from the one-row frame — the
+    matrix generalization of pr11's single fit: k columns cost k(k+1)/2
+    sums in the same pass, never k² scans. corr = cov/√(varx·vary) is
+    the consumer's; the numerators ship as exact DECIMAL(38,0) digit
+    strings per the agg×agg overflow rule. Integer units as in pr11
+    (whole quantity/price, discount cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity")).cast("long")
+    p = F.floor(F.col("l_extendedprice")).cast("long")
+    dd = F.floor(F.col("l_discount") * 100).cast("long")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("sq"),
+        F.sum(p).cast("long").alias("sp"),
+        F.sum(dd).cast("long").alias("sd"),
+        F.sum(q * q).cast("long").alias("sqq"),
+        F.sum(p * p).cast("long").alias("spp"),
+        F.sum(dd * dd).cast("long").alias("sdd"),
+        F.sum(q * p).cast("long").alias("sqp"),
+        F.sum(q * dd).cast("long").alias("sqd"),
+        F.sum(p * dd).cast("long").alias("spd"),
+    )
+    d19 = "decimal(19,0)"
+
+    def _num(cn, cxy, cx, cy):
+        return (
+            (F.col(cn).cast(d19) * F.col(cxy).cast(d19)
+             - F.col(cx).cast(d19) * F.col(cy).cast(d19))
+            .cast("decimal(38,0)")
+            .cast("string")
+        )
+
+    def _arm(xn, yn, sx, sy, sxy, sxx, syy):
+        return s.select(
+            F.lit(xn).alias("x_name"), F.lit(yn).alias("y_name"), "n",
+            F.col(sx).alias("sx"), F.col(sy).alias("sy"),
+            _num("n", sxy, sx, sy).alias("cov_num"),
+            _num("n", sxx, sx, sx).alias("varx_num"),
+            _num("n", syy, sy, sy).alias("vary_num"),
+        )
+
+    return (
+        _arm("quantity", "extendedprice", "sq", "sp", "sqp", "sqq", "spp")
+        .unionByName(_arm("quantity", "discount", "sq", "sd", "sqd", "sqq", "sdd"))
+        .unionByName(_arm("extendedprice", "discount", "sp", "sd", "spd", "spp", "sdd"))
+    )

@@ -196,3 +196,38 @@ def test_weighted_median_exact_half_takes_lower(spark):
     )
     row = weighted_median(df, F.col("v"), F.col("w"), "g").collect()[0]
     assert row["wmedian"] == 5
+
+
+def test_ev12_tie_rule_counts_touching_sessions_as_overlap(spark, tmp_path):
+    """Two sessions touching at one instant (A ends exactly when B
+    starts): the (ts, delta DESC) tie rule processes the start first,
+    so concurrency peaks at 2 — touching counts as overlap."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    t0 = dt.datetime(2024, 1, 1)
+    hour = dt.timedelta(hours=1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t0, t0 + hour, t0 + hour, t0 + 2 * hour],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+            "props": [""] * 4,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    rows = (
+        CATALOG["ev12_session_concurrency"]
+        .spark(spark, str(tmp_path))
+        .orderBy("ts_us", F.col("delta").desc(), "concurrency")
+        .collect()
+    )
+    assert [r["concurrency"] for r in rows] == [1, 2, 1, 0]
+    assert [r["delta"] for r in rows] == [1, 1, -1, -1]
