@@ -150,3 +150,42 @@ def decile_stats_scale(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
             "sum_gaps",
         )
     )
+
+
+def with_running_max(
+    df: DataFrame,
+    order_col: str | Column,
+    value: str | Column,
+    block: Column,
+    out_col: str = "run_max",
+) -> DataFrame:
+    """Add the exact running maximum of ``value`` over the GLOBAL
+    order of ``order_col`` — without a global window: the
+    :func:`with_global_position` block decomposition applied to MAX
+    instead of COUNT. Per-block running max is a partitioned
+    (parallel) window; block maxima — one row per block — take a
+    bounded single-partition prefix-max and broadcast back; the global
+    running max is ``greatest(in-block, prefix)``.
+
+    ``block`` must be monotone non-decreasing in ``order_col`` and
+    ``order_col`` must be a total order (running max at a row is
+    order-dependent when keys tie). Any monotone associative fold
+    (min, sum) decomposes identically — this is the generic shape for
+    "running X over arrival order" at 100 TB."""
+    local = df.withColumn("_blk", block).withColumn(
+        "_rm",
+        F.max(value).over(
+            W.partitionBy("_blk")
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    bmax = local.groupBy("_blk").agg(F.max(value).alias("_bm"))
+    # bounded single-partition window: ONE ROW PER DISTINCT BLOCK
+    prefix = F.max("_bm").over(W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1))
+    offsets = bmax.select(F.col("_blk").alias("_blk_r"), prefix.alias("_pm"))
+    return (
+        local.join(F.broadcast(offsets), F.col("_blk") == F.col("_blk_r"))
+        .withColumn(out_col, F.greatest("_rm", "_pm"))
+        .drop("_blk", "_blk_r", "_rm", "_pm")
+    )

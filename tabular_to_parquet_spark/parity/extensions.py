@@ -6198,3 +6198,221 @@ SELECT ts_us, delta,
            AS concurrency
 FROM b
 """)(_q_session_concurrency)
+
+
+# ---------------------------------------------------------------------------
+# ev13 — watermark loss curve (what each candidate delay would drop)
+
+
+def _q_watermark_loss(spark, sf_dir):
+    """Watermark sizing turned into a measurement: for each candidate
+    delay D, how many events would a Structured Streaming watermark of
+    D drop — an event is lost when it arrives (event_id order) with
+    event time more than D behind the running max event time seen so
+    far. ev11 measures disorder; this converts it into the LOSS CURVE
+    you actually pick a delay from. The global running max uses
+    ordering.with_running_max (block-decomposed: partitioned in-block
+    window + bounded broadcast prefix — no global window over raw
+    events); the delay grid is an explode projection, never a join."""
+    from tabular_to_parquet_spark.operators.ordering import with_running_max
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    staged = with_running_max(
+        base, "event_id", "us", (F.col("event_id") / F.lit(1 << 16)).cast("long")
+    )
+    d = staged.select(
+        "event_type", "us", "run_max",
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in (1, 60, 600, 3600)])
+        ).alias("delay_s"),
+    )
+    dropped = (
+        F.col("us") < F.col("run_max") - F.col("delay_s") * F.lit(1_000_000)
+    ).cast("int")
+    return d.groupBy("event_type", "delay_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+    )
+
+
+register("ev13_watermark_loss", """
+WITH m AS (
+    SELECT event_type, epoch_us(ts) AS us,
+           MAX(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+    FROM events
+),
+d AS (SELECT unnest([1, 60, 600, 3600]) :: BIGINT AS delay_s)
+SELECT event_type, CAST(delay_s AS BIGINT) AS delay_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN us < rm - delay_s * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM m, d
+GROUP BY 1, 2
+""")(_q_watermark_loss)
+
+
+# ---------------------------------------------------------------------------
+# g05 — common-neighbor link prediction (candidate-edge scoring)
+
+
+def _q_link_prediction(spark, sf_dir):
+    """Link prediction over the thresholded co-purchase graph:
+    NON-adjacent part pairs scored by their common-neighbor structure
+    — wedge equi-join for common counts (a<b orientation, each pair
+    once), min-support 2 to bound the candidate set, an anti-join
+    against the edge list to keep only MISSING edges, degree joins and
+    the neighborhood Jaccard common/(da+db-common) as one division per
+    output row. The recommender/candidate-generation primitive on top
+    of the g01-g04 metrics; every step is a vertex-keyed hash join —
+    wedge fan-out is Σdeg², bounded at 100 TB by degree-capping hubs
+    (the g02 degree-ordering refinement)."""
+    from tabular_to_parquet_spark.operators import graph as g
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = g.copurchase_edges_threshold(li, min_orders=2)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e2 = edges.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    common = (
+        e1.join(e2, "c")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    cand = common.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        cand.join(deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+register("g05_link_prediction", """
+WITH e0 AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS n
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2)
+    WHERE n >= 2
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+w AS (
+    SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common
+    FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src
+    WHERE e1.src < e2.dst
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+cand AS (
+    SELECT w.* FROM w
+    WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = w.a AND e0.dst = w.b)
+)
+SELECT cand.a AS node_a, cand.b AS node_b,
+       CAST(cand.common AS BIGINT) AS common,
+       CAST(da.deg AS BIGINT) AS deg_a,
+       CAST(db.deg AS BIGINT) AS deg_b,
+       cand.common::DOUBLE / (da.deg + db.deg - cand.common) AS jaccard
+FROM cand JOIN deg da ON cand.a = da.src
+          JOIN deg db ON cand.b = db.src
+""")(_q_link_prediction)
+
+
+# ---------------------------------------------------------------------------
+# a37 — RFM quartile scores (two-level agg + broadcast quantile edges)
+
+
+def _q_rfm_scores(spark, sf_dir):
+    """RFM segmentation: per user, recency (last active epoch day),
+    frequency (event count) and monetary (cents sum), each scored 1-4
+    by its quartile among USERS — the two-level shape where the
+    quantile edges come from an AGGREGATE, not raw rows. One user agg,
+    one 1-row exact-percentile aggregate broadcast back (the pr14/pl25
+    pattern; dyadic q so edges are bit-identical), scores by pure
+    comparison; rfm_code packs the three digits. Scores rank the RAW
+    metric (high recency day = recent = high score)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pu = ev.groupBy("user_id").agg(
+        F.max(F.expr("unix_micros(ts) div 86400000000")).cast("long").alias("r_day"),
+        F.count(F.lit(1)).cast("long").alias("f_n"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("m_cents"),
+    )
+    edges = pu.agg(
+        *[
+            F.expr(f"percentile({c}, {q}D)").alias(f"{c[0]}{i}")
+            for c in ("r_day", "f_n", "m_cents")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c):
+        p = c[0]
+        return (
+            1
+            + (F.col(c) > F.col(f"{p}1")).cast("int")
+            + (F.col(c) > F.col(f"{p}2")).cast("int")
+            + (F.col(c) > F.col(f"{p}3")).cast("int")
+        ).cast("long")
+
+    j = pu.crossJoin(F.broadcast(edges))
+    return j.select(
+        "user_id", "r_day", "f_n", "m_cents",
+        score("r_day").alias("r_score"),
+        score("f_n").alias("f_score"),
+        score("m_cents").alias("m_score"),
+        (score("r_day") * 100 + score("f_n") * 10 + score("m_cents"))
+        .cast("long")
+        .alias("rfm_code"),
+    )
+
+
+register("a37_rfm_scores", """
+WITH pu AS (
+    SELECT user_id,
+           CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS r_day,
+           CAST(COUNT(*) AS BIGINT) AS f_n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+e AS (
+    SELECT quantile_cont(r_day, 0.25) AS r1, quantile_cont(r_day, 0.5) AS r2,
+           quantile_cont(r_day, 0.75) AS r3,
+           quantile_cont(f_n, 0.25) AS f1, quantile_cont(f_n, 0.5) AS f2,
+           quantile_cont(f_n, 0.75) AS f3,
+           quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5) AS m2,
+           quantile_cont(m_cents, 0.75) AS m3
+    FROM pu
+)
+SELECT user_id, r_day, f_n, m_cents,
+       CAST(1 + (r_day > r1)::INT + (r_day > r2)::INT + (r_day > r3)::INT
+            AS BIGINT) AS r_score,
+       CAST(1 + (f_n > f1)::INT + (f_n > f2)::INT + (f_n > f3)::INT
+            AS BIGINT) AS f_score,
+       CAST(1 + (m_cents > m1)::INT + (m_cents > m2)::INT + (m_cents > m3)::INT
+            AS BIGINT) AS m_score,
+       CAST((1 + (r_day > r1)::INT + (r_day > r2)::INT + (r_day > r3)::INT) * 100
+            + (1 + (f_n > f1)::INT + (f_n > f2)::INT + (f_n > f3)::INT) * 10
+            + (1 + (m_cents > m1)::INT + (m_cents > m2)::INT + (m_cents > m3)::INT)
+            AS BIGINT) AS rfm_code
+FROM pu, e
+""")(_q_rfm_scores)

@@ -173,6 +173,15 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_revenue_share": q("a34_revenue_share"),
         "r8_event_disorder": q("ev11_event_disorder"),
         "r8_minhash_calibration": q("d17_minhash_calibration"),
+        "r8_key_skew_audit": q("pr19_key_skew_audit"),
+        "r8_winsorized_stats": q("pr20_winsorized_stats"),
+        "r8_bfs_hops": q("g04_bfs_hops"),
+        "r8_gap_fill": q("a35_gap_fill"),
+        "r8_scene_cuts": q("m17_scene_cuts"),
+        "r8_weighted_median": q("a36_weighted_median"),
+        "r8_source_overlap": q("d18_source_overlap"),
+        "r8_session_concurrency": q("ev12_session_concurrency"),
+        "r8_corr_matrix": q("pr21_corr_matrix"),
     })
     if name_regex:
         import re as _re
