@@ -334,6 +334,12 @@ def main() -> None:
         "d18_source_overlap",
         "ev12_session_concurrency",
         "pr21_corr_matrix",
+        "ev13_watermark_loss",
+        "g05_link_prediction",
+        "a37_rfm_scores",
+        "s06_knn_graph",
+        "x37_collocations",
+        "pl31_length_buckets",
     ):
         @timed(_hq)
         def _(q=_hq):

@@ -491,6 +491,48 @@ def knn_lsh(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchors: list[list[float]] | None = None,
+    vectorized: bool = False,
+) -> DataFrame:
+    """Approximate kNN GRAPH: every vector's top-k cosine neighbors
+    WITHIN its IVF cell — the self-join twin of :func:`knn_ivf` where
+    the corpus is both sides, building the neighbor graph that
+    SemDeDup-style clustering, graph-based ANN (NSW seeds) and
+    embedding-space audits start from.
+
+    Scale shape: one cell-assignment projection, one cell-keyed
+    self-equi-join (Σ|cell|² pair work, never N² — the d09 argument),
+    one per-vector top-k window. Recall is cell-local by construction
+    (a true neighbor in an adjacent cell is missed — the standard IVF
+    trade; raise cells' probe overlap or re-rank offline where that
+    matters). At 100 TB use ``vectorized=True`` + ``suggest_cells`` so
+    cells stay executor-sized."""
+    c = ivf_corpus_frame(df, vec_col, id_col, anchors, vectorized=vectorized)
+    a = c.select(
+        F.col("neighbor_id").alias("src_id"),
+        F.col("cv").alias("av"),
+        F.col("cn").alias("an"),
+        "cell",
+    )
+    cos = dot_product(F.col("av"), F.col("cv")) / (F.col("an") * F.col("cn"))
+    scored = (
+        a.join(c, "cell")
+        .filter(F.col("src_id") != F.col("neighbor_id"))
+        .select("src_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_cell_vectorized(
     vec: Column, anchors: list[list[float]] | None = None
 ) -> Column:

@@ -6416,3 +6416,184 @@ SELECT user_id, r_day, f_n, m_cents,
             AS BIGINT) AS rfm_code
 FROM pu, e
 """)(_q_rfm_scores)
+
+
+# ---------------------------------------------------------------------------
+# s06 — approximate kNN graph (corpus self-join within IVF cells)
+
+
+def _knn_graph_oracle(k: int = 3) -> str:
+    anchors = similarity.ivf_anchors()
+    dots = [
+        _dot("embedding", "[" + ", ".join(repr(v) for v in a) + "]")
+        for a in anchors
+    ]
+    score_cols = ", ".join(f"{d} AS s_{c}" for c, d in enumerate(dots))
+    best = "greatest(" + ", ".join(f"s_{c}" for c in range(len(anchors))) + ")"
+    cell_case = " ".join(
+        f"WHEN s_{c} = {best} THEN {c}" for c in range(len(anchors))
+    )
+    return f"""
+WITH scored_vecs AS (
+    SELECT vec_id, embedding, {score_cols} FROM embeddings
+),
+cells AS (
+    SELECT vec_id, embedding, (CASE {cell_case} END) AS cell FROM scored_vecs
+),
+cand AS (
+    SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+           {_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM cells a JOIN cells b USING (cell)
+    WHERE a.vec_id != b.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER
+        (PARTITION BY src_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM cand
+)
+SELECT src_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_knn_graph(spark, sf_dir):
+    """Whole-corpus approximate kNN graph (similarity.knn_graph):
+    every vector's top-3 cosine neighbors within its IVF cell — the
+    self-join twin of s03 (corpus on both sides), producing the
+    neighbor graph SemDeDup clustering and graph-ANN seeding start
+    from. Cell-blocked Σ|cell|² pair work, one top-k window per
+    vector; the oracle re-derives cells from the 16 anchor dots and
+    re-ranks every within-cell pair."""
+    out = similarity.knn_graph(_emb(spark, sf_dir), k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+register("s06_knn_graph", _knn_graph_oracle(3))(_q_knn_graph)
+
+
+# ---------------------------------------------------------------------------
+# x37 — PMI collocations (lexical association with exact rationals)
+
+
+def _q_collocations(spark, sf_dir):
+    """Collocation mining: adjacent lowercased token pairs with
+    min-support 5, scored by the PMI RATIO's exact integer parts —
+    pmi_num = c(w1,w2)·N and pmi_den = c(w1)·c(w2) as DECIMAL(38,0)
+    digit strings (the agg×agg rule: both factors scale with the
+    corpus; log and division are the consumer's, and ORDERING by
+    num/den is ordering by PMI since log is monotone). Extends x26's
+    LM counts with the TAIL marginal and the association score; two
+    marginal hash aggs reuse the pair agg's output, the 1-row bigram
+    total broadcasts (scalar-aggregate BNLJ, allowlisted bound)."""
+    toks = _docs(spark, sf_dir).select(
+        ta.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    n = F.size("t")
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    ct = c2.groupBy("w2").agg(F.sum("n12").cast("long").alias("n2"))
+    tot = c2.agg(F.sum("n12").cast("long").alias("nn"))
+    d = "decimal(19,0)"
+    return (
+        c2.where(F.col("n12") >= 5)
+        .join(c1, "w1")
+        .join(ct, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n12", "n1", "n2", "nn",
+            (F.col("n12").cast(d) * F.col("nn").cast(d))
+            .cast("decimal(38,0)").cast("string").alias("pmi_num"),
+            (F.col("n1").cast(d) * F.col("n2").cast(d))
+            .cast("decimal(38,0)").cast("string").alias("pmi_den"),
+        )
+    )
+
+
+register("x37_collocations", f"""
+WITH toks AS (SELECT {_TOKS_LC} AS t FROM documents WHERE len({_TOKS_LC}) >= 2),
+big AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+ct AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c2 GROUP BY w2),
+nn AS (SELECT CAST(SUM(n12) AS BIGINT) AS nn FROM c2)
+SELECT w1, w2, n12, n1, n2, nn.nn AS nn,
+       CAST(CAST(n12 AS DECIMAL(19,0)) * CAST(nn.nn AS DECIMAL(19,0))
+            AS VARCHAR) AS pmi_num,
+       CAST(CAST(n1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
+            AS VARCHAR) AS pmi_den
+FROM c2 JOIN c1 USING (w1) JOIN ct USING (w2), nn
+WHERE n12 >= 5
+""")(_q_collocations)
+
+
+# ---------------------------------------------------------------------------
+# pl31 — length-bucketed batching with padding-waste accounting
+
+#: fixed power-of-two sequence-length ladder (identical on both engines)
+_PL31_LADDER = (16, 32, 64, 128, 256, 512)
+_PL31_BATCH = 32
+
+
+def _q_length_buckets(spark, sf_dir):
+    """Length-bucketed batch assembly audit: documents binned to a
+    fixed power-of-two token-length ladder (the seq-len bucketing
+    every trainer uses so batches pad to the bucket, not the global
+    max), with exact padding-waste accounting — sum over docs of
+    (bucket_len − n_tokens) — plus full/remainder batch counts at
+    batch size 32. The waste column is the number a bucketing change
+    must move to be worth shipping; pl05 packs to a token budget,
+    this bins to hardware-friendly shapes. One projection + one
+    bounded-key hash agg; CASE ladder (not log2) keeps the bin edges
+    integer-exact on both engines."""
+    docs = _docs(spark, sf_dir)
+    ntok = ta.token_count(F.col("text")).cast("long")
+    bucket = F.lit(1024)
+    for edge in reversed(_PL31_LADDER):
+        bucket = F.when(ntok <= edge, F.lit(edge)).otherwise(bucket)
+    staged = docs.select(ntok.alias("ntok"), bucket.cast("long").alias("bucket_len"))
+    return (
+        staged.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket_len") - F.col("ntok")).cast("long").alias("padding_waste"),
+        )
+        .select(
+            "bucket_len", "n_docs", "sum_tokens", "padding_waste",
+            (F.col("n_docs") / _PL31_BATCH).cast("long").alias("n_full_batches"),
+            (F.col("n_docs") % _PL31_BATCH).cast("long").alias("remainder_docs"),
+        )
+    )
+
+
+register("pl31_length_buckets", f"""
+WITH t AS (
+    SELECT len({_TOKS}) AS ntok FROM documents
+),
+b AS (
+    SELECT ntok,
+           CASE {' '.join(f'WHEN ntok <= {e} THEN {e}' for e in _PL31_LADDER)}
+                ELSE 1024 END AS bucket_len
+    FROM t
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket_len - ntok) AS BIGINT) AS padding_waste,
+       CAST(COUNT(*) // {_PL31_BATCH} AS BIGINT) AS n_full_batches,
+       CAST(COUNT(*) % {_PL31_BATCH} AS BIGINT) AS remainder_docs
+FROM b GROUP BY bucket_len
+""")(_q_length_buckets)

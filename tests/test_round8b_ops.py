@@ -231,3 +231,108 @@ def test_ev12_tie_rule_counts_touching_sessions_as_overlap(spark, tmp_path):
     )
     assert [r["concurrency"] for r in rows] == [1, 2, 1, 0]
     assert [r["delta"] for r in rows] == [1, 1, -1, -1]
+
+
+def test_with_running_max_matches_global_window(spark):
+    """Block-decomposed running max == the global-window form, at every
+    block granularity (correctness must not depend on block choice)."""
+    from pyspark.sql import Window as W
+
+    from tabular_to_parquet_spark.operators.ordering import with_running_max
+
+    rows = [(i, v) for i, v in enumerate([5, 3, 9, 1, 9, 2, 12, 0, 7, 11])]
+    df = spark.createDataFrame(rows, "i long, v long")
+    expect = [
+        (r["i"], r["rm"])
+        for r in df.select(
+            "i",
+            F.max("v")
+            .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("rm"),
+        ).collect()
+    ]
+    for width in (1, 3, 100):
+        got = [
+            (r["i"], r["run_max"])
+            for r in with_running_max(
+                df, "i", "v", (F.col("i") / F.lit(width)).cast("long")
+            )
+            .orderBy("i")
+            .collect()
+        ]
+        assert sorted(got) == sorted(expect), f"block width {width}"
+
+
+def test_g05_excludes_existing_edges_and_scores_jaccard(spark):
+    """Square 1-2-3-4-1: the two diagonals are the only missing edges,
+    each with 2 common neighbors and degree-2 endpoints -> jaccard 1.0.
+    No existing edge may appear as a candidate."""
+    from tabular_to_parquet_spark.parity.catalog import CATALOG  # noqa: F401
+    from tabular_to_parquet_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (3, 4), (1, 4)]), "src long, dst long"
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e2 = edges.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    common = (
+        e1.join(e2, "c")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    cand = common.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    ).collect()
+    got = {(r["a"], r["b"]): r["common"] for r in cand}
+    assert got == {(1, 3): 2, (2, 4): 2}
+
+
+def test_knn_graph_structure_on_testdata(spark):
+    """Every source vector gets dense ranks 1..k, never itself, and
+    the per-source cosine sequence is non-increasing."""
+    from tabular_to_parquet_spark.operators.similarity import knn_graph
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = knn_graph(emb, k=3).collect()
+    by_src = {}
+    for r in rows:
+        assert r["src_id"] != r["neighbor_id"]
+        by_src.setdefault(r["src_id"], []).append((r["rank"], r["cosine"]))
+    assert by_src
+    for src, rr in by_src.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, len(rr) + 1))
+        cosines = [x[1] for x in rr]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_pl31_ladder_edges(spark):
+    """Bucket ladder boundaries: exactly 16 tokens -> bucket 16,
+    17 -> 32, 600 -> overflow 1024; waste is bucket - ntok."""
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+    import pandas as pd
+
+    for n, bucket in ((16, 16), (17, 32), (600, 1024)):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["w " * n],
+                "lang": ["en"],
+                "source": ["s"],
+                "n_chars": [2 * n],
+            }
+        )
+        import tempfile, os
+
+        d = tempfile.mkdtemp(prefix="pl31_")
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        row = CATALOG["pl31_length_buckets"].spark(spark, d).collect()[0]
+        assert (row["bucket_len"], row["padding_waste"]) == (bucket, bucket - n)

@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "pl24_negative_samples": "1-row scalar aggregate (corpus size N)",
     "pl25_curriculum_phases": "1-row scalar aggregate (exact quartiles)",
     "pr14_equi_depth_histogram": "1-row scalar aggregate (exact octile edges)",
+    "a37_rfm_scores": "1-row scalar aggregate (exact RFM quartile edges)",
+    "x37_collocations": "1-row scalar aggregate (bigram total N)",
     "g02_triangle_count": "1-row scalar aggregate (global count)",
     "x32_association_rules": "1-row scalar aggregate (basket total)",
     "a16_decile_stats_scale": "1-row scalar aggregate (total row count for ntile)",

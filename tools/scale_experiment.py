@@ -182,6 +182,12 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_source_overlap": q("d18_source_overlap"),
         "r8_session_concurrency": q("ev12_session_concurrency"),
         "r8_corr_matrix": q("pr21_corr_matrix"),
+        "r8_watermark_loss": q("ev13_watermark_loss"),
+        "r8_link_prediction": q("g05_link_prediction"),
+        "r8_rfm_scores": q("a37_rfm_scores"),
+        "r8_knn_graph": q("s06_knn_graph"),
+        "r8_collocations": q("x37_collocations"),
+        "r8_length_buckets": q("pl31_length_buckets"),
     })
     if name_regex:
         import re as _re
