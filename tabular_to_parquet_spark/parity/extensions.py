@@ -6597,3 +6597,130 @@ SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
        CAST(COUNT(*) % {_PL31_BATCH} AS BIGINT) AS remainder_docs
 FROM b GROUP BY bucket_len
 """)(_q_length_buckets)
+
+
+# ---------------------------------------------------------------------------
+# d19 — effective data size (dedup-weighted corpus accounting)
+
+
+def _q_effective_data_size(spark, sf_dir):
+    """How much UNIQUE data is actually here: per language, raw
+    doc/token totals next to the dedup-weighted ones — documents
+    counted once per d10 near-dup cluster (representative = the
+    cluster's min-label doc, which is exactly the row whose cluster_id
+    equals its own doc_id), plus the one-division unique-token ratio.
+    This is the number that decides whether a crawl refresh bought new
+    data or re-bought the old corpus; d01-d18 find duplicates, this
+    prices them. Plan: the d10 label propagation, a rep semi-filter
+    (doc_id == cluster_id is a projection predicate, no extra join),
+    and two bounded-key aggs joined on lang."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    labels = dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2)
+    toks = docs.select(
+        "doc_id", "lang", ta.token_count(F.col("text")).cast("long").alias("ntok")
+    )
+    lab = toks.join(labels, "doc_id")
+    total = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    uniq = (
+        lab.where(F.col("doc_id") == F.col("cluster_id"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique_docs"),
+            F.sum("ntok").cast("long").alias("n_unique_tokens"),
+        )
+    )
+    return total.join(uniq, "lang").select(
+        "lang", "n_docs", "n_tokens", "n_unique_docs", "n_unique_tokens",
+        (F.col("n_unique_tokens").cast("double") / F.col("n_tokens"))
+        .alias("unique_ratio"),
+    )
+
+
+def _d19_oracle() -> str:
+    d10 = CATALOG["d10_dup_clusters"].oracle
+    return f"""
+WITH labels AS ({d10}),
+toks AS (SELECT doc_id, lang, len({_TOKS}) AS ntok FROM documents),
+lab AS (SELECT t.doc_id, t.lang, t.ntok, l.cluster_id
+        FROM toks t JOIN labels l ON t.doc_id = l.doc_id),
+total AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM lab GROUP BY lang
+),
+uniq AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_unique_tokens
+    FROM lab WHERE doc_id = cluster_id GROUP BY lang
+)
+SELECT total.lang, n_docs, n_tokens, n_unique_docs, n_unique_tokens,
+       n_unique_tokens::DOUBLE / n_tokens AS unique_ratio
+FROM total JOIN uniq ON total.lang = uniq.lang
+"""
+
+
+register("d19_effective_data_size", _d19_oracle())(_q_effective_data_size)
+
+
+# ---------------------------------------------------------------------------
+# x38 — Zipf rank table (vocabulary coverage curve)
+
+
+def _q_zipf_rank_table(spark, sf_dir):
+    """The full Zipf table of the corpus vocabulary: every lowercased
+    token type with its count, total-ordered rank, cumulative count
+    and coverage share — the curve a tokenizer/vocab-size decision
+    reads (x13 checks a FIXED vocab's coverage; this produces the
+    curve that picks the vocab). The ranking window runs over DISTINCT
+    TYPES (the vocabulary), already collapsed by the count agg — at
+    web scale vocab is millions of rows, not corpus-sized, and
+    with_global_position (operators/ordering.py) rewrites the same
+    rank/cumsum shuffle-parallel if it ever isn't. Total comes from
+    the same window frame (no broadcast join); coverage is one
+    division per type."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(ta.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    order = W.orderBy(F.col("n").desc(), F.col("tok"))
+    cum = W.orderBy(F.col("n").desc(), F.col("tok")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.orderBy(F.col("n").desc(), F.col("tok")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return counts.select(
+        F.row_number().over(order).cast("long").alias("rank"),
+        "tok", "n",
+        F.sum("n").over(cum).cast("long").alias("cum_n"),
+        F.sum("n").over(tot).cast("long").alias("total_n"),
+        (F.sum("n").over(cum).cast("double") / F.sum("n").over(tot))
+        .alias("coverage"),
+    )
+
+
+register("x38_zipf_rank_table", f"""
+WITH counts AS (
+    SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_TOKS_LC}) AS t FROM documents)
+    GROUP BY t
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+       tok, n,
+       CAST(SUM(n) OVER (ORDER BY n DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+       CAST(SUM(n) OVER () AS BIGINT) AS total_n,
+       SUM(n) OVER (ORDER BY n DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+           / SUM(n) OVER () AS coverage
+FROM counts
+""")(_q_zipf_rank_table)

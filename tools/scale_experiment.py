@@ -188,6 +188,8 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_knn_graph": q("s06_knn_graph"),
         "r8_collocations": q("x37_collocations"),
         "r8_length_buckets": q("pl31_length_buckets"),
+        "r8_effective_data_size": q("d19_effective_data_size"),
+        "r8_zipf_rank_table": q("x38_zipf_rank_table"),
     })
     if name_regex:
         import re as _re
