@@ -340,6 +340,17 @@ def main() -> None:
         "s06_knn_graph",
         "x37_collocations",
         "pl31_length_buckets",
+        # round-8 fourth wave: corpus accounting, vocab curve, split
+        # hygiene, funnel audit, seasonal anomaly, assortativity,
+        # sentence stats, ANN recall
+        "d19_effective_data_size",
+        "x38_zipf_rank_table",
+        "pl32_cross_split_leakage",
+        "pl33_filter_funnel",
+        "pr22_seasonal_anomaly",
+        "g06_degree_assortativity",
+        "x39_sentence_stats",
+        "s07_ann_recall_audit",
     ):
         @timed(_hq)
         def _(q=_hq):

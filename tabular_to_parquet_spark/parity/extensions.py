@@ -6724,3 +6724,450 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
            / SUM(n) OVER () AS coverage
 FROM counts
 """)(_q_zipf_rank_table)
+
+
+# ---------------------------------------------------------------------------
+# pl32 — cross-split near-dup leakage (held-out contamination audit)
+
+
+_LEAK_WEIGHTS = {"train": 0.9, "val": 0.1}
+
+
+def _q_cross_split_leakage(spark, sf_dir):
+    """Held-out-set hygiene: val docs whose near-duplicate lives in
+    train. pl01's hash split keeps ids stable across refreshes, but
+    NEAR-duplicates of a val doc still land in train and leak the
+    held-out distribution into training — the contamination pl11
+    checks against an external eval set, applied to our OWN split.
+    Plan: the d04 band equi-join emits candidate pairs, the split
+    column is a pure projection joined on both pair sides, and the
+    leak rows collapse to one bounded per-val-doc agg. Nothing here
+    is quadratic; the split filter rides the existing pair plan."""
+    from tabular_to_parquet_spark.operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir)
+    split = pl.hash_split(docs.select("doc_id"), "doc_id", _LEAK_WEIGHTS)
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    sp_a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sp_b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    leak = (
+        pairs.join(sp_a, "id_a")
+        .join(sp_b, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "val", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("val_doc_id"),
+            F.when(F.col("split_a") == "val", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_doc_id"),
+            "est_jaccard",
+        )
+    )
+    return leak.groupBy("val_doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_dups"),
+        F.min("train_doc_id").cast("long").alias("min_train_doc_id"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
+
+
+def _pl32_oracle() -> str:
+    from tabular_to_parquet_spark.operators import pipeline as pl
+
+    d04 = CATALOG["d04_minhash_pairs"].oracle
+    split_case = pl.hash_split_case_sql("doc_id", _LEAK_WEIGHTS)
+    return f"""
+WITH pairs AS ({d04}),
+split AS (SELECT doc_id, {split_case} AS split FROM documents),
+leak AS (
+    SELECT CASE WHEN sa.split = 'val' THEN p.id_a ELSE p.id_b END AS val_doc_id,
+           CASE WHEN sa.split = 'val' THEN p.id_b ELSE p.id_a END AS train_doc_id,
+           p.est_jaccard
+    FROM pairs p
+    JOIN split sa ON sa.doc_id = p.id_a
+    JOIN split sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+)
+SELECT val_doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+       CAST(MIN(train_doc_id) AS BIGINT) AS min_train_doc_id,
+       MAX(est_jaccard) AS max_est_jaccard
+FROM leak GROUP BY val_doc_id
+"""
+
+
+register("pl32_cross_split_leakage", _pl32_oracle())(_q_cross_split_leakage)
+
+
+# ---------------------------------------------------------------------------
+# pl33 — quality-filter funnel (C4-style cascade accounting)
+
+
+def _q_filter_funnel(spark, sf_dir):
+    """The filter-cascade audit every corpus build publishes: how many
+    docs/tokens survive each successive cleaning stage — length band,
+    language allowlist, mean-token-length band (all integer-exact
+    predicates; the mean test is the cross-multiplied 4·ntok ≤ Σlen ≤
+    8·ntok, no division), then near-dup removal (keep only d10 cluster
+    representatives). Stages are CUMULATIVE conjunctions computed as
+    flags in one projection, so the whole funnel is ONE scan + one
+    5-group agg (the dup stage adds the d10 label join); stack() turns
+    the single wide row into the per-stage report. At 100 TB the flag
+    projection pipelines inside the scan — the funnel costs one pass
+    regardless of how many stages it reports."""
+    docs = _docs(spark, sf_dir)
+    toks = ta.tokens(F.col("text"))
+    ntok = F.size(toks).cast("long")
+    sumlen = F.expr(
+        "aggregate(transform("
+        "filter(split(trim(text), '\\\\s+'), x -> x != ''),"
+        " t -> length(t)), 0L, (a, x) -> a + x)"
+    )
+    pairs = dedup.minhash_pairs(docs, threshold=0.5)
+    labels = dedup.dup_clusters(pairs, docs.select("doc_id"), hops=2)
+    d = (
+        docs.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            ntok.alias("ntok"),
+            sumlen.alias("sumlen"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+        )
+        .select(
+            "ntok",
+            F.col("ntok").between(20, 80).alias("f1"),
+            F.col("lang").isin("en", "es", "fr").alias("f2"),
+            (
+                (F.col("sumlen") >= 4 * F.col("ntok"))
+                & (F.col("sumlen") <= 8 * F.col("ntok"))
+            ).alias("f3"),
+            F.col("is_rep").alias("f4"),
+        )
+    )
+    c1 = F.col("f1")
+    c2 = c1 & F.col("f2")
+    c3 = c2 & F.col("f3")
+    c4 = c3 & F.col("f4")
+    flag = lambda c: c.cast("long")  # noqa: E731
+
+    def _n(c):
+        return F.sum(flag(c)).cast("long")
+
+    def _t(c):
+        return F.sum(F.when(c, F.col("ntok")).otherwise(F.lit(0))).cast("long")
+
+    wide = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("ntok").cast("long").alias("t0"),
+        _n(c1).alias("n1"), _t(c1).alias("t1"),
+        _n(c2).alias("n2"), _t(c2).alias("t2"),
+        _n(c3).alias("n3"), _t(c3).alias("t3"),
+        _n(c4).alias("n4"), _t(c4).alias("t4"),
+    )
+    return wide.selectExpr(
+        "stack(5,"
+        " 0L, 'raw', n0, t0,"
+        " 1L, 'length', n1, t1,"
+        " 2L, 'lang', n2, t2,"
+        " 3L, 'tok_len', n3, t3,"
+        " 4L, 'near_dup', n4, t4"
+        ") AS (stage, stage_name, n_docs, n_tokens)"
+    )
+
+
+def _pl33_oracle() -> str:
+    d10 = CATALOG["d10_dup_clusters"].oracle
+    return f"""
+WITH labels AS ({d10}),
+d AS (
+    SELECT doc_id, lang,
+           len({_TOKS}) AS ntok,
+           COALESCE(list_sum(list_transform({_TOKS}, t -> length(t))), 0) AS sumlen
+    FROM documents
+),
+f AS (
+    SELECT d.ntok,
+           (d.ntok BETWEEN 20 AND 80) AS f1,
+           (d.lang IN ('en', 'es', 'fr')) AS f2,
+           (d.sumlen >= 4 * d.ntok AND d.sumlen <= 8 * d.ntok) AS f3,
+           (d.doc_id = l.cluster_id) AS f4
+    FROM d JOIN labels l ON d.doc_id = l.doc_id
+),
+c AS (
+    SELECT ntok, f1, (f1 AND f2) AS c2, (f1 AND f2 AND f3) AS c3,
+           (f1 AND f2 AND f3 AND f4) AS c4
+    FROM f
+)
+SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM c
+UNION ALL
+SELECT 1, 'length', CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f1 THEN ntok ELSE 0 END) AS BIGINT) FROM c
+UNION ALL
+SELECT 2, 'lang', CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN c2 THEN ntok ELSE 0 END) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'tok_len', CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN c3 THEN ntok ELSE 0 END) AS BIGINT) FROM c
+UNION ALL
+SELECT 4, 'near_dup', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN c4 THEN ntok ELSE 0 END) AS BIGINT) FROM c
+"""
+
+
+register("pl33_filter_funnel", _pl33_oracle())(_q_filter_funnel)
+
+
+# ---------------------------------------------------------------------------
+# pr22 — seasonal (day-of-week) anomaly detection on daily event counts
+
+
+def _q_seasonal_anomaly(spark, sf_dir):
+    """Daily event volumes judged against their OWN weekday's typical
+    level: a Monday spike is an anomaly relative to Mondays, not to
+    the whole series (pr06/pr17 are global outlier tests; a25 is
+    sequential drift — this is the seasonal-baseline shape). Weekday
+    is pure integer arithmetic on the epoch day (no calendar), the
+    baseline is the exact LOW MEDIAN of that weekday's daily counts
+    (row_number order statistic at position (n+1) div 2 — integer,
+    division-free), and the flag is the strict integer compare
+    count > 2·median. Daily counts first (bounded rowset: one row per
+    day), so the window runs over days, never raw events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("epoch_day")
+        )
+        .groupBy("epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn("dow", F.pmod(F.col("epoch_day"), F.lit(7)).cast("long"))
+    )
+    w = W.partitionBy("dow").orderBy("n_events", "epoch_day")
+    ranked = daily.select(
+        "dow",
+        F.col("n_events").alias("med_candidate"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("dow")).alias("cnt"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select("dow", F.col("med_candidate").cast("long").alias("dow_median"))
+    return daily.join(med, "dow").select(
+        "epoch_day",
+        "dow",
+        "n_events",
+        "dow_median",
+        (F.col("n_events") > 2 * F.col("dow_median")).cast("long").alias("anomaly"),
+    )
+
+
+register("pr22_seasonal_anomaly", """
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+d AS (SELECT *, epoch_day % 7 AS dow FROM daily),
+ranked AS (
+    SELECT dow, n_events AS med_candidate,
+           row_number() OVER (PARTITION BY dow ORDER BY n_events, epoch_day) AS rn,
+           COUNT(*) OVER (PARTITION BY dow) AS cnt
+    FROM d
+),
+med AS (
+    SELECT dow, CAST(med_candidate AS BIGINT) AS dow_median
+    FROM ranked WHERE rn = (cnt + 1) // 2
+)
+SELECT epoch_day, d.dow, n_events, dow_median,
+       CAST(CASE WHEN n_events > 2 * dow_median THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM d JOIN med ON d.dow = med.dow
+""")(_q_seasonal_anomaly)
+
+
+# ---------------------------------------------------------------------------
+# g06 — degree assortativity sufficient statistics
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Do heavily-connected parts co-purchase with other hubs, or with
+    the long tail? The degree-degree correlation over edges answers it
+    (Newman's assortativity), and like pr11/pr21 it is a RATIO OF SUMS:
+    over every directed edge of the thresholded co-purchase graph,
+    (m, Σd_src, Σd_src², Σd_src·d_dst) determine r — the caller does
+    the two float ops. Plan: one pair-key agg builds the edges, one
+    vertex agg the degrees, two vertex-keyed joins tag each edge with
+    endpoint degrees, one scalar agg. The symmetric edge list makes
+    Σd_src = Σd_dst, so four sums suffice. Products of degree
+    aggregates grow quadratically → DECIMAL(38,0) digit strings (the
+    r7 overflow rule, pr11's discipline)."""
+    from tabular_to_parquet_spark.operators import graph as g
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = g.copurchase_edges_threshold(li, min_orders=2)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    tagged = (
+        edges.join(deg.select(F.col("src"), F.col("deg").alias("deg_src")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst")),
+            "dst",
+        )
+    )
+    d = "decimal(19,0)"
+    return tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("deg_src").cast("long").alias("sum_deg"),
+        F.sum(F.col("deg_src").cast(d) * F.col("deg_src").cast(d))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_deg_sq"),
+        F.sum(F.col("deg_src").cast(d) * F.col("deg_dst").cast(d))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_deg_prod"),
+    )
+
+
+register("g06_degree_assortativity", """
+WITH e0 AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS n
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2)
+    WHERE n >= 2
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+tagged AS (
+    SELECT da.deg AS deg_src, db.deg AS deg_dst
+    FROM e0 JOIN deg da ON e0.src = da.src JOIN deg db ON e0.dst = db.src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(deg_src) AS BIGINT) AS sum_deg,
+       CAST(CAST(SUM(CAST(deg_src AS HUGEINT) * deg_src) AS DECIMAL(38,0)) AS VARCHAR) AS sum_deg_sq,
+       CAST(CAST(SUM(CAST(deg_src AS HUGEINT) * deg_dst) AS DECIMAL(38,0)) AS VARCHAR) AS sum_deg_prod
+FROM tagged
+""")(_q_degree_assortativity)
+
+
+# ---------------------------------------------------------------------------
+# x39 — sentence-level statistics (segmentation above the token layer)
+
+
+def _q_sentence_stats(spark, sf_dir):
+    """The x-family works at token granularity; documents also have a
+    SENTENCE structure (readability metrics, context-window packing,
+    and per-sentence dedup all need it). Segmentation is the shared
+    regex split on terminal punctuation runs [.!?]+, a sentence is a
+    segment with any non-space content, and the per-doc report is
+    integer-exact: sentence count, summed sentence chars (the Flesch
+    numerator — the caller's one division away from mean length), and
+    the longest sentence. Pure projection, zero shuffle; at 100 TB
+    this pipelines inside the scan like x01/x03."""
+    trimmed = F.expr(
+        "filter(transform(split(trim(text), '[.!?]+'), s -> trim(s)), s -> s != '')"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(trimmed).cast("long").alias("n_sentences"),
+        F.coalesce(
+            F.expr(
+                "aggregate(filter(transform(split(trim(text), '[.!?]+'), s -> trim(s)),"
+                " s -> s != ''), 0L, (a, s) -> a + length(s))"
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_sentence_chars"),
+        F.coalesce(
+            F.array_max(F.expr(
+                "transform(filter(transform(split(trim(text), '[.!?]+'), s -> trim(s)),"
+                " s -> s != ''), s -> length(s))"
+            )),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_sentence_chars"),
+    )
+
+
+_SENTS = (
+    "list_filter(list_transform(regexp_split_to_array(trim(text), '[.!?]+'),"
+    " s -> trim(s)), s -> s != '')"
+)
+
+register("x39_sentence_stats", f"""
+SELECT doc_id, lang,
+       CAST(len({_SENTS}) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(list_transform({_SENTS}, s -> length(s))), 0) AS BIGINT)
+           AS sum_sentence_chars,
+       CAST(COALESCE(list_max(list_transform({_SENTS}, s -> length(s))), 0) AS BIGINT)
+           AS max_sentence_chars
+FROM documents
+""")(_q_sentence_stats)
+
+
+# ---------------------------------------------------------------------------
+# s07 — ANN recall audit (IVF quality measured in-engine)
+
+
+def _q_ann_recall_audit(spark, sf_dir):
+    """The recall@k the ANN SLO is written against, computed as a
+    query instead of a notebook: brute-force top-5 (s01) is ground
+    truth, IVF top-5 (s03) the candidate, and per query the audit
+    counts how many true neighbors the index returned — n_hits as the
+    exact integer, recall as its one division. tools/ann_recall.py
+    measures this offline for tuning; this makes the audit a
+    first-class catalog citizen so a production index ships with its
+    recall row. Plan: both sides are the certified s01/s03 plans; the
+    audit adds one (query_id, neighbor_id) equi-join and a bounded
+    per-query agg — at 100 TB both inputs are top-k frames, k·|queries|
+    rows, never corpus-sized."""
+    emb = _emb(spark, sf_dir)
+    q = _queries_frame(emb)
+    bt = similarity.knn_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
+    iv = similarity.knn_ivf(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        iv.join(bt, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = bt.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_true")
+            ).alias("recall"),
+        )
+    )
+
+
+def _s07_oracle() -> str:
+    s01 = CATALOG["s01_knn_bruteforce"].oracle
+    s03 = CATALOG["s03_knn_ivf"].oracle
+    return f"""
+WITH bt AS ({s01}),
+iv AS ({s03}),
+hits AS (
+    SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM iv JOIN bt ON iv.query_id = bt.query_id
+                   AND iv.neighbor_id = bt.neighbor_id
+    GROUP BY bt.query_id
+),
+base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true FROM bt GROUP BY query_id)
+SELECT base.query_id, n_true,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(n_hits, 0)::DOUBLE / n_true AS recall
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""
+
+
+register("s07_ann_recall_audit", _s07_oracle())(_q_ann_recall_audit)

@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     # broadcast of the bounded QUERY set is the brute-force kNN
     # baseline by definition (|Q| small; |Q|x|C| dots is the point)
     "s01_knn_bruteforce": "broadcast bounded query set",
+    "s07_ann_recall_audit": "broadcast bounded query set (s01 ground-truth side)",
 }
 
 

@@ -190,6 +190,12 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_length_buckets": q("pl31_length_buckets"),
         "r8_effective_data_size": q("d19_effective_data_size"),
         "r8_zipf_rank_table": q("x38_zipf_rank_table"),
+        "r8_cross_split_leakage": q("pl32_cross_split_leakage"),
+        "r8_filter_funnel": q("pl33_filter_funnel"),
+        "r8_seasonal_anomaly": q("pr22_seasonal_anomaly"),
+        "r8_degree_assortativity": q("g06_degree_assortativity"),
+        "r8_sentence_stats": q("x39_sentence_stats"),
+        "r8_ann_recall_audit": q("s07_ann_recall_audit"),
     })
     if name_regex:
         import re as _re
