@@ -351,6 +351,13 @@ def main() -> None:
         "g06_degree_assortativity",
         "x39_sentence_stats",
         "s07_ann_recall_audit",
+        # round-8 fifth wave: Arrow IPC source, novelty attribution,
+        # fixed-point k-means, autocorrelation, streaming sketch
+        "ipc1_typed_roundtrip",
+        "x40_ngram_novelty",
+        "s08_kmeans_fixed",
+        "pr23_autocorrelation",
+        "st10_stream_countmin",
     ):
         @timed(_hq)
         def _(q=_hq):

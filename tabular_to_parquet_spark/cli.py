@@ -68,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", help="override the derived output path")
     ap.add_argument(
         "--format",
-        choices=["delimited", "jsonl", "orc", "avro", "fixed-width", "logfmt", "xml"],
+        choices=["delimited", "jsonl", "orc", "avro", "ipc", "fixed-width",
+                 "logfmt", "xml"],
         default="delimited",
         help="input wire format (default: delimited text with sniffed "
         "delimiter); every format runs the same inference + lenient-cast "
@@ -142,7 +143,7 @@ def _convert_other_format(spark, args, input_path: str, output_path: str) -> int
         names, types, _ = convert_json_to_parquet(
             spark, input_path, output_path, infer_full=args.infer_full_schema
         )
-    elif args.format in ("orc", "avro"):
+    elif args.format in ("orc", "avro", "ipc"):
         from tabular_to_parquet_spark.sources.columnar import (
             convert_columnar_to_parquet,
         )

@@ -7171,3 +7171,390 @@ FROM base LEFT JOIN hits ON base.query_id = hits.query_id
 
 
 register("s07_ann_recall_audit", _s07_oracle())(_q_ann_recall_audit)
+
+
+# ---------------------------------------------------------------------------
+# ipc1 — Arrow IPC (Feather v2) source roundtrip
+
+
+def _q_ipc_roundtrip(spark, sf_dir):
+    """Arrow IPC container → typed zstd parquet through the shared
+    columnar path (sources/columnar.py:read_ipc_python): binaryFile
+    scan → executor-side mapInArrow that re-yields each file's record
+    batches zero-copy (IPC *is* Arrow — the decode's only transform is
+    the cast to Spark's Arrow schema). Fixture alternates zstd and
+    uncompressed IPC files so both body-decompression paths decode;
+    bound + oracle predicate as avro1 (O(1) driver materialization at
+    any replica scale)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.ipc as pipc
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        convert_columnar_to_parquet,
+    )
+
+    pdf = _fixture_pdf(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 250000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                "l_shipdate")
+    )
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    tmp = tempfile.mkdtemp(prefix="ipc1_")
+    ipc_dir = os.path.join(tmp, "ipc")
+    os.makedirs(ipc_dir)
+    n_parts = 4
+    step = max(1, (tbl.num_rows + n_parts - 1) // n_parts)
+    for i in range(n_parts):
+        part = tbl.slice(i * step, step)
+        if part.num_rows == 0 and i > 0:
+            break
+        opts = pipc.IpcWriteOptions(
+            compression="zstd" if i % 2 == 0 else None
+        )
+        with pipc.new_file(
+            os.path.join(ipc_dir, f"part-{i:04d}.arrow"), tbl.schema,
+            options=opts,
+        ) as w:
+            w.write_table(part, max_chunksize=4096)
+    out = os.path.join(tmp, "lineitem_ipc.parquet")
+    cols, types, _rows = convert_columnar_to_parquet(
+        spark, ipc_dir, out, fmt="ipc"
+    )
+    assert types is None, "typed container must skip inference"
+    return spark.read.parquet(out)
+
+
+register("ipc1_typed_roundtrip", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem WHERE l_orderkey < 250000
+""")(_q_ipc_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# x40 — n-gram novelty (first-occurrence attribution per document)
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """What each document actually ADDS to the corpus: of its distinct
+    token 8-grams, how many occur first HERE (ownership = min doc_id
+    over the corpus — the deterministic stand-in for ingestion order).
+    This is the marginal-value metric dedup families imply but never
+    report: d01-d19 say what to drop, novelty prices what each kept
+    doc contributes (near-1 = fresh content, near-0 = recombined
+    boilerplate). Plan: overlapping 8-gram explode → distinct
+    (doc_id, gram_md5) → gram-keyed min agg → join back on the gram
+    key (co-partitioned with the agg, no extra Exchange) → per-doc
+    agg. Everything is keyed by gram hash; nothing is pairwise."""
+    w = 8
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", ta.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= w)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (w - 1))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), w))).alias("g"),
+    ).distinct()
+    owners = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    return (
+        grams.join(owners, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+register("x40_ngram_novelty", f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_LC} AS t FROM documents WHERE len({_TOKS_LC}) >= 8
+), grams AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(t[i:i + 7], ' ')) AS g
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+), owners AS (
+    SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS novelty
+FROM grams JOIN owners USING (g)
+GROUP BY doc_id
+""")(_q_ngram_novelty)
+
+
+# ---------------------------------------------------------------------------
+# s08 — deterministic fixed-point k-means (2 Lloyd rounds, 8 seeds)
+
+
+def _q_kmeans_fixed(spark, sf_dir):
+    """Lloyd's k-means over the embedding space, bit-deterministic:
+    coordinates fixed-pointed once (floor(v·2^20), s04's discipline),
+    every distance and centroid thereafter pure BIGINT — so the
+    assignment argmin (tie: lowest cid) and the integer-mean update
+    are order-independent and reproduce exactly in any engine. Seeds
+    are the 8 lowest vec_ids; two assign→update rounds (the g01/g03
+    iterative shape, unrolled — rounds are FIXED, not data-dependent).
+    Output: final per-cluster centroid components + member counts.
+
+    Scale: each round is ex⋈broadcast(centroids) (centroid table is
+    k·64 rows at ANY corpus size) → one (vec_id,cid) hash-agg → one
+    bounded (cid,dim) agg; per-row work is k·64 multiplies. Magnitudes
+    are audited: |f| ≤ 2²⁰ ⟹ per-dim diff² ≤ 2⁴², Σ over 64 dims
+    ≤ 2⁴⁸ — no overflow at any k or corpus size. This is the missing
+    layer between s03's FIXED anchors (IVF cells) and d09's cell
+    blocking: learned cells, same join geometry."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long").alias("f"),
+    )
+    seeds = (
+        emb.select("vec_id").orderBy("vec_id").limit(8)
+        .select(
+            "vec_id",
+            (F.row_number().over(W.orderBy("vec_id")) - 1).cast("long").alias("cid"),
+        )
+    )
+    c0 = ex.join(F.broadcast(seeds), "vec_id").select(
+        "cid", "dim", F.col("f").alias("c")
+    )
+
+    def assign(cent):
+        d = F.col("f") - F.col("c")
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            ex.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(d * d).alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def update(assigned):
+        return (
+            ex.join(assigned, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(f) div count(1)").alias("c"))
+        )
+
+    a2 = assign(update(assign(c0)))
+    return (
+        ex.join(a2, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.expr("sum(f) div count(1)").cast("long").alias("centroid_fixed"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+
+
+register("s08_kmeans_fixed", """
+WITH ex AS MATERIALIZED (
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS f
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+seeds AS (
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS MATERIALIZED (
+    SELECT s.cid, ex.dim, ex.f AS c FROM ex JOIN seeds s USING (vec_id)
+),
+d1 AS MATERIALIZED (
+    SELECT ex.vec_id, c.cid, SUM((ex.f - c.c) * (ex.f - c.c)) AS dist
+    FROM ex JOIN c0 c ON ex.dim = c.dim
+    GROUP BY ex.vec_id, c.cid
+),
+a1 AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+    SELECT a.cid, ex.dim, SUM(ex.f) // COUNT(*) AS c
+    FROM ex JOIN a1 a USING (vec_id) GROUP BY a.cid, ex.dim
+),
+d2 AS MATERIALIZED (
+    SELECT ex.vec_id, c.cid, SUM((ex.f - c.c) * (ex.f - c.c)) AS dist
+    FROM ex JOIN c1 c ON ex.dim = c.dim
+    GROUP BY ex.vec_id, c.cid
+),
+a2 AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+)
+SELECT a.cid, ex.dim,
+       CAST(SUM(ex.f) // COUNT(*) AS BIGINT) AS centroid_fixed,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ex JOIN a2 a USING (vec_id)
+GROUP BY a.cid, ex.dim
+""")(_q_kmeans_fixed)
+
+
+# ---------------------------------------------------------------------------
+# pr23 — lag-k autocorrelation sufficient statistics of daily volume
+
+
+def _q_autocorrelation(spark, sf_dir):
+    """Is daily event volume self-similar a week out? Lag-1..7
+    autocorrelation closes the time-series audit pr22 opened (pr22:
+    seasonal LEVEL per weekday; this: serial DEPENDENCE across days),
+    and like pr11/pr21/g06 it ships the exact SUFFICIENT STATISTICS —
+    per lag the pair count and the five sums (Σx, Σy, Σxy, Σx², Σy²)
+    that determine the Pearson r the caller computes in two float
+    ops. The lag fan-out is a 7-literal explode (pure projection, no
+    join); pairs come from ONE equi-join of the bounded day table
+    against itself on epoch_day + lag; count products follow the r7
+    overflow rule (DECIMAL(38,0) digit strings). Days, not events:
+    the windowed rowset grows with the calendar, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("epoch_day")
+        )
+        .groupBy("epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    x = daily.select(
+        "epoch_day",
+        F.col("n").alias("x"),
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 8)])).alias("lag"),
+    )
+    y = daily.select(
+        F.col("epoch_day").alias("y_day"), F.col("n").alias("y")
+    )
+    d = "decimal(19,0)"
+    pairs = x.join(y, F.col("y_day") == F.col("epoch_day") + F.col("lag"))
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x").cast(d) * F.col("y").cast(d))
+        .cast("decimal(38,0)").cast("string").alias("sum_xy"),
+        F.sum(F.col("x").cast(d) * F.col("x").cast(d))
+        .cast("decimal(38,0)").cast("string").alias("sum_x2"),
+        F.sum(F.col("y").cast(d) * F.col("y").cast(d))
+        .cast("decimal(38,0)").cast("string").alias("sum_y2"),
+    )
+
+
+register("pr23_autocorrelation", """
+WITH daily AS MATERIALIZED (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+x AS (
+    SELECT epoch_day, n AS x, CAST(l.lag AS BIGINT) AS lag
+    FROM daily, LATERAL (SELECT unnest(range(1, 8)) AS lag) l
+)
+SELECT lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x.x) AS BIGINT) AS sum_x,
+       CAST(SUM(y.n) AS BIGINT) AS sum_y,
+       CAST(CAST(SUM(CAST(x.x AS HUGEINT) * y.n) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy,
+       CAST(CAST(SUM(CAST(x.x AS HUGEINT) * x.x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_x2,
+       CAST(CAST(SUM(CAST(y.n AS HUGEINT) * y.n) AS DECIMAL(38,0)) AS VARCHAR) AS sum_y2
+FROM x JOIN daily y ON y.epoch_day = x.epoch_day + x.lag
+GROUP BY lag
+""")(_q_autocorrelation)
+
+
+# ---------------------------------------------------------------------------
+# st10 — streaming count-min sketch == batch sketch (linearity pinned)
+
+
+def _q_stream_countmin(spark, sf_dir):
+    """The corpus arrives as THREE single-file micro-batches (doc_id
+    terciles, mtime-pinned order); each batch appends its partial CMS
+    grid, and the drained result is the per-cell sum — which must
+    equal the one-shot batch sketch EXACTLY, because count-min is a
+    linear sketch (cells are sums; merge is addition). This is the
+    streaming twin of x25's build: same grid, same oracle fragments,
+    but certified through the micro-batch path. Cell coordinates ride
+    as (j, bucket); the final merge aggregates ≤ 3·depth·width partial
+    rows — O(1) in corpus size."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_to_parquet_spark.streaming.streams import stream_countmin
+
+    docs = _fixture_pdf(
+        _docs(spark, sf_dir).select("doc_id", "text").orderBy("doc_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="st10_cms_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    third = max(1, len(docs) // 3)
+    waves = (docs.iloc[:third], docs.iloc[third:2 * third], docs.iloc[2 * third:])
+    for i, wave in enumerate(waves):
+        if wave.empty:
+            continue
+        path = os.path.join(in_dir, f"w{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = stream_countmin(
+        spark, in_dir, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(tmp, "out"))
+        .groupBy(
+            F.col("j").cast("long").alias("j"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _st10_oracle() -> str:
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    frag = sk.cms_sql()
+    b_tok_j = frag["bucket"]("token", "j")
+    return f"""
+WITH counts AS (
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, LATERAL (SELECT unnest({_TOKS_LC}) AS t)
+    GROUP BY t
+), grid AS {frag['js']}
+SELECT CAST(j AS BIGINT) AS j,
+       CAST({b_tok_j} AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS cnt
+FROM counts CROSS JOIN grid GROUP BY 1, 2
+"""
+
+
+register("st10_stream_countmin", _st10_oracle())(_q_stream_countmin)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-SUPPORTED_FORMATS = ("orc", "avro")
+SUPPORTED_FORMATS = ("orc", "avro", "ipc")
 
 
 def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
@@ -59,9 +59,62 @@ def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(decode, schema=ddl)
 
 
+def read_ipc_python(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC (Feather v2 / ``.arrow``) file(s) → DataFrame.
+
+    Spark has no native IPC reader, but the format IS Arrow — the same
+    memory layout ``mapInArrow`` exchanges with the JVM — so the decode
+    path is zero-copy: ``binaryFile`` lists the containers (one row per
+    file, whole-file content), the schema is fixed driver-side from the
+    FIRST file's footer, and an executor-side ``mapInArrow`` re-yields
+    each file's record batches directly (the only transform is a cast
+    to Spark's Arrow schema, e.g. naive timestamps → session-UTC).
+    One task per container file, no shuffle, no per-row Python; both
+    the random-access file format and the stream format decode (footer
+    probe falls back to the stream reader).
+    """
+    import io
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    def _open(buf: bytes):
+        try:
+            return pa.ipc.open_file(pa.BufferReader(buf))
+        except pa.ArrowInvalid:
+            return pa.ipc.open_stream(pa.BufferReader(buf))
+
+    files = spark.read.format("binaryFile").load(path)
+    first = files.orderBy("path").select("content").head()
+    if first is None:
+        raise ValueError(f"no files under {path!r}")
+    src_schema = _open(bytes(first["content"])).schema
+    spark_schema = from_arrow_schema(src_schema)
+    target = to_arrow_schema(spark_schema)
+
+    def decode(batches):
+        for b in batches:
+            for content in b.column(0):
+                reader = _open(content.as_py())
+                if isinstance(reader, pa.ipc.RecordBatchFileReader):
+                    it = (
+                        reader.get_batch(i)
+                        for i in range(reader.num_record_batches)
+                    )
+                else:
+                    it = iter(reader)
+                for rb in it:
+                    yield rb.cast(target)
+
+    return files.select("content").mapInArrow(decode, schema=spark_schema)
+
+
 def read_columnar(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported columnar format: {fmt!r}")
+    if fmt == "ipc":
+        return read_ipc_python(spark, path)
     try:
         return spark.read.format(fmt).load(path)
     except Exception as exc:

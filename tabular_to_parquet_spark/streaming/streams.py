@@ -729,3 +729,52 @@ def hopping_window_stats_stream(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def stream_countmin(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming count-min sketch build: each micro-batch folds its own
+    token counts into a depth×width partial grid (operators/sketches)
+    and APPENDS the partial to ``output_dir``; the live sketch at any
+    moment is the per-cell SUM over the appended partials. CMS is a
+    LINEAR sketch — cells are sums, merge is addition — so the
+    streamed-and-merged grid equals the one-shot batch sketch
+    bit-for-bit regardless of how the corpus was cut into
+    micro-batches (st10 pins exactly that equality against the batch
+    oracle).
+
+    The 100 TB streaming-statistics shape: per micro-batch cost is one
+    token-keyed agg over the BATCH only, state is the O(depth×width)
+    grid (never the vocabulary), and no micro-batch ever re-touches
+    prior data. At-least-once note: a retried micro-batch would append
+    its partial twice and over-count — CMS estimates stay upper bounds
+    (the sketch's contract) but drift from the batch twin; a
+    transactional sink or batch_id-keyed idempotent write upgrades
+    this to exactly-once.
+
+    Returns the started StreamingQuery (``availableNow`` trigger).
+    """
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = sk.cms_build(sk.token_counts(batch_df, text_col))
+        partial.write.mode("append").parquet(output_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

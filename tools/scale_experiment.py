@@ -196,6 +196,11 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_degree_assortativity": q("g06_degree_assortativity"),
         "r8_sentence_stats": q("x39_sentence_stats"),
         "r8_ann_recall_audit": q("s07_ann_recall_audit"),
+        "r8_ipc_roundtrip": q("ipc1_typed_roundtrip"),
+        "r8_ngram_novelty": q("x40_ngram_novelty"),
+        "r8_kmeans_fixed": q("s08_kmeans_fixed"),
+        "r8_autocorrelation": q("pr23_autocorrelation"),
+        "r8_stream_countmin": q("st10_stream_countmin"),
     })
     if name_regex:
         import re as _re
