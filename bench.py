@@ -358,6 +358,8 @@ def main() -> None:
         "s08_kmeans_fixed",
         "pr23_autocorrelation",
         "st10_stream_countmin",
+        "ipc2_string_inference",
+        "g07_local_clustering",
     ):
         @timed(_hq)
         def _(q=_hq):

@@ -239,3 +239,54 @@ def bfs_hops(edges: DataFrame, seed: int | None = None, max_hops: int = 12) -> D
         ).localCheckpoint()
         frontier = nxt.select("node")
     return dist
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    a SYMMETRIC distinct (src, dst) edge list.
+
+    Triangles are enumerated ONCE on the a<b<c orientation (exactly
+    :func:`triangle_count`'s compact-forward shape — every join an
+    equi-join on a vertex id, wedge fan-out bounded by oriented
+    degree), then exploded to their three corners for the per-node
+    attribution: one narrow explode (3 rows per triangle) + one
+    hash-agg. Degree is the src-side count of the symmetric list.
+    All counts are exact BIGINTs; the coefficient 2T/(d(d-1)) is the
+    single float division at the end (0.0 for degree-1 nodes, which
+    close no wedges). Complements the GLOBAL g02 count with the
+    node-level structure (hub neighborhoods vs cliquish tails)."""
+    canon = edges.filter(F.col("src") < F.col("dst"))
+    e1, e2, e3 = canon.alias("e1"), canon.alias("e2"), canon.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        "deg",
+        t.alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.lit(2.0) * t / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("local_cc"),
+    )

@@ -7558,3 +7558,113 @@ FROM counts CROSS JOIN grid GROUP BY 1, 2
 
 
 register("st10_stream_countmin", _st10_oracle())(_q_stream_countmin)
+
+
+# ---------------------------------------------------------------------------
+# ipc2 — stringly Arrow IPC through the shared inference path
+
+
+def _q_ipc_string_inference(spark, sf_dir):
+    """All-string IPC container → the SAME distributed inference +
+    lenient-cast projection as the delimited/JSON/Avro/ORC paths
+    (avro2's shape on the new wire format): int64, float64, string,
+    and millisecond-timestamp columns are recovered from their text
+    forms. One pipeline, many wire formats — the format layer ends at
+    the scan."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.ipc as pipc
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        convert_columnar_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 250000  # bounded fixture; see avro1
+    )
+    pdf = _fixture_pdf(li.select(
+        F.col("l_orderkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias("l_shipdate"),
+    ))
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+        pa.schema([(c, pa.string()) for c in pdf.columns])
+    )
+    tmp = tempfile.mkdtemp(prefix="ipc2_")
+    ipc_dir = os.path.join(tmp, "ipc")
+    os.makedirs(ipc_dir)
+    with pipc.new_file(
+        os.path.join(ipc_dir, "part-0000.arrow"), tbl.schema,
+        options=pipc.IpcWriteOptions(compression="zstd"),
+    ) as w:
+        w.write_table(tbl, max_chunksize=8192)
+    out = os.path.join(tmp, "lineitem_ipc_str.parquet")
+    cols, types, _rows = convert_columnar_to_parquet(
+        spark, ipc_dir, out, fmt="ipc"
+    )
+    assert types is not None, "stringly container must run inference"
+    return spark.read.parquet(out)
+
+
+register("ipc2_string_inference", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem WHERE l_orderkey < 250000
+""")(_q_ipc_string_inference)
+
+
+# ---------------------------------------------------------------------------
+# g07 — per-node local clustering coefficient
+
+
+def _q_local_clustering(spark, sf_dir):
+    """How cliquish is each part's co-purchase neighborhood? g02
+    counts triangles GLOBALLY; this attributes them per node and
+    reports Watts-Strogatz local clustering 2T/(d(d-1)) — the metric
+    separating hub-and-spoke structure (cc→0) from bundle cliques
+    (cc→1). Triangles enumerate once on the a<b<c orientation over
+    the THRESHOLDED edges (g06/kcore's sparse graph), explode to
+    corners, one hash-agg; degree from the symmetric list; exact
+    integers plus the one float division (operators/graph.py:
+    local_clustering)."""
+    from tabular_to_parquet_spark.operators import graph as g
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return g.local_clustering(g.copurchase_edges_threshold(li, min_orders=2))
+
+
+register("g07_local_clustering", """
+WITH e0 AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS n
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2)
+    WHERE n >= 2
+),
+canon AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src < dst),
+tri AS MATERIALIZED (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM canon e1
+    JOIN canon e2 ON e2.src = e1.dst
+    JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM corners GROUP BY node),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src)
+SELECT deg.node, deg.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.deg >= 2
+            THEN 2.0 * COALESCE(t.n_triangles, 0) / (deg.deg * (deg.deg - 1))
+            ELSE 0.0 END AS local_cc
+FROM deg LEFT JOIN tcnt t ON deg.node = t.node
+""")(_q_local_clustering)

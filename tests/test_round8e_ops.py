@@ -242,3 +242,69 @@ def test_st10_matches_batch_sketch_on_hand_docs(spark):
     }
     assert streamed == batch
     assert sum(v for (j, _), v in streamed.items() if j == 0) == 9  # 9 tokens
+
+
+# ---------------------------------------------------------------------------
+# g07 — local clustering coefficient
+
+
+def test_g07_triangle_plus_pendant(spark, tmp_path):
+    """Graph: triangle 1-2-3 plus pendant 4 attached to 1. Node 1 has
+    deg 3, one closed wedge of three -> cc = 2*1/(3*2) = 1/3; nodes
+    2,3 have deg 2, cc = 1.0; node 4 deg 1 -> cc = 0."""
+    import itertools
+
+    orders = []
+    ok = 0
+    for pair in [(1, 2), (1, 2), (2, 3), (2, 3), (1, 3), (1, 3), (1, 4), (1, 4)]:
+        ok += 1
+        orders.append((ok, pair[0]))
+        orders.append((ok, pair[1]))
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": [o[0] for o in orders],
+            "l_partkey": [o[1] for o in orders],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["local_cc"])
+        for r in CATALOG["g07_local_clustering"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (3, 1, 2.0 * 1 / (3 * 2))
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (2, 1, 1.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_g07_cc_bounds_and_triangle_total(spark):
+    from tabular_to_parquet_spark.operators import graph as g
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["g07_local_clustering"].spark(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["local_cc"] <= 1.0
+        assert r["n_triangles"] >= 0
+    # per-node triangle counts sum to 3x the global count
+    edges = g.copurchase_edges_threshold(
+        load_table(spark, sf, "lineitem"), min_orders=2
+    ).filter(F.col("src") < F.col("dst"))
+    n_tri = g.triangle_count(edges).collect()[0]["n_triangles"]
+    assert sum(r["n_triangles"] for r in rows) == 3 * n_tri
+
+
+# ---------------------------------------------------------------------------
+# ipc2 — stringly IPC through inference
+
+
+def test_ipc2_infers_types(spark):
+    df = CATALOG["ipc2_string_inference"].spark(spark, "/root/testdata/sf0.001")
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds["l_orderkey"] == "bigint"
+    assert kinds["l_quantity"] == "double"
+    assert kinds["l_returnflag"] == "string"
+    assert kinds["l_shipdate"].startswith("timestamp")

@@ -201,6 +201,8 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_kmeans_fixed": q("s08_kmeans_fixed"),
         "r8_autocorrelation": q("pr23_autocorrelation"),
         "r8_stream_countmin": q("st10_stream_countmin"),
+        "r8_ipc_inference": q("ipc2_string_inference"),
+        "r8_local_clustering": q("g07_local_clustering"),
     })
     if name_regex:
         import re as _re
