@@ -358,8 +358,11 @@ def main() -> None:
         "s08_kmeans_fixed",
         "pr23_autocorrelation",
         "st10_stream_countmin",
-        "ipc2_string_inference",
         "g07_local_clustering",
+        # ipc2_string_inference is fixture-dominated (600k-row pandas
+        # materialization + container write per rep) — a fixture cost
+        # benchmark, not an engine one; avro2/orc2 are likewise
+        # excluded. ipc1 stays as the format's bench presence.
     ):
         @timed(_hq)
         def _(q=_hq):

@@ -7596,11 +7596,20 @@ def _q_ipc_string_inference(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="ipc2_")
     ipc_dir = os.path.join(tmp, "ipc")
     os.makedirs(ipc_dir)
-    with pipc.new_file(
-        os.path.join(ipc_dir, "part-0000.arrow"), tbl.schema,
-        options=pipc.IpcWriteOptions(compression="zstd"),
-    ) as w:
-        w.write_table(tbl, max_chunksize=8192)
+    # four container files: binaryFile gives one task per file, so the
+    # inference counters and the cast projection parallelize instead
+    # of funneling through a single-file single task
+    n_parts = 4
+    step = max(1, (tbl.num_rows + n_parts - 1) // n_parts)
+    for i in range(n_parts):
+        part = tbl.slice(i * step, step)
+        if part.num_rows == 0 and i > 0:
+            break
+        with pipc.new_file(
+            os.path.join(ipc_dir, f"part-{i:04d}.arrow"), tbl.schema,
+            options=pipc.IpcWriteOptions(compression="zstd"),
+        ) as w:
+            w.write_table(part, max_chunksize=8192)
     out = os.path.join(tmp, "lineitem_ipc_str.parquet")
     cols, types, _rows = convert_columnar_to_parquet(
         spark, ipc_dir, out, fmt="ipc"
