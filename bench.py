@@ -359,6 +359,10 @@ def main() -> None:
         "pr23_autocorrelation",
         "st10_stream_countmin",
         "g07_local_clustering",
+        "pl34_rendezvous_shards",
+        "s09_scalar_quantization",
+        "pl35_quality_dup_calibration_scale",
+        "a38_rising_streaks",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

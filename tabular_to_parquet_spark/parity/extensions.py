@@ -7677,3 +7677,353 @@ SELECT deg.node, deg.deg,
             ELSE 0.0 END AS local_cc
 FROM deg LEFT JOIN tcnt t ON deg.node = t.node
 """)(_q_local_clustering)
+
+
+# ---------------------------------------------------------------------------
+# pl34 — rendezvous (HRW) shard assignment + reshard movement audit
+
+
+def _q_rendezvous_shards(spark, sf_dir):
+    """Consistent shard placement for an incrementally growing corpus:
+    rendezvous (highest-random-weight) hashing assigns each doc to
+    argmax_s h(doc, s). Unlike mod-N (pl06's static sharding), growing
+    the shard count k1=8 → k2=12 moves ONLY the docs whose argmax
+    lands in a NEW shard — every survivor keeps its shard with no
+    remap table, which is what keeps a 100 TB reshard from rewriting
+    the whole corpus (expected moved fraction = 1 − k1/k2 = 1/3).
+    Weights are the cross-engine md5_i64 with a per-shard seed; the
+    argmax is a pure projection over a k2-literal struct array (no
+    join, no shuffle, no state); ties (2⁻⁶⁰) break to the higher
+    shard id in both engines. `moved ⟺ shard12 ≥ 8` by construction —
+    pinned in tests."""
+    from tabular_to_parquet_spark.functions.hashing import md5_i64
+
+    did = F.col("doc_id").cast("string")
+
+    def argmax_shard(k):
+        arr = F.array(*[
+            F.struct(
+                md5_i64(did, seed=f"hrw{s}").alias("w"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(k)
+        ])
+        return F.array_max(arr).getField("s")
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        argmax_shard(8).alias("shard8"),
+        argmax_shard(12).alias("shard12"),
+        (argmax_shard(8) != argmax_shard(12)).cast("long").alias("moved"),
+    )
+
+
+def _pl34_oracle() -> str:
+    from tabular_to_parquet_spark.functions.hashing import md5_i64_sql
+
+    w = md5_i64_sql("CAST(doc_id AS VARCHAR)", seed=None).replace(
+        "md5(", "md5('hrw' || s || '#' || ", 1
+    )
+    return f"""
+WITH weights AS (
+    SELECT doc_id, s, {w} AS w
+    FROM documents, LATERAL (SELECT unnest(range(0, 12)) AS s)
+),
+ranked8 AS (
+    SELECT doc_id, s AS shard8,
+           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+    FROM weights WHERE s < 8
+),
+ranked12 AS (
+    SELECT doc_id, s AS shard12,
+           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+    FROM weights
+)
+SELECT a.doc_id, CAST(a.shard8 AS BIGINT) AS shard8,
+       CAST(b.shard12 AS BIGINT) AS shard12,
+       CAST(CASE WHEN a.shard8 <> b.shard12 THEN 1 ELSE 0 END AS BIGINT) AS moved
+FROM (SELECT doc_id, shard8 FROM ranked8 WHERE rn = 1) a
+JOIN (SELECT doc_id, shard12 FROM ranked12 WHERE rn = 1) b USING (doc_id)
+"""
+
+
+register("pl34_rendezvous_shards", _pl34_oracle())(_q_rendezvous_shards)
+
+
+# ---------------------------------------------------------------------------
+# s09 — int8 scalar quantization reconstruction-error audit
+
+
+def _q_scalar_quantization(spark, sf_dir):
+    """What does compressing the embedding store to int8 cost? Per-dim
+    min/max over the corpus define the affine code (the standard
+    scalar-quantization storage path for ANN indexes — 4×8 = 32 bytes
+    per 64-dim vector instead of 256); each component quantizes to
+    q = (f−mn)·255 div (mx−mn) and reconstructs to
+    r = mn + q·(mx−mn) div 255; the audit reports each vector's exact
+    squared reconstruction error and worst component error in the
+    2⁻²⁰ fixed-point domain. All arithmetic is non-negative BIGINT
+    (f−mn ≤ 2²¹, ×255 < 2³⁰) — bit-identical cross-engine. Plan: one
+    64-row per-dim agg broadcast back onto the exploded coordinates,
+    one per-vector agg; nothing corpus×corpus."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long").alias("f"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("f").alias("mn"), F.max("f").alias("mx")
+    )
+    q = F.expr("((f - mn) * 255) div (mx - mn)")
+    r = F.col("mn") + F.expr("(q * (mx - mn)) div 255")
+    err = F.col("f") - F.col("r")
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .withColumn("q", F.when(F.col("mx") > F.col("mn"), q).otherwise(F.lit(0)))
+        .withColumn("r", F.when(F.col("mx") > F.col("mn"), r).otherwise(F.col("mn")))
+        .select("vec_id", err.alias("e"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("e") * F.col("e")).cast("long").alias("err_sq_fixed"),
+            F.max(F.abs("e")).cast("long").alias("max_abs_err_fixed"),
+        )
+    )
+
+
+register("s09_scalar_quantization", """
+WITH ex AS MATERIALIZED (
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS f
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+stats AS (SELECT dim, MIN(f) AS mn, MAX(f) AS mx FROM ex GROUP BY dim),
+coded AS (
+    SELECT ex.vec_id, ex.f,
+           CASE WHEN s.mx > s.mn
+                THEN s.mn + ((((ex.f - s.mn) * 255) // (s.mx - s.mn))
+                             * (s.mx - s.mn)) // 255
+                ELSE s.mn END AS r
+    FROM ex JOIN stats s USING (dim)
+)
+SELECT vec_id,
+       CAST(SUM((f - r) * (f - r)) AS BIGINT) AS err_sq_fixed,
+       CAST(MAX(abs(f - r)) AS BIGINT) AS max_abs_err_fixed
+FROM coded GROUP BY vec_id
+""")(_q_scalar_quantization)
+
+
+# ---------------------------------------------------------------------------
+# pl35 — quality-score calibration against exact-duplicate labels
+
+
+def _q_quality_dup_calibration(spark, sf_dir):
+    """Does the cheap quality score actually separate duplicates? The
+    lift table every filter threshold decision reads: docs ranked into
+    quality deciles (score = n_chars, the d15 representative-selection
+    score; total order (score, doc_id) so the ntile is deterministic),
+    labeled by exact-dup membership (normalized-text fp seen ≥2 — the
+    d01 group label), one decile agg. dup_rate is the single division.
+    Plan: fp label is one hash-agg + count window... no — a group-size
+    join on the fp key; the decile is one total-order window; one
+    bounded agg. Nothing pairwise."""
+    from pyspark.sql import Window as W
+
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    sizes = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_n"))
+    labeled = docs.join(sizes, "fp").select(
+        "doc_id", "n_chars", (F.col("fp_n") >= 2).cast("long").alias("is_dup")
+    )
+    dec = labeled.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("n_chars", "doc_id")).cast("long")
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+register("pl35_quality_dup_calibration", f"""
+WITH docs AS (
+    SELECT doc_id, n_chars, md5({_NORM}) AS fp FROM documents
+),
+sizes AS (SELECT fp, COUNT(*) AS fp_n FROM docs GROUP BY fp),
+labeled AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN fp_n >= 2 THEN 1 ELSE 0 END AS is_dup
+    FROM docs JOIN sizes USING (fp)
+),
+dec AS (
+    SELECT n_chars, is_dup,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+    FROM labeled
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       SUM(is_dup)::DOUBLE / COUNT(*) AS dup_rate,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM dec GROUP BY decile
+""")(_q_quality_dup_calibration)
+
+
+# ---------------------------------------------------------------------------
+# a38 — rising-volume streaks (gaps-and-islands)
+
+
+def _q_rising_streaks(spark, sf_dir):
+    """Longest run of strictly rising daily volume per event type —
+    the gaps-and-islands shape (sessionize cuts on TIME gaps; this
+    cuts on a VALUE predicate breaking). A day is 'rising' when its
+    count exceeds the previous CALENDAR day's (lag over the dense day
+    sequence — a missing previous day breaks the streak); consecutive
+    rising days group into islands via the classic epoch_day −
+    row_number() constant; per type the report is the longest island,
+    its start day (earliest on ties), and the total rising-day count.
+    One exchange on event_type serves every window; the day table is
+    calendar-sized, never corpus-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("epoch_day"),
+        )
+        .groupBy("event_type", "epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("epoch_day")
+    rising = daily.select(
+        "event_type",
+        "epoch_day",
+        (
+            (F.lag("n").over(w).isNotNull())
+            & (F.lag("epoch_day").over(w) == F.col("epoch_day") - 1)
+            & (F.col("n") > F.lag("n").over(w))
+        ).alias("is_rising"),
+    ).filter(F.col("is_rising"))
+    islands = rising.select(
+        "event_type",
+        "epoch_day",
+        (F.col("epoch_day") - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("epoch_day").cast("long").alias("start_day"),
+    )
+    w2 = W.partitionBy("event_type").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    best = runs.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
+    totals = rising.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rising_days")
+    )
+    return best.join(totals, "event_type").select(
+        "event_type",
+        F.col("len").alias("longest_streak"),
+        "start_day",
+        "n_rising_days",
+    )
+
+
+register("a38_rising_streaks", """
+WITH daily AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+flags AS (
+    SELECT event_type, epoch_day,
+           (lag(n) OVER w IS NOT NULL
+            AND lag(epoch_day) OVER w = epoch_day - 1
+            AND n > lag(n) OVER w) AS is_rising
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day)
+),
+rising AS (SELECT event_type, epoch_day FROM flags WHERE is_rising),
+islands AS (
+    SELECT event_type, epoch_day,
+           epoch_day - row_number() OVER (PARTITION BY event_type
+                                          ORDER BY epoch_day) AS island
+    FROM rising
+),
+runs AS (
+    SELECT event_type, island, CAST(COUNT(*) AS BIGINT) AS len,
+           CAST(MIN(epoch_day) AS BIGINT) AS start_day
+    FROM islands GROUP BY event_type, island
+),
+best AS (
+    SELECT event_type, len, start_day,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY len DESC, start_day) AS rn
+    FROM runs
+),
+totals AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rising_days
+    FROM rising GROUP BY event_type
+)
+SELECT b.event_type, b.len AS longest_streak, b.start_day, t.n_rising_days
+FROM best b JOIN totals t USING (event_type)
+WHERE b.rn = 1
+""")(_q_rising_streaks)
+
+
+def _q_quality_dup_calibration_scale(spark, sf_dir):
+    """The 100 TB path for pl35: the global ntile window (all docs in
+    one partition) replaced by ``ordering.with_global_position`` over
+    (n_chars, doc_id) — per-block row_number + a bounded one-row-per-
+    block offset cumsum — and the arithmetic ``ntile_expr`` (the a16
+    scale-twin recipe). Block = n_chars div 64: monotone in the sort
+    key, bounded by the LENGTH RANGE, not the corpus. Registered
+    against the SAME oracle as pl35 — the twin's claim IS exact
+    equality with the window form."""
+    from tabular_to_parquet_spark.operators.ordering import (
+        ntile_expr,
+        with_global_position,
+    )
+    from tabular_to_parquet_spark.operators.text_analysis import normalized_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    sizes = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_n"))
+    labeled = docs.join(sizes, "fp").select(
+        "doc_id", "n_chars", (F.col("fp_n") >= 2).cast("long").alias("is_dup")
+    )
+    pos = with_global_position(
+        labeled,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        (F.col("n_chars") / F.lit(64)).cast("long"),
+    )
+    total = pos.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    dec = pos.crossJoin(F.broadcast(total)).select(
+        "n_chars",
+        "is_dup",
+        ntile_expr(F.col("pos"), F.col("_total"), 10).alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+register(
+    "pl35_quality_dup_calibration_scale",
+    CATALOG["pl35_quality_dup_calibration"].oracle,
+)(_q_quality_dup_calibration_scale)

@@ -1,0 +1,192 @@
+"""Round-8 seventh-wave operators: rendezvous sharding (pl34), scalar
+quantization audit (s09), quality-dup calibration + scale twin (pl35),
+rising streaks (a38)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from tabular_to_parquet_spark.parity import extensions as _ext  # noqa: F401
+from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+
+def _write_docs(spark, rows):
+    d = tempfile.mkdtemp(prefix="r8f_docs_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": ["s" for _ in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+# ---------------------------------------------------------------------------
+# pl34 — rendezvous sharding
+
+
+def test_pl34_hrw_movement_structure(spark):
+    """The HRW contract: a doc moves on 8->12 growth iff its 12-shard
+    argmax landed in a NEW shard (>= 8); survivors keep their shard
+    exactly. Expected moved fraction ~ 1/3."""
+    rows = CATALOG["pl34_rendezvous_shards"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    moved = 0
+    for r in rows:
+        assert 0 <= r["shard8"] <= 7
+        assert 0 <= r["shard12"] <= 11
+        if r["moved"]:
+            assert r["shard12"] >= 8
+            moved += 1
+        else:
+            assert r["shard12"] == r["shard8"]
+    # 500 docs, p=1/3: a 10x-sigma band is [60, 280]
+    assert 60 <= moved <= 280
+
+
+def test_pl34_assignment_is_id_stable(spark):
+    """Same doc_id -> same shard regardless of the rest of the corpus
+    (the property mod-N resharding loses)."""
+    d1 = _write_docs(spark, [(7, "a", "en"), (8, "b", "en")])
+    d2 = _write_docs(spark, [(7, "zz", "fr"), (9, "y", "en"), (100, "q", "en")])
+    s1 = {r["doc_id"]: r["shard12"]
+          for r in CATALOG["pl34_rendezvous_shards"].spark(spark, d1).collect()}
+    s2 = {r["doc_id"]: r["shard12"]
+          for r in CATALOG["pl34_rendezvous_shards"].spark(spark, d2).collect()}
+    assert s1[7] == s2[7]
+
+
+# ---------------------------------------------------------------------------
+# s09 — scalar quantization audit
+
+
+def test_s09_error_bound(spark):
+    """int8 reconstruction error per component is bounded by one code
+    step: |f - r| <= ceil((mx-mn)/255). Checked via the reported max
+    against the worst dim range on the real table."""
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["s09_scalar_quantization"].spark(spark, sf).collect()
+    assert len(rows) == 500
+    ex = load_table(spark, sf, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim", F.floor(F.col("v").cast("double") * 1048576.0).cast("long").alias("f")
+    )
+    worst = ex.groupBy("dim").agg((F.max("f") - F.min("f")).alias("rng")).agg(
+        F.max("rng")
+    ).collect()[0][0]
+    step = worst // 255 + 1
+    for r in rows:
+        assert 0 <= r["max_abs_err_fixed"] <= step
+        assert r["err_sq_fixed"] <= 64 * step * step
+
+
+def test_s09_constant_dims_are_lossless(spark, tmp_path):
+    """Vectors whose every dim is corpus-constant quantize losslessly
+    (mx == mn branch): zero error."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.5, -0.25]] * 3,
+            "label": [0, 0, 0],
+        }
+    )
+    spark.createDataFrame(pdf).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = CATALOG["s09_scalar_quantization"].spark(spark, str(tmp_path)).collect()
+    assert [(r["err_sq_fixed"], r["max_abs_err_fixed"]) for r in rows] == [(0, 0)] * 3
+
+
+# ---------------------------------------------------------------------------
+# pl35 — calibration table + scale twin
+
+
+def test_pl35_window_and_scale_twin_agree(spark):
+    a = sorted(
+        CATALOG["pl35_quality_dup_calibration"]
+        .spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["decile"],
+    )
+    b = sorted(
+        CATALOG["pl35_quality_dup_calibration_scale"]
+        .spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert sum(r["n_docs"] for r in a) == 500
+    assert [r["decile"] for r in a] == list(range(1, 11))
+
+
+def test_pl35_dup_labels(spark):
+    """Two identical short docs + eight longer unique docs: the dup
+    pair lands in the lowest deciles with dup_rate 1.0 there."""
+    dup = "same text here"
+    rows = [(1, dup, "en"), (2, dup, "en")] + [
+        (i, "unique " + "x" * (10 + i) + f" {i}", "en") for i in range(3, 11)
+    ]
+    d = _write_docs(spark, rows)
+    got = sorted(
+        CATALOG["pl35_quality_dup_calibration"].spark(spark, d).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert sum(r["n_dups"] for r in got) == 2
+    assert got[0]["n_dups"] == 1 and got[0]["dup_rate"] == 1.0
+    assert got[1]["n_dups"] == 1 and got[1]["dup_rate"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# a38 — rising streaks
+
+
+def test_a38_hand_series(spark, tmp_path):
+    """Counts 1,2,3,1,2,3,4 on consecutive days: rising days are
+    d1,d2,d4,d5,d6 -> islands {d1,d2} and {d4,d5,d6}; longest 3
+    starting at d4; 5 rising days total. A calendar GAP breaks a
+    streak even when the count rises across it."""
+    t0 = dt.datetime(2024, 7, 1)
+    day_counts = [(0, 1), (1, 2), (2, 3), (3, 1), (4, 2), (5, 3), (6, 4),
+                  # gap: day 8 missing -> day 9's rise doesn't extend
+                  (9, 10)]
+    rows, eid = [], 0
+    for day, n in day_counts:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=1)))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["a"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": [""] * len(rows),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = CATALOG["a38_rising_streaks"].spark(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    base_day = int(t0.timestamp() // 86400)
+    assert r["longest_streak"] == 3
+    assert r["start_day"] == base_day + 4
+    assert r["n_rising_days"] == 5

@@ -203,6 +203,11 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_stream_countmin": q("st10_stream_countmin"),
         "r8_ipc_inference": q("ipc2_string_inference"),
         "r8_local_clustering": q("g07_local_clustering"),
+        "r8_rendezvous_shards": q("pl34_rendezvous_shards"),
+        "r8_scalar_quantization": q("s09_scalar_quantization"),
+        "r8_quality_calibration": q("pl35_quality_dup_calibration"),
+        "r8_quality_calibration_scale": q("pl35_quality_dup_calibration_scale"),
+        "r8_rising_streaks": q("a38_rising_streaks"),
     })
     if name_regex:
         import re as _re
