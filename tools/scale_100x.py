@@ -155,7 +155,34 @@ def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
         "kcore": lambda: _noop(
             graph.kcore(graph.copurchase_edges_threshold(li, min_orders=2), k=3)
         ),
+        # round-8 continuation families (catalog entries run against
+        # the replica dir directly). x40 stays on the STANDARD replica:
+        # distinct (doc, gram) rows grow linearly with copies — the
+        # pair-pathology that forces salting doesn't apply to
+        # gram-keyed aggs.
+        "kmeans_fixed": lambda: _noop(
+            _catalog()["s08_kmeans_fixed"].spark(spark, sf_dir)
+        ),
+        "ngram_novelty": lambda: _noop(
+            _catalog()["x40_ngram_novelty"].spark(spark, sf_dir)
+        ),
+        "local_clustering": lambda: _noop(
+            _catalog()["g07_local_clustering"].spark(spark, sf_dir)
+        ),
+        "degree_assortativity": lambda: _noop(
+            _catalog()["g06_degree_assortativity"].spark(spark, sf_dir)
+        ),
+        "scalar_quantization": lambda: _noop(
+            _catalog()["s09_scalar_quantization"].spark(spark, sf_dir)
+        ),
     }
+
+
+def _catalog():
+    from tabular_to_parquet_spark.parity import extensions as _ext  # noqa: F401
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    return CATALOG
 
 
 def main() -> None:
