@@ -363,6 +363,8 @@ def main() -> None:
         "s09_scalar_quantization",
         "pl35_quality_dup_calibration_scale",
         "a38_rising_streaks",
+        "x41_code_switch_mixture",
+        "a39_session_paths",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -8027,3 +8027,158 @@ register(
     "pl35_quality_dup_calibration_scale",
     CATALOG["pl35_quality_dup_calibration"].oracle,
 )(_q_quality_dup_calibration_scale)
+
+
+# ---------------------------------------------------------------------------
+# x41 — code-switch mixture profile (token-level language evidence)
+
+
+def _q_code_switch_mixture(spark, sf_dir):
+    """x04 reports the per-doc argmax language and discards the vote
+    counts; multilingual corpora need the MIXTURE — the full stopword
+    hit vector per document — to find code-switched docs (real
+    bilingual text, boilerplate chrome in a second language) that a
+    single label hides. Per doc: token total, per-language stopword
+    hits (the x04 evidence, all four languages), and how many
+    languages got ≥1 hit. Pure projection over the token array —
+    zero shuffle, pipelines inside the scan like x01/x39."""
+    text_lc = F.lower(F.col("text"))
+    toks = ta.tokens(text_lc)
+    hit = {
+        lang: ta.lang_hits(text_lc, lang).cast("long") for lang in ta.LANG_ORDER
+    }
+    n_hit = sum(
+        (F.when(hit[lang] > 0, 1).otherwise(0) for lang in ta.LANG_ORDER),
+        F.lit(0),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        hit["en"].alias("hits_en"),
+        hit["fr"].alias("hits_fr"),
+        hit["de"].alias("hits_de"),
+        hit["es"].alias("hits_es"),
+        n_hit.cast("long").alias("n_langs_hit"),
+    )
+
+
+def _x41_oracle() -> str:
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang])
+        return (
+            f"len(list_filter({_TOKS_LC}, x -> list_contains([{words}], x)))"
+        )
+
+    h = {lang: hits(lang) for lang in ta.LANG_ORDER}
+    n_hit = " + ".join(
+        f"(CASE WHEN {h[lang]} > 0 THEN 1 ELSE 0 END)" for lang in ta.LANG_ORDER
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len({_TOKS_LC}) AS BIGINT) AS n_tokens,
+       CAST({h['en']} AS BIGINT) AS hits_en,
+       CAST({h['fr']} AS BIGINT) AS hits_fr,
+       CAST({h['de']} AS BIGINT) AS hits_de,
+       CAST({h['es']} AS BIGINT) AS hits_es,
+       CAST({n_hit} AS BIGINT) AS n_langs_hit
+FROM documents
+"""
+
+
+register("x41_code_switch_mixture", _x41_oracle())(_q_code_switch_mixture)
+
+
+# ---------------------------------------------------------------------------
+# a39 — top session paths (user-journey mining)
+
+
+def _q_session_paths(spark, sf_dir):
+    """The product-analytics 'top user journeys' query: sessions cut
+    at ev03's 240-minute gap, each session reduced to its first three
+    event types joined 'a>b>c' (shorter sessions keep their shorter
+    path — concat_ws drops the missing steps identically in both
+    engines), then the global top-20 paths by session count with
+    per-path distinct users. One user-keyed exchange serves the gap
+    tagging and the per-session head; the path agg is
+    vocabulary-sized (|types|³ ≤ bounded), never event-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 240 * 60 * 1_000_000
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w).isNull()
+            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us),
+            1,
+        ).otherwise(0).alias("new_s"),
+    ).withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    heads = (
+        tagged.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+        )
+        .select(
+            "user_id",
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        )
+    )
+    return (
+        heads.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+register("a39_session_paths", """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM tagged
+),
+ranked AS (
+    SELECT user_id, session_no, event_type,
+           row_number() OVER (PARTITION BY user_id, session_no
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+),
+heads AS (
+    SELECT user_id,
+           concat_ws('>',
+               MAX(CASE WHEN rn = 1 THEN event_type END),
+               MAX(CASE WHEN rn = 2 THEN event_type END),
+               MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id, session_no
+),
+agg AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM heads GROUP BY path
+)
+SELECT path, n_sessions, n_users FROM agg
+ORDER BY n_sessions DESC, path LIMIT 20
+""")(_q_session_paths)

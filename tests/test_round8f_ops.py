@@ -190,3 +190,99 @@ def test_a38_hand_series(spark, tmp_path):
     assert r["longest_streak"] == 3
     assert r["start_day"] == base_day + 4
     assert r["n_rising_days"] == 5
+
+
+# ---------------------------------------------------------------------------
+# x41 — code-switch mixture
+
+
+def test_x41_bilingual_doc_hits_two_langs(spark):
+    """'the house y la casa es the best' hits en ('the'x2) and es
+    ('y','la','es'... note 'la' also scores fr) — the mixture exposes
+    what x04's single argmax label hides."""
+    d = _write_docs(
+        spark,
+        [
+            (1, "the house y la casa es the best", "en"),
+            (2, "nur deutsche worte ohne treffer", "de"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in CATALOG["x41_code_switch_mixture"].spark(spark, d).collect()
+    }
+    r1 = got[1]
+    assert r1["n_tokens"] == 8
+    assert r1["hits_en"] == 2  # 'the' x2
+    assert r1["hits_es"] == 3  # 'y', 'la', 'es'
+    assert r1["hits_fr"] == 1  # 'la' scores fr too — sets overlap by design
+    assert r1["n_langs_hit"] == 3
+    r2 = got[2]
+    assert r2["hits_en"] == 0 and r2["hits_es"] == 0 and r2["hits_fr"] == 0
+    # 'ohne'/'nur' are not in the de stopword set; only 'worte' etc. miss too
+    assert r2["n_langs_hit"] == 0
+
+
+def test_x41_matches_x04_evidence(spark):
+    """The mixture's per-lang hit counts reproduce x04's argmax label
+    on the real table (tie rule: LANG_ORDER)."""
+    from tabular_to_parquet_spark.operators.text_analysis import LANG_ORDER
+
+    sf = "/root/testdata/sf0.001"
+    mix = {
+        r["doc_id"]: r
+        for r in CATALOG["x41_code_switch_mixture"].spark(spark, sf).collect()
+    }
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in CATALOG["x04_lang_id"].spark(spark, sf).collect()
+    }
+    for doc_id, r in mix.items():
+        hits = {la: r[f"hits_{la}"] for la in LANG_ORDER}
+        best = max(hits.values())
+        expect = "und"
+        for la in LANG_ORDER:
+            if hits[la] > 0 and hits[la] == best:
+                expect = la
+                break
+        assert pred[doc_id] == expect
+
+
+# ---------------------------------------------------------------------------
+# a39 — session paths
+
+
+def test_a39_hand_sessions(spark, tmp_path):
+    """User 1: view,click,buy within minutes (one session, path
+    view>click>buy) then a 5-hour gap and a lone view (path 'view').
+    User 2: view,click (path view>click). Top paths counted with
+    distinct users."""
+    t0 = dt.datetime(2024, 2, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=5)
+    rows = [
+        (1, t0, 1, "view"), (2, t0 + m, 1, "click"), (3, t0 + 2 * m, 1, "buy"),
+        (4, t0 + dt.timedelta(hours=9), 1, "view"),
+        (5, t0, 2, "view"), (6, t0 + m, 2, "click"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": [""] * len(rows),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["path"]: (r["n_sessions"], r["n_users"])
+        for r in CATALOG["a39_session_paths"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view>click>buy": (1, 1),
+        "view>click": (1, 1),
+        "view": (1, 1),
+    }

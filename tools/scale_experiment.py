@@ -208,6 +208,8 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_quality_calibration": q("pl35_quality_dup_calibration"),
         "r8_quality_calibration_scale": q("pl35_quality_dup_calibration_scale"),
         "r8_rising_streaks": q("a38_rising_streaks"),
+        "r8_code_switch_mixture": q("x41_code_switch_mixture"),
+        "r8_session_paths": q("a39_session_paths"),
     })
     if name_regex:
         import re as _re
