@@ -8182,3 +8182,41 @@ agg AS (
 SELECT path, n_sessions, n_users FROM agg
 ORDER BY n_sessions DESC, path LIMIT 20
 """)(_q_session_paths)
+
+
+# ---------------------------------------------------------------------------
+# ipc3 — Arrow IPC writer → reader roundtrip
+
+
+def _q_ipc_writer_roundtrip(spark, sf_dir):
+    """``columnar.write_ipc`` → ``read_ipc_python``: the export sink
+    writes one zstd Feather-v2 container per partition executor-side
+    from the partition's own Arrow batches (mapInArrow — no
+    row-at-a-time work, no driver collect, _SUCCESS manifest), and the
+    ipc1 reader re-yields them. Completes the format surface: read
+    (ipc1), inference (ipc2), write (here). Oracle identical to the
+    source rows — the write path is value-lossless, timestamps
+    included."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        read_ipc_python,
+        write_ipc,
+    )
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="ipc3_"), "ipc")
+    manifest = write_ipc(src.repartition(4), out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert sum(rows for _n, rows in manifest) == src.count()
+    return read_ipc_python(spark, out)
+
+
+register("ipc3_writer_roundtrip", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+""")(_q_ipc_writer_roundtrip)

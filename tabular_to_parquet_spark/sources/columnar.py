@@ -1,5 +1,6 @@
-"""Columnar-container sources (ORC / Avro) — format extensions beyond
-the reference (SURVEY.md §2.8: "no JSON/Avro/ORC sources").
+"""Columnar-container sources (ORC / Avro / Arrow IPC) — format
+extensions beyond the reference (SURVEY.md §2.8: "no JSON/Avro/ORC
+sources").
 
 Same design as the JSON-lines source: the engine after the scan is
 format-agnostic. Two entry shapes:
@@ -162,3 +163,54 @@ def convert_columnar_to_parquet(
         return df.columns, None, spark.read.parquet(output_path).count()
     finally:
         restore_timezone(spark, prior_tz)
+
+
+def write_ipc(df: DataFrame, path: str, compression: str | None = "zstd"):
+    """Arrow IPC (Feather v2) export sink — the hand-off format for
+    pandas/polars/DuckDB consumers downstream of the engine.
+
+    One container file per input partition, written EXECUTOR-SIDE from
+    the partition's own Arrow batches (``mapInArrow`` — the data is
+    already Arrow when it crosses from the JVM, so the writer adds no
+    row-at-a-time work and no driver collect; control the file count
+    with ``df.repartition(n)`` upstream). Two-phase in miniature: parts
+    land under uuid names, then the driver's ``_SUCCESS`` manifest
+    lists (file, rows) — readers that honor the marker ignore torn
+    output from failed jobs, and a retried task's orphan part is never
+    listed. Returns [(file, rows)] from the manifest.
+    """
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as pipc
+
+        writer = None
+        fname = None
+        n = 0
+        for b in batches:
+            if writer is None:
+                fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+                writer = pipc.new_file(
+                    fname, b.schema,
+                    options=pipc.IpcWriteOptions(compression=compression),
+                )
+            writer.write_batch(b)
+            n += b.num_rows
+        if writer is not None:
+            writer.close()
+            yield pa.record_batch(
+                {"file": [os.path.basename(fname)], "rows": [n]}
+            )
+
+    manifest = [
+        (r["file"], int(r["rows"]))
+        for r in df.mapInArrow(dump, "file string, rows bigint").collect()
+    ]
+    with open(os.path.join(path, "_SUCCESS"), "w") as fh:
+        for name, rows in sorted(manifest):
+            fh.write(f"{name}\t{rows}\n")
+    return manifest

@@ -308,3 +308,38 @@ def test_ipc2_infers_types(spark):
     assert kinds["l_quantity"] == "double"
     assert kinds["l_returnflag"] == "string"
     assert kinds["l_shipdate"].startswith("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# write_ipc — export sink
+
+
+def test_write_ipc_manifest_and_values(spark, tmp_path):
+    from tabular_to_parquet_spark.sources.columnar import (
+        read_ipc_python,
+        write_ipc,
+    )
+
+    src = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "ipc_out")
+    manifest = write_ipc(src.repartition(3), out)
+    assert sum(r for _f, r in manifest) == 100
+    assert len(manifest) <= 3
+    success = (tmp_path / "ipc_out" / "_SUCCESS").read_text()
+    assert len(success.strip().splitlines()) == len(manifest)
+    back = read_ipc_python(spark, out)
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_write_ipc_skips_empty_partitions(spark, tmp_path):
+    from tabular_to_parquet_spark.sources.columnar import write_ipc
+
+    src = spark.range(0, 2).select(F.col("id").alias("k"))
+    out = str(tmp_path / "ipc_sparse")
+    manifest = write_ipc(src.repartition(8), out)
+    # 2 rows over 8 partitions: only non-empty partitions emit a file
+    assert sum(r for _f, r in manifest) == 2
+    assert all(r > 0 for _f, r in manifest)

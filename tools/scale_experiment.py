@@ -210,6 +210,7 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_rising_streaks": q("a38_rising_streaks"),
         "r8_code_switch_mixture": q("x41_code_switch_mixture"),
         "r8_session_paths": q("a39_session_paths"),
+        "r8_ipc_writer": q("ipc3_writer_roundtrip"),
     })
     if name_regex:
         import re as _re
