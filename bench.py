@@ -366,6 +366,7 @@ def main() -> None:
         "x41_code_switch_mixture",
         "a39_session_paths",
         "ipc3_writer_roundtrip",
+        "s10_gram_matrix",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

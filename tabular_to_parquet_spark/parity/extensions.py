@@ -8223,3 +8223,66 @@ register("ipc3_writer_roundtrip", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
 FROM lineitem
 """)(_q_ipc_writer_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# s10 — embedding gram matrix (covariance sufficient statistics)
+
+
+def _q_gram_matrix(spark, sf_dir):
+    """The linear-algebra layer under PCA whitening / dim reduction
+    before an IVF index: the 64×64 gram matrix Σ f_i·f_j over the
+    corpus, as EXACT sufficient statistics — per upper-triangle (i,j):
+    the pair count, Σf_i, Σf_j (the mean terms), and Σf_i·f_j as a
+    DECIMAL(38,0) digit string (f ≤ 2²⁰ ⟹ products ≤ 2⁴⁰; corpus
+    sums cross 2⁶³ exactly in the regime the r7 overflow rule
+    covers). The caller assembles covariance = (n·Σxy − Σx·Σy)/n² in
+    two float ops per cell. Plan: the exploded coordinates self-join
+    on vec_id (per-vector fan-out is the FIXED 64·65/2 = 2080 upper
+    triangle — linear in the corpus, never corpus×corpus), one
+    (i,j)-keyed agg with map-side combine. The 100 TB refinement is a
+    per-partition numpy gram via mapInArrow merged by cell — same
+    output, one pass, no explode; this form stays the catalog entry
+    as the oracle transcription."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long").alias("f"),
+    )
+    a = ex.select("vec_id", F.col("dim").alias("i"), F.col("f").alias("fi"))
+    b = ex.select("vec_id", F.col("dim").alias("j"), F.col("f").alias("fj"))
+    d = "decimal(19,0)"
+    return (
+        a.join(b, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("fi").cast("long").alias("sum_fi"),
+            F.sum("fj").cast("long").alias("sum_fj"),
+            F.sum(F.col("fi").cast(d) * F.col("fj").cast(d))
+            .cast("decimal(38,0)").cast("string").alias("sum_prod"),
+        )
+    )
+
+
+register("s10_gram_matrix", """
+WITH ex AS MATERIALIZED (
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS f
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+)
+SELECT a.dim AS i, b.dim AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.f) AS BIGINT) AS sum_fi,
+       CAST(SUM(b.f) AS BIGINT) AS sum_fj,
+       CAST(CAST(SUM(CAST(a.f AS HUGEINT) * b.f) AS DECIMAL(38,0)) AS VARCHAR)
+           AS sum_prod
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+WHERE a.dim <= b.dim
+GROUP BY a.dim, b.dim
+""")(_q_gram_matrix)

@@ -286,3 +286,53 @@ def test_a39_hand_sessions(spark, tmp_path):
         "view>click": (1, 1),
         "view": (1, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# s10 — gram matrix
+
+
+def test_s10_hand_vectors(spark, tmp_path):
+    """Two 2-dim vectors (1.0, 0.5) and (0.25, -0.5): fixed-point
+    f = v * 2^20 exactly (dyadic), gram sums computed by hand."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [[1.0, 0.5], [0.25, -0.5]],
+            "label": [0, 0],
+        }
+    )
+    spark.createDataFrame(pdf).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    S = 1048576
+    f = {1: (S, S // 2), 2: (S // 4, -S // 2)}
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sum_fi"], r["sum_fj"], r["sum_prod"])
+        for r in CATALOG["s10_gram_matrix"].spark(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}
+    assert got[(0, 0)] == (
+        2, f[1][0] + f[2][0], f[1][0] + f[2][0],
+        str(f[1][0] ** 2 + f[2][0] ** 2),
+    )
+    assert got[(0, 1)] == (
+        2, f[1][0] + f[2][0], f[1][1] + f[2][1],
+        str(f[1][0] * f[1][1] + f[2][0] * f[2][1]),
+    )
+    assert got[(1, 1)] == (
+        2, f[1][1] + f[2][1], f[1][1] + f[2][1],
+        str(f[1][1] ** 2 + f[2][1] ** 2),
+    )
+
+
+def test_s10_shape_and_symmetric_diagonal(spark):
+    rows = CATALOG["s10_gram_matrix"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r["n"] == 500
+        if r["i"] == r["j"]:
+            assert r["sum_fi"] == r["sum_fj"]
+            assert int(r["sum_prod"]) >= 0  # sum of squares
