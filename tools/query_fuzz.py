@@ -569,6 +569,73 @@ def gen_cte_chain_query(seed: int) -> str:
     return f"WITH a AS ({a}), b AS ({b}) {final}"
 
 
+def gen_island_query(seed: int) -> str:
+    """Gaps-and-islands window chains — the machinery behind
+    sessionization (ev03), SCD2 interval builds (a21), and rising
+    streaks (a38): a lag-based break flag, a running-sum island id,
+    and a per-island aggregate, all in dialect-common SQL (integer
+    keys only — no timestamp functions). Variants cover break
+    predicates (non-increase / modulus / gap-in-key), an optional
+    longest-island pick via row_number, and both named-WINDOW and
+    inline window syntax paths."""
+    rng = random.Random(seed)
+    # key must be UNIQUE within the fact or the window order isn't
+    # total and lag() is nondeterministic — seed 112284 caught bare
+    # l_orderkey, and lineitem is out entirely because the synthetic
+    # data duplicates (l_orderkey, l_linenumber) with DIFFERENT prices
+    # (pr15_key_uniqueness's live finding), so no lineitem key is safe
+    fact, key, grp, money = rng.choice([
+        ("orders", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        ("customer", "c_custkey", "c_mktsegment", "c_acctbal"),
+        ("part", "p_partkey", "p_brand", "p_retailprice"),
+    ])
+    k_mod, r_mod = rng.randint(2, 5), rng.randint(0, 1)
+    v = f"CAST(floor({money} * 100) AS BIGINT)"
+    brk = rng.choice([
+        "v <= lag(v) OVER w",
+        "v < lag(v) OVER w",
+        f"v % {rng.randint(2, 7)} = 0",
+        f"k - lag(k) OVER w > {rng.randint(1, 3) * k_mod}",
+    ])
+    d = (
+        f"SELECT {grp} AS g, CAST({key} AS BIGINT) AS k, {v} AS v "
+        f"FROM {fact} WHERE {key} % {k_mod} = {r_mod}"
+    )
+    flags = (
+        "SELECT g, k, v, CASE WHEN lag(v) OVER w IS NULL OR "
+        + brk
+        + " THEN 1 ELSE 0 END AS brk FROM d "
+        "WINDOW w AS (PARTITION BY g ORDER BY k)"
+    )
+    isl = (
+        "SELECT g, k, v, SUM(brk) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+        "FROM flags"
+    )
+    runs = (
+        "SELECT g, island, CAST(COUNT(*) AS BIGINT) AS len, "
+        "CAST(MIN(k) AS BIGINT) AS start_k, CAST(MAX(v) AS BIGINT) AS peak "
+        "FROM isl GROUP BY g, island"
+    )
+    if rng.random() < 0.4:
+        final = (
+            "SELECT g, len, start_k, peak FROM ("
+            "SELECT g, len, start_k, peak, row_number() OVER ("
+            "PARTITION BY g ORDER BY len DESC, start_k) AS rn FROM runs"
+            ") WHERE rn = 1"
+        )
+    else:
+        final = (
+            "SELECT g, CAST(COUNT(*) AS BIGINT) AS n_islands, "
+            "CAST(MAX(len) AS BIGINT) AS longest, "
+            "CAST(SUM(peak) AS BIGINT) AS sum_peaks FROM runs GROUP BY g"
+        )
+    return (
+        f"WITH d AS ({d}), flags AS ({flags}), isl AS ({isl}), "
+        f"runs AS ({runs}) {final}"
+    )
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -625,7 +692,7 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
             gen_combined_query, gen_correlated_select_query,
             gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query,
             gen_window_over_join_query, gen_scalar_expr_query,
-            gen_cte_chain_query, gen_agg_product_query]
+            gen_cte_chain_query, gen_agg_product_query, gen_island_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
