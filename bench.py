@@ -367,6 +367,7 @@ def main() -> None:
         "a39_session_paths",
         "ipc3_writer_roundtrip",
         "s10_gram_matrix",
+        "s10_gram_matrix_fast",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -561,3 +561,80 @@ def ivf_cell_vectorized(
 
     _cell_impl.__annotations__ = {"xs": pd.Series, "return": pd.Series}
     return pandas_udf("int")(_cell_impl)(vec)
+
+
+def gram_matrix_fast(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = 1048576.0,
+) -> DataFrame:
+    """The one-pass 100 TB path for the s10 gram matrix: each
+    partition accumulates its own G = fᵀf over the FIXED-POINT
+    coordinates with a numpy matmul (``mapInArrow`` — the vectors are
+    already Arrow when they cross from the JVM; no explode, no
+    per-coordinate rows), emits one 2080-row upper-triangle partial,
+    and one bounded (i, j) agg merges the partials. The corpus
+    crosses the wire ONCE as vectors instead of 64× as exploded
+    coordinates.
+
+    Exactness discipline: per numpy BATCH the int64 matmul is safe
+    (|f| ≤ 2²⁰ ⟹ a 65k-row batch's cell ≤ 2⁵⁶); batches then
+    accumulate into arbitrary-precision PYTHON ints, the partial
+    ships the cell as a decimal STRING, and the merge sums
+    DECIMAL(38,0) — so the result equals the exact explode form
+    bit-for-bit at any corpus size (registered against the SAME
+    oracle as s10; equality also test-pinned)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_fi", T.LongType()),
+        T.StructField("sum_fj", T.LongType()),
+        T.StructField("prod_str", T.StringType()),
+    ])
+
+    def partial(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc = None  # python-int matrix (object dtype): exact at any size
+        svec = None
+        n = 0
+        dim = None
+        for b in batches:
+            col = b.column(0)
+            mat = np.stack(col.to_numpy(zero_copy_only=False))
+            f = np.floor(mat.astype(np.float64) * scale).astype(np.int64)
+            if dim is None:
+                dim = f.shape[1]
+                acc = np.zeros((dim, dim), dtype=object)
+                svec = np.zeros(dim, dtype=object)
+            acc += f.T @ f  # int64 per batch, exact; object accumulate
+            svec += f.sum(axis=0)
+            n += f.shape[0]
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pa.record_batch(
+            {
+                "i": pa.array(iu.astype("int64")),
+                "j": pa.array(ju.astype("int64")),
+                "n": pa.array([n] * len(iu), pa.int64()),
+                "sum_fi": pa.array([int(svec[i]) for i in iu], pa.int64()),
+                "sum_fj": pa.array([int(svec[j]) for j in ju], pa.int64()),
+                "prod_str": pa.array(
+                    [str(int(acc[i][j])) for i, j in zip(iu, ju)]
+                ),
+            }
+        )
+
+    partials = emb.select(vec_col).mapInArrow(partial, out_schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_fi").cast("long").alias("sum_fi"),
+        F.sum("sum_fj").cast("long").alias("sum_fj"),
+        F.sum(F.col("prod_str").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").alias("sum_prod"),
+    )

@@ -8286,3 +8286,18 @@ FROM ex a JOIN ex b ON a.vec_id = b.vec_id
 WHERE a.dim <= b.dim
 GROUP BY a.dim, b.dim
 """)(_q_gram_matrix)
+
+
+def _q_gram_matrix_fast(spark, sf_dir):
+    """The 100 TB path for s10: per-partition numpy matmul partials
+    over fixed-point coordinates (mapInArrow — the corpus crosses the
+    wire once as vectors, not 64× as exploded rows), int64 per batch
+    → python-int accumulation → decimal-string partials → one bounded
+    DECIMAL(38,0) merge. Registered against the SAME oracle as s10 —
+    the twin's claim IS exact equality with the explode form."""
+    return similarity.gram_matrix_fast(_emb(spark, sf_dir))
+
+
+register("s10_gram_matrix_fast", CATALOG["s10_gram_matrix"].oracle)(
+    _q_gram_matrix_fast
+)

@@ -336,3 +336,46 @@ def test_s10_shape_and_symmetric_diagonal(spark):
         if r["i"] == r["j"]:
             assert r["sum_fi"] == r["sum_fj"]
             assert int(r["sum_prod"]) >= 0  # sum of squares
+
+
+def test_s10_fast_twin_equals_exact_form(spark):
+    a = sorted(
+        CATALOG["s10_gram_matrix"].spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r["i"], r["j"]),
+    )
+    b = sorted(
+        CATALOG["s10_gram_matrix_fast"]
+        .spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r["i"], r["j"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_s10_fast_merges_partitions_exactly(spark, tmp_path):
+    """Many partitions, values engineered so per-partition products
+    are large: the decimal merge reproduces the single-partition
+    total exactly."""
+    from tabular_to_parquet_spark.operators.similarity import gram_matrix_fast
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(1, 201)),
+            "embedding": [[1.0, -1.0]] * 200,
+            "label": [0] * 200,
+        }
+    )
+    sdf = spark.createDataFrame(pdf).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    one = {
+        (r["i"], r["j"]): (r["n"], r["sum_fi"], r["sum_fj"], r["sum_prod"])
+        for r in gram_matrix_fast(sdf.coalesce(1)).collect()
+    }
+    many = {
+        (r["i"], r["j"]): (r["n"], r["sum_fi"], r["sum_fj"], r["sum_prod"])
+        for r in gram_matrix_fast(sdf.repartition(16)).collect()
+    }
+    assert one == many
+    S = 1048576
+    assert one[(0, 0)] == (200, 200 * S, 200 * S, str(200 * S * S))
+    assert one[(0, 1)] == (200, 200 * S, -200 * S, str(-200 * S * S))

@@ -178,6 +178,9 @@ def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
         "gram_matrix": lambda: _noop(
             _catalog()["s10_gram_matrix"].spark(spark, sf_dir)
         ),
+        "gram_matrix_fast": lambda: _noop(
+            _catalog()["s10_gram_matrix_fast"].spark(spark, sf_dir)
+        ),
         "ipc_writer": lambda: _catalog()["ipc3_writer_roundtrip"].spark(
             spark, sf_dir
         ).write.format("noop").mode("overwrite").save(),

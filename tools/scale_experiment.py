@@ -212,6 +212,7 @@ def run_suite(spark, sf_dir: str, name_regex: str = "") -> dict[str, float]:
         "r8_session_paths": q("a39_session_paths"),
         "r8_ipc_writer": q("ipc3_writer_roundtrip"),
         "r8_gram_matrix": q("s10_gram_matrix"),
+        "r8_gram_matrix_fast": q("s10_gram_matrix_fast"),
     })
     if name_regex:
         import re as _re
