@@ -638,3 +638,93 @@ def gram_matrix_fast(
         F.sum(F.col("prod_str").cast("decimal(38,0)"))
         .cast("decimal(38,0)").cast("string").alias("sum_prod"),
     )
+
+
+def nearest_centroid_confusion_fast(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1048576.0,
+) -> DataFrame:
+    """The one-pass 100 TB path for s05's prototype eval: instead of
+    exploding every vector into 64 coordinate rows and joining the
+    centroid table (corpus×64 rows through an exchange), the BOUNDED
+    centroid table (|labels|·64 entries, from the same exact integer
+    sums as s04) is collected and closed over, and a ``mapInArrow``
+    stage classifies each Arrow batch with numpy — per candidate
+    centroid the per-dim fixed-point terms floor((v−c)²·2²⁰) are
+    IDENTICAL IEEE double ops to the expression form, summed in int64
+    (≤ 64·2⁴²), so the argmin (tie → lowest centroid label, which is
+    numpy's first-minimum when candidates are sorted) is bit-equal.
+    Emits per-partition confusion partials; one bounded agg merges.
+    Registered against the SAME oracle as s05."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    ex = emb.select(
+        label_col, F.posexplode(vec_col).alias("dim", "v")
+    ).select(
+        F.col(label_col).alias("clabel"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent_rows = (
+        ex.groupBy("clabel", "dim")
+        .agg(
+            F.expr(
+                f"sum(cast(floor(v * {scale}) as long)) div count(1)"
+            ).alias("c_fixed")
+        )
+        .collect()
+    )
+    clabels = sorted({r["clabel"] for r in cent_rows})
+    dim = max(r["dim"] for r in cent_rows) + 1
+    C = np.zeros((len(clabels), dim), dtype=np.float64)
+    idx = {cl: i for i, cl in enumerate(clabels)}
+    for r in cent_rows:
+        C[idx[r["clabel"]], r["dim"]] = r["c_fixed"] / scale
+    clabel_arr = np.array(clabels, dtype=np.int64)
+
+    out_schema = T.StructType([
+        T.StructField("label", T.LongType()),
+        T.StructField("assigned", T.LongType()),
+        T.StructField("n_vecs", T.LongType()),
+    ])
+
+    def classify(batches):
+        import pyarrow as pa
+
+        counts: dict = {}
+        for b in batches:
+            names = b.schema.names
+            lab = b.column(names.index(label_col)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            V = np.stack(
+                b.column(names.index(vec_col)).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            dists = np.empty((V.shape[0], len(clabels)), dtype=np.int64)
+            for ci in range(len(clabels)):
+                d = V - C[ci]
+                dists[:, ci] = (
+                    np.floor(d * d * scale).astype(np.int64).sum(axis=1)
+                )
+            pred = clabel_arr[np.argmin(dists, axis=1)]
+            for t, p in zip(lab, pred):
+                counts[(int(t), int(p))] = counts.get((int(t), int(p)), 0) + 1
+        if not counts:
+            return
+        ks = sorted(counts)
+        yield pa.record_batch(
+            {
+                "label": pa.array([k[0] for k in ks], pa.int64()),
+                "assigned": pa.array([k[1] for k in ks], pa.int64()),
+                "n_vecs": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    partials = emb.select(label_col, vec_col).mapInArrow(classify, out_schema)
+    return partials.groupBy("label", "assigned").agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs")
+    )

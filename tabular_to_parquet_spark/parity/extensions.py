@@ -8301,3 +8301,19 @@ def _q_gram_matrix_fast(spark, sf_dir):
 register("s10_gram_matrix_fast", CATALOG["s10_gram_matrix"].oracle)(
     _q_gram_matrix_fast
 )
+
+
+def _q_nearest_centroid_fast(spark, sf_dir):
+    """The 100 TB path for s05: the bounded exact-integer centroid
+    table closes over a numpy mapInArrow classifier (identical IEEE
+    fixed-point terms, int64 distance sums, first-minimum tie rule =
+    lowest centroid label) — the corpus crosses once as vectors, not
+    64× as exploded join rows. Same oracle as s05; the twin's claim
+    IS exact equality with the expression form."""
+    return similarity.nearest_centroid_confusion_fast(_emb(spark, sf_dir))
+
+
+register(
+    "s05_nearest_centroid_confusion_fast",
+    CATALOG["s05_nearest_centroid_confusion"].oracle,
+)(_q_nearest_centroid_fast)

@@ -379,3 +379,18 @@ def test_s10_fast_merges_partitions_exactly(spark, tmp_path):
     S = 1048576
     assert one[(0, 0)] == (200, 200 * S, 200 * S, str(200 * S * S))
     assert one[(0, 1)] == (200, 200 * S, -200 * S, str(-200 * S * S))
+
+
+def test_s05_fast_twin_equals_expression_form(spark):
+    a = sorted(
+        CATALOG["s05_nearest_centroid_confusion"]
+        .spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r["label"], r["assigned"]),
+    )
+    b = sorted(
+        CATALOG["s05_nearest_centroid_confusion_fast"]
+        .spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r["label"], r["assigned"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert sum(r["n_vecs"] for r in a) == 500

@@ -181,6 +181,12 @@ def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
         "gram_matrix_fast": lambda: _noop(
             _catalog()["s10_gram_matrix_fast"].spark(spark, sf_dir)
         ),
+        "centroid_confusion": lambda: _noop(
+            _catalog()["s05_nearest_centroid_confusion"].spark(spark, sf_dir)
+        ),
+        "centroid_confusion_fast": lambda: _noop(
+            _catalog()["s05_nearest_centroid_confusion_fast"].spark(spark, sf_dir)
+        ),
         "ipc_writer": lambda: _catalog()["ipc3_writer_roundtrip"].spark(
             spark, sf_dir
         ).write.format("noop").mode("overwrite").save(),
