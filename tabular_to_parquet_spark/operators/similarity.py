@@ -728,3 +728,113 @@ def nearest_centroid_confusion_fast(
     return partials.groupBy("label", "assigned").agg(
         F.sum("n_vecs").cast("long").alias("n_vecs")
     )
+
+
+def kmeans_fixed_fast(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1048576.0,
+) -> DataFrame:
+    """The one-pass-per-round 100 TB path for s08's fixed-point
+    k-means: each Lloyd round is ONE ``mapInArrow`` sweep that
+    assigns a batch with an int64 numpy matmul (the ‖f‖²−2f·c+‖c‖²
+    decomposition is exact integer arithmetic, ≤2⁴⁷; np.argmin's
+    first-minimum IS the lowest-cid tie rule when centroid rows are
+    cid-ordered) and accumulates per-(cid, dim) coordinate sums —
+    int64 per batch, python-int across batches, DECIMAL(38,0) across
+    partitions — then a bounded k·dim merge yields the next round's
+    centroids (collected: 512 rows, the legitimate driver round-trip).
+    Two rounds, like s08; empty clusters drop exactly as the join
+    form drops them. Output identical to s08: (cid, dim,
+    centroid_fixed, n_members), registered against the SAME oracle."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    seeds = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    C = np.stack([
+        np.floor(np.asarray(r[0], dtype=np.float64) * scale)
+        for r in seeds
+    ]).astype(np.int64)
+    cids = np.arange(len(C), dtype=np.int64)
+    dim = C.shape[1]
+
+    out_schema = T.StructType([
+        T.StructField("cid", T.LongType()),
+        T.StructField("dim", T.LongType()),
+        T.StructField("sum_f", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def sweep(C_now, cids_now):
+        kk = len(cids_now)
+
+        def fn(batches):
+            import pyarrow as pa
+
+            S = np.zeros((kk, dim), dtype=object)
+            N = np.zeros(kk, dtype=np.int64)
+            cc = (C_now * C_now).sum(axis=1)
+            for b in batches:
+                V = np.stack(
+                    b.column(0).to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+                f = np.floor(V * scale).astype(np.int64)
+                d2 = (
+                    (f * f).sum(axis=1, keepdims=True)
+                    - 2 * (f @ C_now.T)
+                    + cc
+                )
+                a = np.argmin(d2, axis=1)
+                for ci in range(kk):
+                    m = a == ci
+                    if m.any():
+                        S[ci] += f[m].sum(axis=0)
+                        N[ci] += int(m.sum())
+            rows_cid, rows_dim, rows_sum, rows_n = [], [], [], []
+            for ci in range(kk):
+                if N[ci] == 0:
+                    continue
+                for dj in range(dim):
+                    rows_cid.append(int(cids_now[ci]))
+                    rows_dim.append(dj)
+                    rows_sum.append(str(int(S[ci][dj])))
+                    rows_n.append(int(N[ci]))
+            if not rows_cid:
+                return
+            yield pa.record_batch(
+                {
+                    "cid": pa.array(rows_cid, pa.int64()),
+                    "dim": pa.array(rows_dim, pa.int64()),
+                    "sum_f": pa.array(rows_sum),
+                    "n": pa.array(rows_n, pa.int64()),
+                }
+            )
+
+        return (
+            emb.select(vec_col).mapInArrow(fn, out_schema)
+            .groupBy("cid", "dim")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(sum_f AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                    " div CAST(SUM(n) AS DECIMAL(38,0))"
+                ).cast("long").alias("centroid_fixed"),
+                F.sum("n").cast("long").alias("n_members"),
+            )
+        )
+
+    # round 1: assign to the seeds, merge to c1; collect the bounded
+    # centroid table for round 2
+    c1_rows = sweep(C, cids).collect()
+    live = sorted({r["cid"] for r in c1_rows})
+    C1 = np.zeros((len(live), dim), dtype=np.int64)
+    li = {cl: i for i, cl in enumerate(live)}
+    for r in c1_rows:
+        C1[li[r["cid"]], r["dim"]] = r["centroid_fixed"]
+    # round 2: assign to c1, merge — this IS the final (centroid,
+    # members) table, exactly like s08's trailing update aggregate
+    return sweep(C1, np.array(live, dtype=np.int64))

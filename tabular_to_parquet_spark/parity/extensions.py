@@ -8317,3 +8317,18 @@ register(
     "s05_nearest_centroid_confusion_fast",
     CATALOG["s05_nearest_centroid_confusion"].oracle,
 )(_q_nearest_centroid_fast)
+
+
+def _q_kmeans_fixed_fast(spark, sf_dir):
+    """The 100 TB path for s08: each Lloyd round is one mapInArrow
+    matmul sweep (exact int64 distance decomposition, first-min tie =
+    lowest cid) + a bounded k·64 DECIMAL merge, with the 512-row
+    centroid table collected between rounds — the corpus crosses once
+    per round as vectors instead of 64× as exploded join rows. Same
+    oracle as s08; the twin's claim IS exact equality."""
+    return similarity.kmeans_fixed_fast(_emb(spark, sf_dir))
+
+
+register("s08_kmeans_fixed_fast", CATALOG["s08_kmeans_fixed"].oracle)(
+    _q_kmeans_fixed_fast
+)

@@ -394,3 +394,48 @@ def test_s05_fast_twin_equals_expression_form(spark):
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert sum(r["n_vecs"] for r in a) == 500
+
+
+def test_s08_fast_twin_equals_join_form(spark):
+    a = sorted(
+        CATALOG["s08_kmeans_fixed"].spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r["cid"], r["dim"]),
+    )
+    b = sorted(
+        CATALOG["s08_kmeans_fixed_fast"]
+        .spark(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r["cid"], r["dim"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_s08_fast_singletons(spark, tmp_path):
+    """The wave-5 eight-separated-vectors invariant holds through the
+    matmul path too: every seed keeps itself, centroids are the
+    fixed-pointed vectors."""
+    import math
+
+    dim = 16
+    vecs = []
+    for i in range(8):
+        v = [0.0] * dim
+        v[2 * i] = 0.5 + 0.05 * i
+        v[2 * i + 1] = -0.25
+        vecs.append(v)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(1, 9)),
+            "embedding": vecs,
+            "label": [0] * 8,
+        }
+    )
+    spark.createDataFrame(pdf).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = CATALOG["s08_kmeans_fixed_fast"].spark(spark, str(tmp_path)).collect()
+    assert len(rows) == 8 * dim
+    for r in rows:
+        assert r["n_members"] == 1
+        assert r["centroid_fixed"] == math.floor(vecs[r["cid"]][r["dim"]] * 1048576.0)

@@ -163,6 +163,9 @@ def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
         "kmeans_fixed": lambda: _noop(
             _catalog()["s08_kmeans_fixed"].spark(spark, sf_dir)
         ),
+        "kmeans_fixed_fast": lambda: _noop(
+            _catalog()["s08_kmeans_fixed_fast"].spark(spark, sf_dir)
+        ),
         "ngram_novelty": lambda: _noop(
             _catalog()["x40_ngram_novelty"].spark(spark, sf_dir)
         ),
