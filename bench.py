@@ -368,6 +368,8 @@ def main() -> None:
         "ipc3_writer_roundtrip",
         "s10_gram_matrix",
         "s10_gram_matrix_fast",
+        "s05_nearest_centroid_confusion_fast",
+        "s08_kmeans_fixed_fast",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise
