@@ -1012,5 +1012,10 @@ def importance_sample(
     from tabular_to_parquet_spark.functions.hashing import md5_i64
 
     m = 1_000_000
+    if not (0 < max_score <= 2**63 // m):
+        raise ValueError(
+            f"max_score must be in (0, 2**63 // {m}] so u * max_score "
+            f"stays inside int64, got {max_score}"
+        )
     u = md5_i64(F.col(id_col).cast("string"), seed=seed) % m
     return df.where(u * F.lit(max_score) < score.cast("long") * F.lit(m))

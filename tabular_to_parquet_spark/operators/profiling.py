@@ -262,7 +262,8 @@ def equi_depth_histogram(
     histogram. The 100 TB path swaps ``percentile`` for
     ``approx_percentile`` (t-digest, mergeable) — same shape, not
     oracle-exact."""
-    assert n_bins & (n_bins - 1) == 0, "n_bins must be a power of two"
+    if n_bins < 1 or n_bins & (n_bins - 1) != 0:
+        raise ValueError(f"n_bins must be a power of two, got {n_bins}")
     v = value.alias("v")
     base = df.select(v).where(F.col("v").isNotNull())
     qs = ", ".join(f"{i}D / {n_bins}D" for i in range(1, n_bins))

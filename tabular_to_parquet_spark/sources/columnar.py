@@ -73,11 +73,18 @@ def read_ipc_python(spark: SparkSession, path: str) -> DataFrame:
     One task per container file, no shuffle, no per-row Python; both
     the random-access file format and the stream format decode (footer
     probe falls back to the stream reader).
+
+    When ``path`` is a directory holding the ``_SUCCESS`` manifest
+    ``write_ipc`` emits, only the part files the manifest names are
+    read — an orphan ``part-*.arrow`` left by a failed or retried
+    write task (the torn-output scenario the two-phase writer exists
+    for) is excluded instead of silently double-read.
     """
-    import io
+    import os
 
     import pyarrow as pa
 
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
     def _open(buf: bytes):
@@ -87,6 +94,13 @@ def read_ipc_python(spark: SparkSession, path: str) -> DataFrame:
             return pa.ipc.open_stream(pa.BufferReader(buf))
 
     files = spark.read.format("binaryFile").load(path)
+    manifest = os.path.join(path, "_SUCCESS") if os.path.isdir(path) else None
+    if manifest and os.path.exists(manifest):
+        with open(manifest) as fh:
+            listed = [ln.split("\t")[0] for ln in fh.read().splitlines() if ln]
+        files = files.where(
+            F.element_at(F.split(F.col("path"), "/"), -1).isin(listed)
+        )
     first = files.orderBy("path").select("content").head()
     if first is None:
         raise ValueError(f"no files under {path!r}")
