@@ -44,8 +44,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: extrapolates to a warm long-running cluster), "queries_mean" the
 #: mean. Query order is pinned (source order) so round-over-round
 #: comparisons aren't confounded by JVM warm-up drift — the r3→r4
-#: phantom 1.4× swings were exactly that.
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+#: phantom 1.4× swings were exactly that. Default 3 (min-of-3): the
+#: r6–r8 driver benches each produced a ±25% wash of phantom
+#: regressions under co-tenant load that min-of-2 couldn't filter.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+#: machine-checkable idle rule (NEXT.md): two bench runs are
+#: comparable query-by-query only when BOTH started with 1-min load
+#: below this; otherwise trust only the min column, with the spread
+#: column as the noise bound. 2.0 on a 32-cpu box = effectively idle.
+IDLE_LOAD1 = 2.0
 
 
 def _sf() -> float:
@@ -61,15 +69,22 @@ def _noop(df) -> None:
 
 
 def main() -> None:
+    # Load stamp BEFORE the session starts: the 1-min average at this
+    # point is EXTERNAL load (co-tenant parity/judge processes), not
+    # our own executors — the context that made the r6–r8 driver
+    # numbers drift −17% while idle min-of-3 stayed flat.
+    load_before = os.getloadavg()
     spark = get_spark("bench")
     work = tempfile.mkdtemp(prefix="bench_")
     timings: dict[str, float] = {}
     timings_mean: dict[str, float] = {}
     timings_spread: dict[str, float] = {}
+    timings_load1: dict[str, float] = {}
 
     def timed(name):
         def deco(fn):
             runs: list[float] = []
+            timings_load1[name] = round(os.getloadavg()[0], 2)
             for _ in range(REPS):
                 t0 = time.monotonic()
                 fn()
@@ -387,6 +402,7 @@ def main() -> None:
         file=sys.stderr,
     )
     shutil.rmtree(work, ignore_errors=True)
+    load_after = os.getloadavg()
     payload = json.dumps(
         {
             "metric": "bench_total_sec",
@@ -395,6 +411,18 @@ def main() -> None:
             "queries": timings,
             "queries_mean": timings_mean,
             "queries_spread": timings_spread,
+            # load context: load1_before is external load at start
+            # (our executors aren't running yet); queries_load1 stamps
+            # each query's start so mid-run contention is attributable.
+            # idle == both rounds' load1_before < IDLE_LOAD1 is the
+            # machine-checkable precondition for per-query comparison.
+            "load1_before": round(load_before[0], 2),
+            "load_before": [round(x, 2) for x in load_before],
+            "load_after": [round(x, 2) for x in load_after],
+            "queries_load1": timings_load1,
+            "idle_at_start": load_before[0] < IDLE_LOAD1,
+            "idle_load1_threshold": IDLE_LOAD1,
+            "cpus": os.cpu_count(),
             "reps": REPS,
             "sf": _sf(),
             "lines": n_lines,
