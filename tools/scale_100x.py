@@ -76,6 +76,46 @@ def build_salted_documents(spark, base_dir: str, out_dir: str, copies: int) -> N
     )
 
 
+def build_graphsalt_dir(spark, base_dir: str, out_dir: str, copies: int) -> str:
+    """Support-constant graph replica (the r8 verdict's fixture fix):
+    lineitem with BOTH ``l_orderkey`` and ``l_partkey`` shifted per
+    copy, so each copy contributes its own disjoint co-purchase edges
+    — "100x more orders over 100x more products". The standard
+    replica remaps only order keys, which multiplies every base
+    pair's distinct-order support by the copy count and DENSIFIES the
+    thresholded graph itself (far more edges clear min_orders=2);
+    g06/g07's 7.5x/11.1x §14 ratios measured that densification, not
+    the operators. Here per-pair support stays at base level and the
+    graph grows linearly in nodes and edges — the growth mode the
+    exponent claim is about.
+
+    Written as a sibling sf_dir (``<replica>/graphsalt``) with the
+    other nine tables symlinked from the standard replica so catalog
+    ``(spark, sf_dir)`` entries run against it unchanged."""
+    gdir = os.path.join(out_dir, "graphsalt")
+    os.makedirs(gdir, exist_ok=True)
+    base = load_table(spark, base_dir, "lineitem")
+    off = 10_000_000
+    parts = [
+        base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * off))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * off))
+        for i in range(copies)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(gdir, "lineitem.parquet")
+    )
+    for name in (
+        "region nation customer supplier part orders events documents embeddings"
+    ).split():
+        link = os.path.join(gdir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(out_dir, f"{name}.parquet"), link)
+    return gdir
+
+
 def ensure_replica(spark, copies: int) -> str:
     out = f"/tmp/sfx_{copies}"
     marker = os.path.join(out, "_BUILT")
@@ -87,6 +127,14 @@ def ensure_replica(spark, copies: int) -> str:
         with open(marker, "w") as fh:
             fh.write(str(time.monotonic() - t0))
         print(f"replica built in {time.monotonic() - t0:.0f}s", file=sys.stderr)
+    gmarker = os.path.join(out, "_GRAPHSALT")
+    if not os.path.exists(gmarker):
+        print(f"building {copies}x graph-salt lineitem ...", file=sys.stderr)
+        t0 = time.monotonic()
+        build_graphsalt_dir(spark, BASE, out, copies)
+        with open(gmarker, "w") as fh:
+            fh.write(str(time.monotonic() - t0))
+        print(f"graph-salt built in {time.monotonic() - t0:.0f}s", file=sys.stderr)
     return out
 
 
@@ -110,7 +158,16 @@ def convert_fixture(spark, sf_dir: str, work: str) -> str:
     return csv_dir
 
 
-def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
+def suite(
+    spark,
+    sf_dir: str,
+    salted_docs_path: str | None,
+    work: str,
+    graphsalt_dir: str | None = None,
+):
+    # support-constant graph input (base scale: the base graph IS
+    # support-constant — one copy — so the plain sf_dir is the twin)
+    gdir = graphsalt_dir or sf_dir
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     li = load_table(spark, sf_dir, "lineitem")
@@ -154,6 +211,20 @@ def suite(spark, sf_dir: str, salted_docs_path: str | None, work: str):
         ),
         "kcore": lambda: _noop(
             graph.kcore(graph.copurchase_edges_threshold(li, min_orders=2), k=3)
+        ),
+        # graph family on the SUPPORT-CONSTANT replica (per-copy part
+        # AND order key remap): nodes and edges grow linearly with
+        # copies, per-pair support stays at base level — the honest
+        # exponent, vs the standard replica's support-multiplication
+        # densification that §14 documented for g06/g07.
+        "kcore_graphsalt": lambda: _noop(
+            _catalog()["g03_kcore"].spark(spark, gdir)
+        ),
+        "degree_assortativity_graphsalt": lambda: _noop(
+            _catalog()["g06_degree_assortativity"].spark(spark, gdir)
+        ),
+        "local_clustering_graphsalt": lambda: _noop(
+            _catalog()["g07_local_clustering"].spark(spark, gdir)
         ),
         # round-8 continuation families (catalog entries run against
         # the replica dir directly). x40 stays on the STANDARD replica:
@@ -213,12 +284,17 @@ def main() -> None:
     replica = ensure_replica(spark, copies)
 
     results: dict[str, tuple[float, float]] = {}
-    for scale, sf_dir, salted in (
-        ("base", BASE, None),
-        (f"{copies}x", replica, os.path.join(replica, "documents_salted.parquet")),
+    for scale, sf_dir, salted, gsalt in (
+        ("base", BASE, None, None),
+        (
+            f"{copies}x",
+            replica,
+            os.path.join(replica, "documents_salted.parquet"),
+            os.path.join(replica, "graphsalt"),
+        ),
     ):
         work = tempfile.mkdtemp(prefix=f"s100_{scale}_")
-        ops = suite(spark, sf_dir, salted, work)
+        ops = suite(spark, sf_dir, salted, work, graphsalt_dir=gsalt)
         for name, fn in ops.items():
             if name_regex and not re.search(name_regex, name):
                 continue
