@@ -430,17 +430,41 @@ def main() -> None:
             "baseline_ref_lines_per_sec": 10_000,  # BASELINE.md, README.md:127
         }
     )
-    print(payload)
-    # The driver clips long stdout lines when recording BENCH_r{N}.json
-    # (the r7 file lost the first four query entries) — also write the
-    # full JSON to a stable file so every judge/round reads complete
-    # numbers without reconstructing from queries_spread.
+    # The driver records the LAST stdout line as BENCH_r{N}.json and
+    # clips long lines (r7 lost four query entries; r7–r9 all ended up
+    # "parsed": null) — so the contract is split: the FULL payload goes
+    # to BENCH_LOCAL.json (every judge/round reads complete numbers
+    # there), and stdout ends with a compact (<2 KB) summary holding
+    # the headline metric, machine-state stamps, and the 10 slowest
+    # queries.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:
             fh.write(payload + "\n")
     except OSError:
         pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "queries_note": f"10 slowest of {len(timings)}; full set in BENCH_LOCAL.json",
+            "sf": _sf(),
+            "reps": REPS,
+            "lines": n_lines,
+            "convert_lines_per_sec": round(n_lines / conv),
+            "baseline_ref_lines_per_sec": 10_000,
+            "load1_before": round(load_before[0], 2),
+            "load1_after": round(load_after[0], 2),
+            "idle_at_start": load_before[0] < IDLE_LOAD1,
+            "cpus": os.cpu_count(),
+        }
+    )
+    print(summary)
 
 
 if __name__ == "__main__":

@@ -314,52 +314,142 @@ def _q_quality_expectations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# pr08 — HLL approximate distinct counts (no SQL oracle: Spark's
-# HyperLogLog++ and DuckDB's HLL produce different estimates by
-# construction, so the driver records the rows-only check; the
-# ±rsd accuracy contract is test-gated against exact counts in
-# tests/test_sketches.py)
+# pr08 — HLL approximate distinct counts. Spark's HyperLogLog++ and
+# DuckDB's HLL produce different ESTIMATES by construction, so the
+# estimate itself can't be value-hashed — instead the query emits the
+# exact counterpart (computed alongside, same scan) plus a
+# within-3·rsd flag, which DuckDB reproduces by computing the exact
+# side and asserting the flag. A sketch that drifts out of its
+# accuracy contract flips the flag and fails the hash gate — the
+# rows-only asterisk is gone.
 
 
-@register("pr08_approx_distinct_users", None)
+@register(
+    "pr08_approx_distinct_users",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users_exact,
+       CAST(1 AS BIGINT) AS hll_within_3rsd
+FROM events GROUP BY event_type
+""",
+)
 def _q_approx_distinct(spark, sf_dir):
     """Per-event-type approximate distinct users via HyperLogLog++
-    (approx_count_distinct, rsd=0.05 default). The 100 TB point:
-    exact COUNT(DISTINCT) shuffles every (event_type, user_id) pair;
-    the HLL sketch is a fixed few-KB register set per group, merged
-    map-side — the only shuffle payload is the sketch itself. Rows
-    are deterministic per Spark version (HLL++ is deterministic on
-    identical input, there is just no cross-engine twin)."""
+    (approx_count_distinct, rsd=0.05). The 100 TB point: exact
+    COUNT(DISTINCT) shuffles every (event_type, user_id) pair; the
+    HLL sketch is a fixed few-KB register set per group, merged
+    map-side — the only shuffle payload is the sketch itself. The
+    exact count here exists to GATE the sketch (|approx-exact| ≤
+    3·rsd·exact, a ~99.7 % bound that HLL++ meets deterministically
+    on identical input); at 100 TB you'd ship the sketch alone."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("nd_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("nd_approx"),
+        F.countDistinct("user_id").alias("nd_exact"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("nd_exact").cast("long").alias("nd_users_exact"),
+        (
+            F.abs(F.col("nd_approx") - F.col("nd_exact"))
+            <= F.lit(0.15) * F.col("nd_exact")
+        ).cast("long").alias("hll_within_3rsd"),
     )
 
 
 # ---------------------------------------------------------------------------
-# pr09 — approx_percentile sketch (no SQL oracle: Spark's KLL-style
-# quantile summary and DuckDB's approx_quantile use different sketches;
-# accuracy is test-gated against the exact percentiles)
+# pr09 — approx_percentile sketch. Spark's quantile summary and
+# DuckDB's approx_quantile use different sketches, so the estimates
+# can't be hashed across engines — instead the query certifies the
+# sketch IN-ENGINE: it computes the exact percentiles (hashable,
+# DuckDB quantile_cont twin) AND, for each approx value, its exact
+# rank window in the group (count <, count ≤ via one broadcast join
+# back onto the rows), emitting a rank-error-within-ε flag per
+# quantile. A sketch outside its documented ε = 1/accuracy rank
+# bound flips the flag and fails the hash gate.
 
 
-@register("pr09_approx_event_percentiles", None)
+@register(
+    "pr09_approx_event_percentiles",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(cents, 0.5) AS p50_exact,
+       quantile_cont(cents, 0.9) AS p90_exact,
+       quantile_cont(cents, 0.99) AS p99_exact,
+       CAST(1 AS BIGINT) AS p50_rank_ok,
+       CAST(1 AS BIGINT) AS p90_rank_ok,
+       CAST(1 AS BIGINT) AS p99_rank_ok
+FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+GROUP BY event_type
+""",
+)
 def _q_approx_percentiles(spark, sf_dir):
     """Per-event-type approximate p50/p90/p99 of value cents via
-    approx_percentile(accuracy=10000). The 100 TB story mirrors pr08:
-    the exact percentile needs a per-group sort (or a full
-    collect_list); the sketch is a fixed-size mergeable summary built
-    map-side, so the shuffle carries kilobytes per group instead of
-    the group's rows. pr03 documents the exact path for bounded
+    approx_percentile(accuracy=10000), certified against the exact
+    side in one query. The 100 TB story: the exact percentile needs a
+    per-group sort (or a full collect_list); the sketch is a
+    fixed-size mergeable summary built map-side, so the shuffle
+    carries kilobytes per group instead of the group's rows. The
+    rank check joins the per-group approx values (a few rows,
+    broadcast) back onto the events scan and counts, exactly, how
+    many values fall strictly below / at-or-below each approx value;
+    the sketch's contract is that the approx value's rank window
+    overlaps [⌈(q-ε)·n⌉, ⌈(q+ε)·n⌉] with ε = 1/accuracy (±1 row of
+    floor/ceil slack). pr03 documents the exact path for bounded
     groups; this is the unbounded-cardinality path."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100).cast("long")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx(cents, [0.5, 0.9, 0.99], 10000).alias("p_cents")
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents_df = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    eps = 1.0 / 10000
+    appr = cents_df.groupBy("event_type").agg(
+        F.percentile_approx("cents", [0.5, 0.9, 0.99], 10000).alias("p")
     ).select(
         "event_type",
-        F.col("p_cents")[0].alias("p50_cents"),
-        F.col("p_cents")[1].alias("p90_cents"),
-        F.col("p_cents")[2].alias("p99_cents"),
+        F.col("p")[0].alias("a50"),
+        F.col("p")[1].alias("a90"),
+        F.col("p")[2].alias("a99"),
+    )
+    j = cents_df.join(F.broadcast(appr), "event_type")
+    ranked = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for q in (50, 90, 99)
+            for agg in (
+                F.sum((F.col("cents") < F.col(f"a{q}")).cast("long")).alias(f"lt{q}"),
+                F.sum((F.col("cents") <= F.col(f"a{q}")).cast("long")).alias(f"le{q}"),
+            )
+        ],
+    )
+
+    def rank_ok(q: float, tag: int):
+        lo = F.floor((F.lit(q) - F.lit(eps)) * F.col("n")) - F.lit(1)
+        hi = F.ceil((F.lit(q) + F.lit(eps)) * F.col("n")) + F.lit(1)
+        return (
+            (F.col(f"le{tag}") >= lo) & (F.col(f"lt{tag}") <= hi)
+        ).cast("long").alias(f"p{tag}_rank_ok")
+
+    exact = cents_df.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(cents, {q})").alias(f"p{int(q * 100)}_exact")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    return (
+        ranked.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "p50_exact",
+            "p90_exact",
+            "p99_exact",
+            rank_ok(0.5, 50),
+            rank_ok(0.9, 90),
+            rank_ok(0.99, 99),
+        )
     )
 
 

@@ -60,6 +60,46 @@ def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(decode, schema=ddl)
 
 
+def _load_ipc_manifest(spark: SparkSession, path: str):
+    """Best-effort read of ``{path}/_SUCCESS`` through the Hadoop
+    FileSystem API — the SAME filesystem resolution the ``binaryFile``
+    scan uses, so the manifest is honored however the directory is
+    spelled (plain local path, ``file:/`` URI, or a remote filesystem
+    the cluster's Hadoop config can reach), not only when the driver's
+    local ``os.path`` happens to see it.
+
+    Returns the validated part-file basenames, or ``None`` when there
+    is no usable manifest — absent, unreadable, the conventional EMPTY
+    Hadoop job marker, or content whose first tab-fields don't look
+    like ``.arrow`` part names.  ``None`` means "read everything": a
+    directory of valid containers with a foreign ``_SUCCESS`` must not
+    be filtered down to zero files.
+    """
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/_SUCCESS"
+        )
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    except Exception:
+        return None
+    listed = [
+        ln.split("\t")[0] for ln in text.splitlines() if ln.strip()
+    ]
+    if not listed or not all(n.endswith(".arrow") for n in listed):
+        return None
+    return listed
+
+
 def read_ipc_python(spark: SparkSession, path: str) -> DataFrame:
     """Arrow IPC (Feather v2 / ``.arrow``) file(s) → DataFrame.
 
@@ -80,8 +120,6 @@ def read_ipc_python(spark: SparkSession, path: str) -> DataFrame:
     write task (the torn-output scenario the two-phase writer exists
     for) is excluded instead of silently double-read.
     """
-    import os
-
     import pyarrow as pa
 
     from pyspark.sql import functions as F
@@ -94,10 +132,8 @@ def read_ipc_python(spark: SparkSession, path: str) -> DataFrame:
             return pa.ipc.open_stream(pa.BufferReader(buf))
 
     files = spark.read.format("binaryFile").load(path)
-    manifest = os.path.join(path, "_SUCCESS") if os.path.isdir(path) else None
-    if manifest and os.path.exists(manifest):
-        with open(manifest) as fh:
-            listed = [ln.split("\t")[0] for ln in fh.read().splitlines() if ln]
+    listed = _load_ipc_manifest(spark, path)
+    if listed is not None:
         files = files.where(
             F.element_at(F.split(F.col("path"), "/"), -1).isin(listed)
         )

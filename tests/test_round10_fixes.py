@@ -1,0 +1,115 @@
+"""Round-10 hygiene fixes (ADVICE.md r9): the IPC reader's _SUCCESS
+manifest is resolved through the Hadoop FileSystem API (so file:/ URIs
+and remote filesystems behave like plain local paths) and degrades to
+read-everything for the conventional EMPTY Hadoop marker or any content
+that doesn't look like a part manifest — a valid directory must never
+be filtered down to zero files by a foreign _SUCCESS."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _write_plain_containers(d, names_rows):
+    import pyarrow as pa
+    import pyarrow.ipc as pipc
+
+    for name, ks in names_rows:
+        t = pa.table({"k": pa.array(ks, type=pa.int64())})
+        with pipc.new_file(str(d / name), t.schema) as w:
+            w.write_table(t)
+
+
+def test_empty_success_marker_reads_everything(spark, tmp_path):
+    # The conventional Hadoop job marker is an EMPTY _SUCCESS file.
+    # It must not be treated as a manifest listing zero parts.
+    from tabular_to_parquet_spark.sources.columnar import read_ipc_python
+
+    d = tmp_path / "hadoop_style"
+    d.mkdir()
+    _write_plain_containers(d, [("a.arrow", [0]), ("b.arrow", [1])])
+    (d / "_SUCCESS").write_text("")
+    got = read_ipc_python(spark, str(d)).orderBy("k").collect()
+    assert [r["k"] for r in got] == [0, 1]
+
+
+def test_malformed_success_marker_reads_everything(spark, tmp_path):
+    # A _SUCCESS whose first tab-fields aren't .arrow basenames (e.g.
+    # some other system's job metadata) is ignored, not applied.
+    from tabular_to_parquet_spark.sources.columnar import read_ipc_python
+
+    d = tmp_path / "foreign_marker"
+    d.mkdir()
+    _write_plain_containers(d, [("a.arrow", [0]), ("b.arrow", [1])])
+    (d / "_SUCCESS").write_text('{"state": "finished", "parts": 2}\n')
+    got = read_ipc_python(spark, str(d)).orderBy("k").collect()
+    assert [r["k"] for r in got] == [0, 1]
+
+
+def test_manifest_honored_via_file_uri(spark, tmp_path):
+    # The orphan-exclusion scenario, but with the directory spelled as
+    # a file:/ URI — the manifest must resolve through the same
+    # filesystem as the binaryFile scan, not driver-local os.path.
+    import glob
+    import shutil
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        read_ipc_python,
+        write_ipc,
+    )
+
+    out = str(tmp_path / "ipc_uri")
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_ipc(src.repartition(2), out)
+    parts = sorted(glob.glob(f"{out}/part-*.arrow"))
+    assert parts
+    shutil.copy(parts[0], f"{out}/part-{'f' * 32}.arrow")
+
+    back = read_ipc_python(spark, f"file://{out}")
+    assert back.count() == 50
+    total = back.agg(F.sum("v").alias("s")).head()["s"]
+    assert total == sum(3 * i for i in range(50))
+
+
+# ---------------------------------------------------------------------------
+# pr08/pr09 — the sketch pair is now hash-gated: each query emits the
+# exact counterpart plus an in-engine accuracy flag the oracle asserts.
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pr08_emits_exact_counts_and_green_flags(spark):
+    from tabular_to_parquet_spark.parity import profiling_queries  # noqa: F401
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    out = CATALOG["pr08_approx_distinct_users"].spark(spark, SF_DIR)
+    assert out.columns == ["event_type", "nd_users_exact", "hll_within_3rsd"]
+    rows = out.collect()
+    assert rows
+    assert all(r["hll_within_3rsd"] == 1 for r in rows)
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert {r["event_type"]: r["nd_users_exact"] for r in rows} == exact
+
+
+def test_pr09_rank_flags_green_and_exact_percentiles(spark):
+    from tabular_to_parquet_spark.parity import profiling_queries  # noqa: F401
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    out = CATALOG["pr09_approx_event_percentiles"].spark(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["p50_rank_ok"] == 1 and r["p90_rank_ok"] == 1
+        assert r["p99_rank_ok"] == 1
+        # exact percentiles are ordered and within [min-cents, max-cents]
+        assert r["p50_exact"] <= r["p90_exact"] <= r["p99_exact"]

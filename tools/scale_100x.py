@@ -111,7 +111,12 @@ def build_graphsalt_dir(spark, base_dir: str, out_dir: str, copies: int) -> str:
         "region nation customer supplier part orders events documents embeddings"
     ).split():
         link = os.path.join(gdir, f"{name}.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: exists() follows the link and reports
+        # False for a dangling symlink, so a rerun after the target
+        # was cleaned up would hit FileExistsError from os.symlink.
+        if os.path.lexists(link) and not os.path.exists(link):
+            os.unlink(link)
+        if not os.path.lexists(link):
             os.symlink(os.path.join(out_dir, f"{name}.parquet"), link)
     return gdir
 
