@@ -135,6 +135,18 @@ def main(argv: list[str] | None = None) -> int:
 
 def _convert_other_format(spark, args, input_path: str, output_path: str) -> int:
     """Non-delimited wire formats — same inference + casts, one flag."""
+    if args.preserve_order:
+        # the reference's input-order guarantee is defined over
+        # delimited text lines (conversion.rs:177-189); pretending it
+        # holds for container formats would be a silent lie — refuse
+        # rather than ignore (r10: the flag used to be dropped here)
+        print(
+            "error: --preserve-order is only supported for delimited "
+            "input; row order for container formats is not part of the "
+            "reference contract",
+            file=sys.stderr,
+        )
+        return 1
     if args.format == "jsonl":
         from tabular_to_parquet_spark.sources.json_lines import (
             convert_json_to_parquet,
@@ -192,6 +204,29 @@ def _convert_other_format(spark, args, input_path: str, output_path: str) -> int
         )
     else:
         schema_desc = ", ".join(names) + " (typed passthrough)"
+    if args.single_file:
+        # same one-file contract as the delimited path (S7): coalesce
+        # the written directory into a single part and promote it to
+        # output_path itself. A consolidation pass (read-back +
+        # rewrite) keeps every converter untouched; --single-file is
+        # inherently a small-output convenience — the one-part write
+        # is single-threaded regardless of where the coalesce happens.
+        from tabular_to_parquet_spark.operators.convert import (
+            _promote_single_file,
+        )
+
+        tmp = output_path + "._spark_tmp"
+        (
+            spark.read.parquet(output_path)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+        import shutil
+
+        shutil.rmtree(output_path)
+        _promote_single_file(tmp, output_path)
     print(f"schema: {schema_desc}", file=sys.stderr)
     print(f"conversion done: {output_path}", file=sys.stderr)
     return 0

@@ -215,7 +215,13 @@ def convert_columnar_to_parquet(
         restore_timezone(spark, prior_tz)
 
 
-def write_ipc(df: DataFrame, path: str, compression: str | None = "zstd"):
+def write_ipc(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "zstd",
+    compression_level: int | None = None,
+    rows_per_batch: int | None = None,
+):
     """Arrow IPC (Feather v2) export sink — the hand-off format for
     pandas/polars/DuckDB consumers downstream of the engine.
 
@@ -228,6 +234,16 @@ def write_ipc(df: DataFrame, path: str, compression: str | None = "zstd"):
     lists (file, rows) — readers that honor the marker ignore torn
     output from failed jobs, and a retried task's orphan part is never
     listed. Returns [(file, rows)] from the manifest.
+
+    ``compression_level`` and ``rows_per_batch`` are the parquet
+    sink's row-group discipline transposed to IPC (conversion.rs
+    pins zstd level 5 and couples block rows to width — session.py
+    does the same for parquet): the level rides
+    ``pa.Codec(compression, level)``, and incoming Arrow batches
+    (Spark's ~10k-row exchange granularity) are re-chunked so each
+    written record batch — the IPC reader's unit of decompression
+    and skipping — holds ~``rows_per_batch`` rows. Re-chunking
+    buffers at most one output batch, not the partition.
     """
     import os
     import uuid
@@ -238,19 +254,49 @@ def write_ipc(df: DataFrame, path: str, compression: str | None = "zstd"):
         import pyarrow as pa
         import pyarrow.ipc as pipc
 
+        if compression is not None and compression_level is not None:
+            codec = pa.Codec(compression, compression_level=compression_level)
+        else:
+            codec = compression
+
         writer = None
         fname = None
         n = 0
+        pending: list = []
+        pending_rows = 0
+
+        def flush(force: bool):
+            # re-chunk accumulated batches to ~rows_per_batch; a
+            # sub-target remainder stays pending unless forced
+            nonlocal pending, pending_rows
+            if not pending or (not force and pending_rows < rows_per_batch):
+                return
+            take = pa.Table.from_batches(pending).combine_chunks()
+            pending, pending_rows = [], 0
+            for chunk in take.to_batches(max_chunksize=rows_per_batch):
+                if force or chunk.num_rows >= rows_per_batch:
+                    writer.write_batch(chunk)
+                else:
+                    pending.append(chunk)
+                    pending_rows += chunk.num_rows
+
         for b in batches:
             if writer is None:
                 fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
                 writer = pipc.new_file(
                     fname, b.schema,
-                    options=pipc.IpcWriteOptions(compression=compression),
+                    options=pipc.IpcWriteOptions(compression=codec),
                 )
-            writer.write_batch(b)
             n += b.num_rows
+            if rows_per_batch is None:
+                writer.write_batch(b)
+            else:
+                pending.append(b)
+                pending_rows += b.num_rows
+                flush(force=False)
         if writer is not None:
+            if rows_per_batch is not None:
+                flush(force=True)
             writer.close()
             yield pa.record_batch(
                 {"file": [os.path.basename(fname)], "rows": [n]}

@@ -152,3 +152,98 @@ def test_never_driver_verified_union_is_order_independent(tmp_path, monkeypatch)
     # qx passed (r09) and is not pending; qy failed (r10) so, were it a
     # catalog name, it would re-queue — assert the pass-set logic only.
     assert "qx" not in pending
+
+
+# ---------------------------------------------------------------------------
+# write_ipc knobs — zstd level + rows-per-batch re-chunking (the parquet
+# sink's row-group discipline transposed to the IPC sink)
+
+
+def test_write_ipc_rechunks_to_target_rows(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as pipc
+
+    from tabular_to_parquet_spark.sources.columnar import (
+        read_ipc_python,
+        write_ipc,
+    )
+
+    out = str(tmp_path / "chunked")
+    src = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    manifest = write_ipc(
+        src.repartition(1), out, compression=None, rows_per_batch=1024
+    )
+    assert sum(r for _f, r in manifest) == 10_000
+    fname, _rows = manifest[0]
+    with pipc.open_file(f"{out}/{fname}") as rd:
+        sizes = [rd.get_batch(i).num_rows for i in range(rd.num_record_batches)]
+    # every batch hits the target except the final remainder
+    assert all(s == 1024 for s in sizes[:-1])
+    assert sum(sizes) == 10_000
+    back = read_ipc_python(spark, out)
+    assert back.agg(F.sum("k").alias("s")).head()["s"] == sum(range(10_000))
+
+
+def test_write_ipc_compression_level_roundtrip(spark, tmp_path):
+    from tabular_to_parquet_spark.sources.columnar import (
+        read_ipc_python,
+        write_ipc,
+    )
+
+    out = str(tmp_path / "zstd5")
+    src = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.concat(F.lit("row-"), F.col("id")).alias("s")
+    )
+    write_ipc(src.repartition(2), out, compression="zstd",
+              compression_level=5, rows_per_batch=128)
+    back = read_ipc_python(spark, out)
+    assert back.count() == 500
+    assert back.agg(F.sum("k").alias("s")).head()["s"] == sum(range(500))
+
+
+# ---------------------------------------------------------------------------
+# CLI × non-delimited formats — --single-file is honored everywhere,
+# --preserve-order refuses (instead of silently ignoring) for formats
+# whose row order the reference contract doesn't define.
+
+
+def _cli(args, timeout=600):
+    import subprocess
+    import sys as _sys
+
+    return subprocess.run(
+        [_sys.executable, "-m", "tabular_to_parquet_spark.cli", *args],
+        capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
+    )
+
+
+def test_cli_single_file_honored_for_ipc(spark, tmp_path):
+    import duckdb
+
+    from tabular_to_parquet_spark.sources.columnar import write_ipc
+
+    src = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ipc_dir = str(tmp_path / "in_ipc")
+    write_ipc(src.repartition(3), ipc_dir)
+    out = tmp_path / "in_ipc.parquet"
+    proc = _cli([ipc_dir, "--format", "ipc", "--single-file",
+                 "--output", str(out)])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.is_file()  # one FILE, not a spark directory
+    n, sk = duckdb.sql(f"SELECT count(*), sum(k) FROM '{out}'").fetchone()
+    assert (n, sk) == (300, sum(range(300)))
+
+
+def test_cli_preserve_order_refused_for_container_formats(spark, tmp_path):
+    from tabular_to_parquet_spark.sources.columnar import write_ipc
+
+    src = spark.range(0, 10).select(F.col("id").alias("k"))
+    ipc_dir = str(tmp_path / "po_ipc")
+    write_ipc(src, ipc_dir)
+    proc = _cli([ipc_dir, "--format", "ipc", "--preserve-order"])
+    assert proc.returncode == 1
+    assert "--preserve-order" in proc.stderr

@@ -168,7 +168,14 @@ def test_click_purchase_join_interval_bounds(spark):
 def test_sessionize_tws_matches_apply_in_pandas(spark, tmp_path):
     """transformWithStateInPandas twin == applyInPandasWithState
     output (requires protobuf for the TWS state protocol — skipped
-    where absent; see streams.sessionize_stream_tws deployment gate)."""
+    where absent; see streams.sessionize_stream_tws deployment gate).
+
+    Blocker re-checked r10: no google.protobuf runtime exists anywhere
+    on this image (only typeshed stubs and pyspark's generated _pb2
+    modules, which themselves import the runtime), no protobuf wheel
+    is present to vendor, and package installs are out of scope — so
+    the skip is an environment fact, not a code gap. The TWS path
+    itself ships and is exercised wherever protobuf is installed."""
     pytest.importorskip("google.protobuf")
     from tabular_to_parquet_spark.streaming.streams import (
         sessionize_stream,
