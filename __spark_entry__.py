@@ -77,8 +77,14 @@ def _never_driver_verified() -> list[str]:
             # The driver records rows-only (no-oracle) queries with
             # err='no_oracle' and a non-null spark_rows — that IS the
             # documented weaker pass, not a failure (r7 verdict item 2).
+            # But it only counts while the catalog still declares no
+            # oracle: a query that GAINED an oracle since (r10:
+            # pr08/pr09) must re-queue so the sweep upgrades its
+            # certification from rows-only to value-hash.
             if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                seen.add(name)
+                q = CATALOG.get(name)
+                if q is None or q.oracle is None:
+                    seen.add(name)
                 continue
             if row.get("err") is not None:
                 continue

@@ -86,6 +86,9 @@ def frame_key(df: pd.DataFrame) -> list[tuple]:
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    n_threads = int(os.environ.get("TWIN_FUZZ_THREADS", "8"))
+
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import types as T
 
@@ -105,21 +108,29 @@ def main() -> int:
         ]
     )
 
+    # seeds run concurrently (the per-seed jobs are tiny — scheduling
+    # latency, not CPU, dominates), so the _emb hook must be race-free:
+    # patch it ONCE with a registry lookup keyed by the fake sf_dir.
+    corpora: dict[str, object] = {}
+    extensions._emb = lambda _spark, sf_dir: corpora[sf_dir]
+
     failures: list[tuple[int, str, str]] = []
-    for i in range(n_seeds):
-        seed = seed0 + i
+    done = [0]
+
+    def run_seed(seed: int):
+        key = f"<mem:{seed}>"
         pdf, parts = gen_corpus(seed)
         df = spark.createDataFrame(pdf, schema=schema).repartition(parts)
         df.persist()
-        extensions._emb = lambda _spark, _sf, _df=df: _df
+        corpora[key] = df
         try:
             for slow_name, fast_name in PAIRS:
                 try:
                     slow = frame_key(
-                        CATALOG[slow_name].spark(spark, "<mem>").toPandas()
+                        CATALOG[slow_name].spark(spark, key).toPandas()
                     )
                     fast = frame_key(
-                        CATALOG[fast_name].spark(spark, "<mem>").toPandas()
+                        CATALOG[fast_name].spark(spark, key).toPandas()
                     )
                 except Exception as exc:  # noqa: BLE001
                     failures.append(
@@ -135,13 +146,17 @@ def main() -> int:
                          f"mismatch rows={len(slow)}/{len(fast)} first={diff}")
                     )
         finally:
+            corpora.pop(key, None)
             df.unpersist()
-        if (i + 1) % 25 == 0:
+        done[0] += 1
+        if done[0] % 100 == 0:
             print(
-                f"[{i + 1}/{n_seeds}] seeds {seed0}..{seed} "
-                f"({len(failures)} failures)",
+                f"[{done[0]}/{n_seeds}] ({len(failures)} failures)",
                 flush=True,
             )
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(run_seed, range(seed0, seed0 + n_seeds)))
 
     for seed, name, reason in failures:
         print(f"FAIL seed={seed} {name}: {reason}")
