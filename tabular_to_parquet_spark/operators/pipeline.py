@@ -1019,3 +1019,68 @@ def importance_sample(
         )
     u = md5_i64(F.col(id_col).cast("string"), seed=seed) % m
     return df.where(u * F.lit(max_score) < score.cast("long") * F.lit(m))
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    domain_col: str,
+    slots: int = 100_000,
+    weight_scale: int = 1024,
+) -> DataFrame:
+    """Exact integer apportionment of a fixed sample budget across
+    domains — the allocation step a data-mixing pipeline runs BEFORE
+    any sampling: decide, to the row, how many of ``slots`` examples
+    each domain contributes under √-temperature weighting, with the
+    allocations summing to ``slots`` EXACTLY (floor-quotas alone
+    under-allocate by up to #domains−1).
+
+    Hamilton / largest-remainder method, all integer after one
+    correctly-rounded sqrt per domain:
+
+        w_d    = floor(sqrt(n_d) · weight_scale)     (BIGINT weight)
+        base_d = (slots · w_d) div Σw                (floor quota)
+        rem_d  = (slots · w_d) mod Σw
+        the (slots − Σ base) domains with the largest remainders
+        (ties → lexicographically first domain) get +1.
+
+    Determinism: sqrt on an exact integer is one IEEE op; everything
+    downstream is BIGINT div/mod and a total-order rank — bit-stable
+    across engines. Scale: one shuffle for the per-domain count; every
+    later step runs on the DOMAIN-cardinality table (bounded — the
+    unpartitioned rank window is over that bounded table, never the
+    corpus). slots·w stays inside int64 for n_d up to ~10^12 docs at
+    the default scale. Output: (domain, n_docs, weight, alloc).
+    """
+    from pyspark.sql import Window as W
+
+    stats = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = stats.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(float(weight_scale)))
+        .cast("long"),
+    )
+    # Σw and the floor-quota deficit both live on the bounded domain
+    # table: global windows here are windows over ≤ |domains| rows
+    all_w = W.partitionBy()
+    quota = (
+        w.withColumn("wsum", F.sum("weight").over(all_w))
+        .withColumn("base", F.expr(f"({slots} * weight) div wsum"))
+        .withColumn("rem", F.expr(f"({slots} * weight) % wsum"))
+    )
+    ranked = quota.withColumn(
+        "deficit", F.lit(slots) - F.sum("base").over(all_w)
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), F.col("domain"))),
+    )
+    return ranked.select(
+        "domain",
+        "n_docs",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("alloc"),
+    )

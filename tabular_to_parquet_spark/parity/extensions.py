@@ -8332,3 +8332,54 @@ def _q_kmeans_fixed_fast(spark, sf_dir):
 register("s08_kmeans_fixed_fast", CATALOG["s08_kmeans_fixed"].oracle)(
     _q_kmeans_fixed_fast
 )
+
+
+# ---------------------------------------------------------------------------
+# pl36 — largest-remainder budget apportionment (r10): the data-mixing
+# allocation step pl19's thresholded sampling doesn't cover — decide,
+# to the row, how many of a FIXED budget of samples each domain
+# contributes (√-temperature weights, Hamilton rounding, Σ == budget
+# exactly). Reference has nothing comparable; this is LLM-pipeline
+# surface (SURVEY.md §6 class).
+
+
+def _q_epoch_apportionment(spark, sf_dir):
+    """pipeline.largest_remainder_allocation over documents.source:
+    one count shuffle, then pure integer div/mod + a total-order rank
+    on the bounded domain table. The unpartitioned windows are over
+    ≤ |domains| rows — never the corpus."""
+    from tabular_to_parquet_spark.operators import pipeline as _pl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _pl.largest_remainder_allocation(docs, "source", slots=100_000)
+
+
+register("pl36_epoch_apportionment", """
+WITH stats AS (
+    SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT domain, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1024.0) AS BIGINT)
+               AS weight
+    FROM stats
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w),
+quota AS (
+    SELECT domain, n_docs, weight,
+           (100000 * weight) // wsum AS base,
+           (100000 * weight) % wsum AS rem
+    FROM w CROSS JOIN tot
+),
+d AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS deficit FROM quota),
+ranked AS (
+    SELECT domain, n_docs, weight, base, rem,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS rn
+    FROM quota
+)
+SELECT domain, n_docs, weight,
+       CAST(base + (CASE WHEN rn <= (SELECT deficit FROM d)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+FROM ranked
+""")(_q_epoch_apportionment)

@@ -247,3 +247,51 @@ def test_cli_preserve_order_refused_for_container_formats(spark, tmp_path):
     proc = _cli([ipc_dir, "--format", "ipc", "--preserve-order"])
     assert proc.returncode == 1
     assert "--preserve-order" in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# pl36 — largest-remainder apportionment invariants
+
+
+def test_apportionment_sums_exactly_to_slots(spark):
+    from tabular_to_parquet_spark.operators.pipeline import (
+        largest_remainder_allocation,
+    )
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 13 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "domain_in string")
+    out = largest_remainder_allocation(df, "domain_in", slots=997).collect()
+    assert sum(r["alloc"] for r in out) == 997
+    # every domain gets at least its floor quota; none exceeds +1
+    by = {r["domain"]: r for r in out}
+    assert set(by) == {"a", "b", "c", "d"}
+    wsum = sum(r["weight"] for r in out)
+    for r in out:
+        base = (997 * r["weight"]) // wsum
+        assert r["alloc"] in (base, base + 1)
+
+
+def test_apportionment_single_domain_takes_all(spark):
+    from tabular_to_parquet_spark.operators.pipeline import (
+        largest_remainder_allocation,
+    )
+
+    df = spark.createDataFrame([("only",)] * 5, "d string")
+    out = largest_remainder_allocation(df, "d", slots=1234).collect()
+    assert len(out) == 1 and out[0]["alloc"] == 1234
+
+
+def test_apportionment_remainder_tie_prefers_lexicographic(spark):
+    from tabular_to_parquet_spark.operators.pipeline import (
+        largest_remainder_allocation,
+    )
+
+    # two domains with IDENTICAL counts -> identical remainders; an
+    # odd slot budget forces exactly one +1, which must go to the
+    # lexicographically first domain
+    rows = [("zz",)] * 4 + [("aa",)] * 4
+    df = spark.createDataFrame(rows, "d string")
+    out = {r["domain"]: r["alloc"] for r in
+           largest_remainder_allocation(df, "d", slots=7).collect()}
+    assert out["aa"] + out["zz"] == 7
+    assert out["aa"] == out["zz"] + 1
