@@ -8383,3 +8383,56 @@ SELECT domain, n_docs, weight,
                     THEN 1 ELSE 0 END) AS BIGINT) AS alloc
 FROM ranked
 """)(_q_epoch_apportionment)
+
+
+# ---------------------------------------------------------------------------
+# pr24 — token-mass concentration (Lorenz/rank Gini sufficient stats,
+# r10): x24's Gini IMPURITY measures categorical diversity; this is
+# the other Gini — the Lorenz-curve inequality coefficient over a
+# per-source size distribution, the power-law audit ("how much of the
+# corpus mass sits in the largest documents") a data-governance pass
+# runs before fixing mixture weights. Like g06/pr11 it emits RATIO-OF-
+# SUMS sufficient statistics and leaves the two float ops to the
+# caller: G = (2·rank_mass − (n+1)·Σx) / (n·Σx) over x sorted asc.
+
+
+def _q_token_concentration(spark, sf_dir):
+    """Per-source rank-weighted mass Σ rank·n_chars with rank from a
+    per-source (n_chars, doc_id) sort. Tie positions among equal
+    n_chars values contribute rank·x invariantly (equal x ⟹ the sum
+    over the tie block is x·Σranks regardless of permutation), so the
+    statistic is total-order-stable. rank·x products follow the r7
+    overflow rule: DECIMAL(19,0) per row, DECIMAL(38,0) digit-string
+    sum. One per-source sort (range-partitioned at scale), one
+    grouped agg — the same shuffle key, no extra exchange."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = "decimal(19,0)"
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.col("rn").cast(d) * F.col("n_chars").cast(d))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("rank_mass"),
+    )
+
+
+register("pr24_token_concentration", """
+WITH ranked AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn
+    FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(CAST(SUM(CAST(rn AS HUGEINT) * n_chars) AS DECIMAL(38,0))
+            AS VARCHAR) AS rank_mass
+FROM ranked GROUP BY source
+""")(_q_token_concentration)
