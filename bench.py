@@ -385,6 +385,11 @@ def main() -> None:
         "s10_gram_matrix_fast",
         "s05_nearest_centroid_confusion_fast",
         "s08_kmeans_fixed_fast",
+        # round 10: oracle-upgraded sketch pair + new shapes
+        "pr08_approx_distinct_users",
+        "pr09_approx_event_percentiles",
+        "pl36_epoch_apportionment",
+        "pr24_token_concentration",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise
