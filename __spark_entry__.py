@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tabular_to_parquet_spark.parity import curation_queries as _curation_queries  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity import extensions as _extensions  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from tabular_to_parquet_spark.parity import profiling_queries as _profiling_queries  # noqa: F401  (registers)

@@ -390,6 +390,10 @@ def main() -> None:
         "pr09_approx_event_percentiles",
         "pl36_epoch_apportionment",
         "pr24_token_concentration",
+        "x42_vocab_growth",
+        "a40_pareto_frontier",
+        "pr25_chi2_contingency",
+        "pr26_null_patterns",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

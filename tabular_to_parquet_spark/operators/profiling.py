@@ -527,3 +527,59 @@ def weighted_median(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def chi2_contingency(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-square independence-audit sufficient statistics for two
+    categorical columns: per contingency cell, the observed count and
+    the EXACT integer deviation numerator n*O - R*C (the chi-square
+    term is dev^2 / (n*R*C); pr11/g06/pr24 discipline — emit exact
+    sufficient statistics, leave the float ops to the caller).
+
+    Plan: one hash-agg to the contingency table, then three window
+    sums over that BOUNDED relation (|a| x |b| cells — category
+    cardinalities, never the corpus), including one single-partition
+    total over the same bounded rows.  Products of two corpus-scale
+    counts exceed int64 at 100 TB, so dev ships as a DECIMAL(38,0)
+    digit string (the r7 overflow rule)."""
+    from pyspark.sql import Window as W
+
+    d19 = "decimal(19,0)"
+    cells = df.groupBy(a_col, b_col).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    totals = cells.select(
+        a_col,
+        b_col,
+        "observed",
+        F.sum("observed").over(W.partitionBy(a_col)).cast("long").alias("row_total"),
+        F.sum("observed").over(W.partitionBy(b_col)).cast("long").alias("col_total"),
+        F.sum("observed").over(W.partitionBy()).cast("long").alias("grand_total"),
+    )
+    dev = (
+        F.col("grand_total").cast(d19) * F.col("observed").cast(d19)
+        - F.col("row_total").cast(d19) * F.col("col_total").cast(d19)
+    )
+    return totals.withColumn(
+        "dev_no_minus_rc", dev.cast("decimal(38,0)").cast("string")
+    )
+
+
+def null_pattern_audit(
+    df: DataFrame, probes: dict[str, str], example_col: str
+) -> DataFrame:
+    """Missingness-pattern profile: group rows by WHICH of the probe
+    columns are null — the joint null-indicator distribution that
+    per-column null counts can't see (after a star-schema left join
+    the patterns ARE the orphan combinations; cf. fk_orphan_audit,
+    which counts each edge separately).
+
+    ``probes`` maps output flag name -> column to null-test.  One
+    hash-agg on at most 2^k patterns; ``example_col``'s min is the
+    reproducible witness row for each pattern."""
+    flags = [F.col(c).isNull().cast("long").alias(name) for name, c in probes.items()]
+    proj = df.select(*flags, F.col(example_col).alias("_ex"))
+    return proj.groupBy(*probes.keys()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("_ex").alias("example_key"),
+    )

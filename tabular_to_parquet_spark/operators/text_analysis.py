@@ -383,3 +383,73 @@ def source_stats(df: DataFrame) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps-law sufficient statistics: cumulative vocabulary size vs
+    cumulative token mass at ``buckets`` checkpoints of ingestion
+    order (doc id).  The curve prices marginal data: a flattening
+    vocab_cum against a linear cum_tokens is the diminishing-returns
+    signal mixture planning reads before buying more of a source.
+
+    Every step is bucket-local: a token's first occurrence is one
+    hash-agg (min doc id over the corpus — x40's ownership rule);
+    checkpoint assignment is pure integer arithmetic against a 1-row
+    broadcast max (bucket = ceil(B*pos/m), NO global window); the
+    cumulative sums run over the <= ``buckets``-row table.  Nothing
+    here is pairwise and the only unpartitioned window is bounded by
+    the checkpoint count."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("_vid"), tokens(F.lower(F.col(text_col))).alias("_vt")
+    )
+    mx = toks.agg((F.max("_vid") + 1).cast("long").alias("_vm"))
+
+    def bucket(col: str) -> Column:
+        # ceil(B * (id+1) / m) with m = max_id + 1: integer-exact, and
+        # id = max_id lands in bucket B by construction.
+        return F.least(
+            F.lit(buckets).cast("long"),
+            F.expr(f"(({col} + 1) * {buckets} + _vm - 1) div _vm"),
+        ).cast("long")
+
+    per_doc = (
+        toks.crossJoin(F.broadcast(mx))
+        .select(bucket("_vid").alias("bucket"), F.size("_vt").alias("_ntok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_ntok").cast("long").alias("_btok"),
+        )
+    )
+    firsts = (
+        toks.select("_vid", F.explode("_vt").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min("_vid").alias("_first"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(bucket("_first").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_doc.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+            F.col("_btok"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "new_types",
+            F.sum("_btok").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("vocab_cum"),
+        )
+    )

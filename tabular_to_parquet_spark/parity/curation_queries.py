@@ -1,0 +1,265 @@
+"""Round-10 continuation catalog: data-curation / governance shapes.
+
+Four distinct query shapes none of the existing 271 cover:
+
+- ``x42_vocab_growth`` — Heaps-law vocabulary-growth curve
+  (first-occurrence bucketing + bounded cumulative window);
+- ``a40_pareto_frontier`` — exact 2-D skyline via local-then-global
+  dominance elimination (the anti-dominance shape: no other query
+  keeps a row based on the ABSENCE of a dominating row);
+- ``pr25_chi2_contingency`` — chi-square independence-audit
+  sufficient statistics over a bounded contingency table;
+- ``pr26_null_patterns`` — joint missingness patterns after the
+  star-schema left join (the orphan COMBINATIONS pr13's per-edge
+  counts can't see).
+
+Oracle rules follow parity/catalog.py: identical aliases both sides,
+BIGINT counts, DECIMAL(38,0) digit strings for anything that can pass
+2^53, integer `div`//`//` parity, and the driver's outer total ORDER
+BY over all columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabular_to_parquet_spark.operators import ordering, profiling
+from tabular_to_parquet_spark.operators import text_analysis as ta
+from tabular_to_parquet_spark.parity.catalog import register
+from tabular_to_parquet_spark.parity.extensions import _TOKS_LC, _docs
+from tabular_to_parquet_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# x42 — Heaps-law vocabulary growth
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """ta.vocab_growth over documents: 10 ingestion-order checkpoints
+    (doc_id ranges), cumulative distinct vocabulary vs cumulative
+    token mass.  x38 gives the static Zipf rank table; this is the
+    GROWTH view — how much new vocabulary each additional data slice
+    buys.  Plan: token-ownership hash-agg (min doc id), integer
+    checkpoint arithmetic against a 1-row broadcast max (allowlisted
+    scalar BNLJ), cumulative sums over the 10-row checkpoint table."""
+    return ta.vocab_growth(_docs(spark, sf_dir), buckets=10)
+
+
+register("x42_vocab_growth", f"""
+WITH mx AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS m FROM documents),
+toks AS (SELECT doc_id, {_TOKS_LC} AS t FROM documents),
+db AS (
+    SELECT CAST(least(10, ((doc_id + 1) * 10 + m - 1) // m) AS BIGINT)
+               AS bucket,
+           len(t) AS ntok
+    FROM toks CROSS JOIN mx
+),
+pb AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS btok
+    FROM db GROUP BY bucket
+),
+firsts AS (
+    SELECT tok, MIN(doc_id) AS fd
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    GROUP BY tok
+),
+tb AS (
+    SELECT CAST(least(10, ((fd + 1) * 10 + m - 1) // m) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM firsts CROSS JOIN mx GROUP BY bucket
+)
+SELECT pb.bucket, n_docs,
+       CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(btok) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+           AS vocab_cum
+FROM pb LEFT JOIN tb USING (bucket)
+""")(_q_vocab_growth)
+
+
+# ---------------------------------------------------------------------------
+# a40 — 2-D Pareto frontier (skyline)
+
+
+def _q_pareto_frontier(spark, sf_dir):
+    """Documents on the (shortest, most-diverse) frontier: minimize
+    n_chars, maximize distinct-token count.  The curation question is
+    "which docs are undominated value-per-byte exemplars"; the
+    relational shape is the skyline — kept rows are those for which NO
+    dominating row exists.  ordering.pareto_frontier_2d runs dominance
+    elimination locally per doc_id%32 bucket (partitioned windows),
+    then once more over the survivors (the skyline-of-skylines
+    identity), so no corpus-sized single-partition window exists."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").alias("len_chars"),
+        F.size(F.array_distinct(ta.tokens(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("n_types"),
+    )
+    return ordering.pareto_frontier_2d(
+        base, "len_chars", "n_types", bucket=F.pmod(F.col("doc_id"), F.lit(32))
+    )
+
+
+register("a40_pareto_frontier", f"""
+WITH base AS (
+    SELECT doc_id, n_chars AS len_chars,
+           CAST(len(list_distinct({_TOKS_LC})) AS BIGINT) AS n_types
+    FROM documents
+)
+SELECT d.doc_id, d.len_chars, d.n_types
+FROM base d
+WHERE NOT EXISTS (
+    SELECT 1 FROM base o
+    WHERE o.len_chars <= d.len_chars AND o.n_types >= d.n_types
+      AND (o.len_chars < d.len_chars OR o.n_types > d.n_types)
+)
+""")(_q_pareto_frontier)
+
+
+# ---------------------------------------------------------------------------
+# pr25 — chi-square contingency sufficient statistics
+
+
+def _q_chi2_contingency(spark, sf_dir):
+    """Is `lang` independent of `source`?  x14 pivots the same table
+    for eyes; x31 audits declared-vs-predicted labels; this emits the
+    TEST's exact inputs: per cell, observed count, margins, and the
+    integer deviation numerator n*O - R*C as a DECIMAL(38,0) digit
+    string (chi2 = sum dev^2/(n*R*C) is two float ops away, left to
+    the caller per the g06/pr24 sufficient-statistics discipline)."""
+    return profiling.chi2_contingency(_docs(spark, sf_dir), "lang", "source")
+
+
+register("pr25_chi2_contingency", """
+WITH cells AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+    FROM documents GROUP BY lang, source
+),
+t AS (
+    SELECT lang, source, observed,
+           CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT)
+               AS row_total,
+           CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT)
+               AS col_total,
+           CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+    FROM cells
+)
+SELECT lang, source, observed, row_total, col_total, grand_total,
+       CAST(CAST(CAST(grand_total AS HUGEINT) * observed
+                 - CAST(row_total AS HUGEINT) * col_total
+            AS DECIMAL(38,0)) AS VARCHAR) AS dev_no_minus_rc
+FROM t
+""")(_q_chi2_contingency)
+
+
+# ---------------------------------------------------------------------------
+# pr26 — joint parse-failure (missingness) patterns over the lenient
+# casts.  The reference's analyse pass counts parse errors PER COLUMN
+# (analyse.rs counters, mirrored by plans/inference.py and O5); the
+# joint distribution — which fields fail TOGETHER on the same row —
+# is what decides whether failures are independent noise or one
+# structural row class.  The star-schema FK probe was rejected for
+# this slot: the synthetic data is referentially intact everywhere
+# (verified at sf0.01 and sf0.1), so that audit is a constant row.
+
+
+def _int_ok(tok: str) -> str:
+    from tabular_to_parquet_spark.parity.catalog import _INT_RE_SQL, wtrim
+
+    t = wtrim(tok)
+    d38 = f"try_cast({t} AS DECIMAL(38,0))"
+    return (
+        f"(NOT {_ntk(tok)} AND regexp_matches({t}, {_INT_RE_SQL}) "
+        f"AND {d38} BETWEEN '-9223372036854775808'::DECIMAL(38,0) "
+        f"AND '9223372036854775807'::DECIMAL(38,0))"
+    )
+
+
+def _float_ok(tok: str) -> str:
+    from tabular_to_parquet_spark.parity.catalog import _FLOAT_RE_SQL, wtrim
+
+    t = wtrim(tok)
+    return (
+        f"(NOT {_ntk(tok)} AND regexp_matches({t}, {_FLOAT_RE_SQL}, 'i') "
+        f"AND isfinite(try_cast({t} AS DOUBLE)))"
+    )
+
+
+def _bool_ok(tok: str) -> str:
+    from tabular_to_parquet_spark.parity.catalog import wtrim
+
+    t = wtrim(tok)
+    return (
+        f"(NOT {_ntk(tok)} AND lower({t}) IN "
+        f"('true','1','t','y','yes','on','false','0','f','n','no','off'))"
+    )
+
+
+def _ntk(tok: str) -> str:
+    from tabular_to_parquet_spark.parity.catalog import wtrim
+
+    t = wtrim(tok)
+    return (
+        f"({tok} IS NULL OR {t} = '' OR "
+        f"lower({t}) IN ('null','none','nan','n/a','na'))"
+    )
+
+
+def _q_null_patterns(spark, sf_dir):
+    """profiling.null_pattern_audit over the p02/p03/p05 lenient-cast
+    projection: each reference token generator cycles on ROW_ID with a
+    different modulus (16/14/16), so the joint failure patterns sweep
+    their LCM — per pattern, how many rows and the smallest witness
+    row id.  One projection + one hash-agg on <= 2^3 patterns."""
+    from tabular_to_parquet_spark.functions import parsers
+    from tabular_to_parquet_spark.parity.catalog import (
+        ROW_ID,
+        _TOK_BOOL,
+        _TOK_FLOAT,
+        _TOK_INT,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frame = li.select(
+        F.expr(ROW_ID).alias("row_id"),
+        parsers.parse_int64(F.expr(_TOK_INT)).alias("as_int"),
+        parsers.parse_float64(F.expr(_TOK_FLOAT)).alias("as_float"),
+        parsers.parse_bool(F.expr(_TOK_BOOL)).alias("as_bool"),
+    )
+    return profiling.null_pattern_audit(
+        frame,
+        probes={
+            "int_null": "as_int",
+            "float_null": "as_float",
+            "bool_null": "as_bool",
+        },
+        example_col="row_id",
+    )
+
+
+def _pr26_oracle() -> str:
+    from tabular_to_parquet_spark.parity.catalog import (
+        ROW_ID,
+        _TOK_BOOL,
+        _TOK_FLOAT,
+        _TOK_INT,
+    )
+
+    return f"""
+WITH base AS (
+    SELECT {ROW_ID} AS row_id, {_TOK_INT} AS ti, {_TOK_FLOAT} AS tf,
+           {_TOK_BOOL} AS tb
+    FROM lineitem
+)
+SELECT CAST(NOT {_int_ok('ti')} AS BIGINT) AS int_null,
+       CAST(NOT {_float_ok('tf')} AS BIGINT) AS float_null,
+       CAST(NOT {_bool_ok('tb')} AS BIGINT) AS bool_null,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(row_id) AS example_key
+FROM base GROUP BY 1, 2, 3
+"""
+
+
+register("pr26_null_patterns", _pr26_oracle())(_q_null_patterns)

@@ -1,0 +1,148 @@
+"""Hand-computed semantics for the round-10 continuation wave:
+pareto_frontier_2d (skyline identity + tie classes), vocab_growth
+(Heaps checkpoints), chi2_contingency (margins + deviation identity),
+null_pattern_audit (joint flags)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tabular_to_parquet_spark.operators.ordering import pareto_frontier_2d
+from tabular_to_parquet_spark.operators.profiling import (
+    chi2_contingency,
+    null_pattern_audit,
+)
+from tabular_to_parquet_spark.operators.text_analysis import vocab_growth
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier_2d
+
+
+def _skyline_rows(spark, rows, buckets=3):
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = pareto_frontier_2d(df, "x", "y", bucket=F.pmod(F.col("id"), F.lit(buckets)))
+    return sorted((r["id"], r["x"], r["y"]) for r in out.collect())
+
+
+def test_skyline_basic(spark):
+    # minimize x, maximize y; (3,1) is dominated by (2,5) and (1,3)
+    rows = [(1, 1, 3), (2, 2, 5), (3, 3, 1), (4, 2, 5)]
+    # (2,5): x=2 > 1 but y=5 > 3 -> both (1,3) and (2,5) survive;
+    # duplicates of the same point both survive.
+    assert _skyline_rows(spark, rows) == [(1, 1, 3), (2, 2, 5), (4, 2, 5)]
+
+
+def test_skyline_equal_x_keeps_only_max_y(spark):
+    rows = [(1, 5, 10), (2, 5, 7), (3, 5, 10)]
+    assert _skyline_rows(spark, rows) == [(1, 5, 10), (3, 5, 10)]
+
+
+def test_skyline_equal_y_keeps_only_min_x(spark):
+    # same y at larger x is dominated (x strictly worse, y not better)
+    rows = [(1, 2, 9), (2, 4, 9), (3, 6, 9)]
+    assert _skyline_rows(spark, rows) == [(1, 2, 9)]
+
+
+def test_skyline_matches_bruteforce_any_bucketing(spark):
+    import itertools
+
+    rows = [
+        (i, (i * 7) % 13, (i * 11) % 17) for i in range(60)
+    ]
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1]
+            and b[2] >= a[2]
+            and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    brute = sorted(
+        r for r in rows if not any(dominated(r, o) for o in rows if o is not r)
+    )
+    for nb in (1, 2, 7):
+        assert _skyline_rows(spark, rows, buckets=nb) == brute
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+
+
+def test_vocab_growth_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a"),
+            (1, "b c"),
+            (2, "c d d"),
+            (3, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r.asDict() for r in vocab_growth(docs, buckets=2).collect()}
+    # max_id+1 = 4; bucket = ceil(2*(id+1)/4): ids 0,1 -> 1; ids 2,3 -> 2
+    assert set(out) == {1, 2}
+    assert out[1]["n_docs"] == 2 and out[2]["n_docs"] == 2
+    # bucket 1 introduces a,b,c (c first at doc 1); bucket 2 only d
+    assert out[1]["new_types"] == 3 and out[2]["new_types"] == 1
+    assert out[1]["cum_tokens"] == 5 and out[2]["cum_tokens"] == 9
+    assert out[1]["vocab_cum"] == 3 and out[2]["vocab_cum"] == 4
+
+
+def test_vocab_growth_empty_docs_count_but_add_nothing(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "   "), (2, "y z")], "doc_id long, text string"
+    )
+    out = {r["bucket"]: r.asDict() for r in vocab_growth(docs, buckets=3).collect()}
+    assert out[1]["n_docs"] == 1 and out[2]["n_docs"] == 1
+    assert out[2]["new_types"] == 0 and out[2]["cum_tokens"] == 2
+    assert out[3]["vocab_cum"] == 3
+
+
+# ---------------------------------------------------------------------------
+# chi2_contingency
+
+
+def test_chi2_margins_and_deviation(spark):
+    rows = (
+        [("en", "web")] * 3
+        + [("en", "book")] * 1
+        + [("fr", "web")] * 2
+        + [("fr", "book")] * 4
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in chi2_contingency(df, "lang", "source").collect()
+    }
+    c = out[("en", "web")]
+    assert c["observed"] == 3 and c["row_total"] == 4
+    assert c["col_total"] == 5 and c["grand_total"] == 10
+    # dev = n*O - R*C = 30 - 20 = 10
+    assert c["dev_no_minus_rc"] == "10"
+    assert out[("fr", "web")]["dev_no_minus_rc"] == "-10"
+    # deviations over a row (or column) sum to zero
+    assert sum(int(v["dev_no_minus_rc"]) for v in out.values()) == 0
+
+
+# ---------------------------------------------------------------------------
+# null_pattern_audit
+
+
+def test_null_pattern_audit_joint_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, None),
+            (2, None, None),
+            (3, 30, 3.5),
+            (4, None, None),
+        ],
+        "k long, a long, b double",
+    )
+    out = {
+        (r["a_null"], r["b_null"]): (r["n_rows"], r["example_key"])
+        for r in null_pattern_audit(
+            df, probes={"a_null": "a", "b_null": "b"}, example_col="k"
+        ).collect()
+    }
+    assert out == {(0, 1): (1, 1), (1, 1): (2, 2), (0, 0): (1, 3)}
