@@ -394,6 +394,7 @@ def main() -> None:
         "a40_pareto_frontier",
         "pr25_chi2_contingency",
         "pr26_null_patterns",
+        "s11_product_quantization",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -838,3 +838,113 @@ def kmeans_fixed_fast(
     # round 2: assign to c1, merge — this IS the final (centroid,
     # members) table, exactly like s08's trailing update aggregate
     return sweep(C1, np.array(live, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): the codebook compression step between
+# s09's scalar quantization (per-dim affine codes) and a trained IVF
+# index — split each vector into S subvectors, snap each to the
+# nearest codeword of a per-subspace codebook, store S small codes.
+# 64-dim float64 (512 B) -> 4 codes of 3 bits here; production PQ is
+# 8-16 subspaces x 256 codes (8-16 B per vector, 32-64x smaller than
+# float32).
+
+PQ_SUBSPACES = 4
+PQ_CODES = 8
+PQ_SCALE = 1048576.0  # 2^20 — the s09 fixed-point domain
+
+
+def pq_codebooks(
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+) -> list[list[list[float]]]:
+    """Deterministic md5-derived codewords per subspace (the
+    ivf_anchors scheme).  On a real cluster, train each book with
+    k-means over the subvectors (kmeans_fixed generalizes per
+    subspace) and broadcast — the assignment plan below is unchanged."""
+    sub = dim // subspaces
+    return [
+        [
+            [
+                ((_md5_int(f"pq{s}_{c}_{d}") % 2001) - 1000) / 1000.0
+                for d in range(sub)
+            ]
+            for c in range(codes)
+        ]
+        for s in range(subspaces)
+    ]
+
+
+def pq_codebooks_fixed(
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+) -> list[list[list[int]]]:
+    """floor(codeword * 2^20) as Python ints — the ONLY place the
+    codeword fixed-point values are computed; both the Spark plan and
+    the DuckDB oracle consume these as literals, so no cross-engine
+    float reproduction of the codebook is ever needed."""
+    import math
+
+    return [
+        [[int(math.floor(v * PQ_SCALE)) for v in cw] for cw in book]
+        for book in pq_codebooks(subspaces, codes, dim)
+    ]
+
+
+def product_quantize(
+    emb: DataFrame,
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+) -> DataFrame:
+    """Assign every vector its PQ code per subspace and price the
+    compression: exact fixed-point squared reconstruction error
+    against the chosen codewords (the s09 audit generalized from
+    per-dim affine codes to codebook geometry).
+
+    One projection, zero shuffles, zero UDFs: per subspace the
+    distance to each codeword is an ``aggregate(zip_with(...))`` fold
+    over the 16-element slice in the 2^20 fixed-point domain
+    (diff < 2^22, squared x16 < 2^48 — int64-safe), and the argmin is
+    the struct-array-min trick (ties -> lowest code, the kmeans_fixed
+    rule).  The codewords enter as integer literals from
+    :func:`pq_codebooks_fixed`."""
+    sub = EMBED_DIM // subspaces
+    books = pq_codebooks_fixed(subspaces, codes)
+    out_cols: list[Column] = [F.col("vec_id")]
+    code_cols: list[Column] = []
+    err_total: Column | None = None
+    for s, book in enumerate(books):
+        sl = F.slice(F.col("embedding"), s * sub + 1, sub)
+        cands = []
+        for c, cw in enumerate(book):
+            g = F.array(*[F.lit(v).cast("long") for v in cw])
+            diffs = F.zip_with(
+                sl,
+                g,
+                lambda x, y: F.floor(x.cast("double") * F.lit(PQ_SCALE)).cast(
+                    "long"
+                )
+                - y,
+            )
+            dist = F.aggregate(
+                diffs, F.lit(0).cast("long"), lambda acc, d: acc + d * d
+            )
+            cands.append(
+                F.struct(dist.alias("d"), F.lit(c).cast("long").alias("c"))
+            )
+        best = F.array_min(F.array(*cands))
+        code = best.getField("c").alias(f"code_s{s}")
+        out_cols.append(code)
+        code_cols.append(best.getField("c"))
+        e = best.getField("d")
+        err_total = e if err_total is None else err_total + e
+    packed = code_cols[0]
+    for c in code_cols[1:]:
+        packed = packed * codes + c
+    return emb.select(
+        *out_cols,
+        packed.cast("long").alias("pq_code"),
+        err_total.cast("long").alias("err_sq_fixed"),
+    )

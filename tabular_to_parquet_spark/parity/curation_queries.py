@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from tabular_to_parquet_spark.operators import ordering, profiling
 from tabular_to_parquet_spark.operators import text_analysis as ta
 from tabular_to_parquet_spark.parity.catalog import register
-from tabular_to_parquet_spark.parity.extensions import _TOKS_LC, _docs
+from tabular_to_parquet_spark.parity.extensions import _TOKS_LC, _docs, _emb
 from tabular_to_parquet_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -263,3 +263,77 @@ FROM base GROUP BY 1, 2, 3
 
 
 register("pr26_null_patterns", _pr26_oracle())(_q_null_patterns)
+
+
+# ---------------------------------------------------------------------------
+# s11 — product quantization audit
+
+
+def _q_product_quantization(spark, sf_dir):
+    """similarity.product_quantize: 4 subspaces x 8 codes over the
+    64-dim embeddings — per vector, the chosen code per subspace, the
+    packed PQ code, and the exact fixed-point squared reconstruction
+    error (the codebook generalization of s09's affine audit; the
+    compression-ratio decision for the 100 TB embedding store reads
+    exactly this table).  One projection, zero shuffles; codewords are
+    integer literals so BOTH engines consume, never recompute, the
+    codebook."""
+    from tabular_to_parquet_spark.operators import similarity
+
+    return similarity.product_quantize(_emb(spark, sf_dir))
+
+
+def _s11_oracle() -> str:
+    from tabular_to_parquet_spark.operators import similarity
+
+    books = similarity.pq_codebooks_fixed()
+    subspaces = len(books)
+    codes = len(books[0])
+    sub = len(books[0][0])
+    f = "CAST(floor(embedding[{off} + i] * 1048576.0) AS BIGINT)"
+    d_cols = []
+    for s, book in enumerate(books):
+        off = s * sub
+        for c, cw in enumerate(book):
+            g = "[" + ", ".join(str(v) for v in cw) + "]"
+            fe = f.format(off=off)
+            d_cols.append(
+                f"list_reduce(list_transform(list_transform(range(1, {sub + 1}), "
+                f"i -> {fe} - ({g})[i]), d -> d * d), (x, y) -> x + y) AS d_{s}_{c}"
+            )
+    best = {
+        s: "least(" + ", ".join(f"d_{s}_{c}" for c in range(codes)) + ")"
+        for s in range(subspaces)
+    }
+    code_case = {
+        s: "(CASE "
+        + " ".join(f"WHEN d_{s}_{c} = b_{s} THEN {c}" for c in range(codes))
+        + " END)"
+        for s in range(subspaces)
+    }
+    packed = "c_0"
+    for s in range(1, subspaces):
+        packed = f"({packed} * {codes} + c_{s})"
+    return f"""
+WITH d AS (
+    SELECT vec_id, {", ".join(d_cols)} FROM embeddings
+),
+b AS (
+    SELECT vec_id, {", ".join(f"{best[s]} AS b_{s}" for s in range(subspaces))},
+           {", ".join(f"d_{s}_{c}" for s in range(subspaces) for c in range(codes))}
+    FROM d
+),
+coded AS (
+    SELECT vec_id,
+           {", ".join(f"CAST({code_case[s]} AS BIGINT) AS c_{s}" for s in range(subspaces))},
+           {" + ".join(f"b_{s}" for s in range(subspaces))} AS err
+    FROM b
+)
+SELECT vec_id, {", ".join(f"c_{s} AS code_s{s}" for s in range(subspaces))},
+       CAST({packed} AS BIGINT) AS pq_code,
+       CAST(err AS BIGINT) AS err_sq_fixed
+FROM coded
+"""
+
+
+register("s11_product_quantization", _s11_oracle())(_q_product_quantization)

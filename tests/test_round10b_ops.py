@@ -146,3 +146,57 @@ def test_null_pattern_audit_joint_flags(spark):
         ).collect()
     }
     assert out == {(0, 1): (1, 1), (1, 1): (2, 2), (0, 0): (1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# product_quantize
+
+
+def test_pq_exact_codeword_has_zero_error(spark):
+    from tabular_to_parquet_spark.operators.similarity import (
+        PQ_CODES,
+        pq_codebooks,
+        product_quantize,
+    )
+
+    books = pq_codebooks()
+    vec = [v for book in books for v in book[2]]  # codeword 2 everywhere
+    emb = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<double>"
+    )
+    row = product_quantize(emb).head()
+    assert [row[f"code_s{s}"] for s in range(4)] == [2, 2, 2, 2]
+    assert row["err_sq_fixed"] == 0
+    assert row["pq_code"] == ((2 * PQ_CODES + 2) * PQ_CODES + 2) * PQ_CODES + 2
+
+
+def test_pq_tie_breaks_to_lowest_code(spark):
+    # a vector equidistant from two codewords must take the lower code:
+    # use the midpoint of codewords 0 and 1 in every subspace. Fixed-
+    # point floor makes exact midpoints unlikely to tie by accident, so
+    # assert the invariant structurally: distance(code) == min distance
+    # implies code <= any other argmin candidate — verified by scanning
+    # the corpus output for agreement with a NumPy recomputation.
+    import numpy as np
+
+    from tabular_to_parquet_spark.operators.similarity import (
+        pq_codebooks_fixed,
+        product_quantize,
+    )
+
+    rng = [(i, [((i * 37 + d * 11) % 200 - 100) / 100.0 for d in range(64)])
+           for i in range(40)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in product_quantize(emb).collect()}
+    books = pq_codebooks_fixed()
+    for vid, vec in rng:
+        f = np.floor(np.array(vec) * 1048576.0).astype(np.int64)
+        total = 0
+        for s, book in enumerate(books):
+            sl = f[s * 16:(s + 1) * 16]
+            dists = [int(((sl - np.array(cw)) ** 2).sum()) for cw in book]
+            best = min(dists)
+            code = dists.index(best)  # first occurrence = lowest code
+            assert out[vid][f"code_s{s}"] == code
+            total += best
+        assert out[vid]["err_sq_fixed"] == total
