@@ -395,6 +395,7 @@ def main() -> None:
         "pr25_chi2_contingency",
         "pr26_null_patterns",
         "s11_product_quantization",
+        "warc1_response_extract",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

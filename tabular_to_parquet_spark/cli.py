@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--format",
         choices=["delimited", "jsonl", "orc", "avro", "ipc", "fixed-width",
-                 "logfmt", "xml"],
+                 "logfmt", "xml", "warc"],
         default="delimited",
         help="input wire format (default: delimited text with sniffed "
         "delimiter); every format runs the same inference + lenient-cast "
@@ -180,6 +180,14 @@ def _convert_other_format(spark, args, input_path: str, output_path: str) -> int
         names, types, _ = convert_fixed_width_to_parquet(
             spark, input_path, output_path, fields_from_widths(pairs),
             infer_full=args.infer_full_schema,
+        )
+    elif args.format == "warc":
+        from tabular_to_parquet_spark.sources.warc import (
+            convert_warc_to_parquet,
+        )
+
+        names, types, _rows = convert_warc_to_parquet(
+            spark, input_path, output_path
         )
     elif args.format == "xml":
         from tabular_to_parquet_spark.sources.xml_source import (

@@ -337,3 +337,136 @@ FROM coded
 
 
 register("s11_product_quantization", _s11_oracle())(_q_product_quantization)
+
+
+# ---------------------------------------------------------------------------
+# warc1/warc2 — WARC source (ISO 28500): the crawl-archive format LLM
+# corpora start from.  NEW SOURCE FORMAT (sources/warc.py): binaryFile
+# scan -> Arrow-batched mapInPandas record parse, one task per archive
+# file — Common Crawl's own unit of parallelism.  The fixture covers
+# all three wire layouts (plain, whole-file gzip, gzip-member-per-
+# record) and mixes a non-response record into every file so the type
+# filter is exercised.
+
+_WARC_EPOCH = 1709251200  # 2024-03-01T00:00:00Z
+
+
+def _build_warc_fixture(spark, sf_dir) -> str:
+    import gzip
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    from tabular_to_parquet_spark.parity.extensions import _fixture_pdf
+    from tabular_to_parquet_spark.sources import warc
+
+    pdf = _fixture_pdf(_docs(spark, sf_dir).select("doc_id", "text"))
+    pdf = pdf.sort_values("doc_id")
+    tmp = tempfile.mkdtemp(prefix="warc_fix_")
+    docs = list(pdf.itertuples(index=False))
+    n_parts = 4
+    for i in range(n_parts):
+        recs = [
+            warc.write_warc_record(
+                {
+                    "WARC-Type": "warcinfo",
+                    "WARC-Record-ID": f"<urn:uuid:info-{i}>",
+                    "WARC-Date": "2024-03-01T00:00:00Z",
+                },
+                b"software: fixture\r\n",
+            )
+        ]
+        for row in docs[i::n_parts]:
+            body = row.text.encode("utf-8")
+            ts = datetime.fromtimestamp(
+                _WARC_EPOCH + int(row.doc_id), tz=timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            recs.append(
+                warc.write_warc_record(
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:doc-{row.doc_id}>",
+                        "WARC-Target-URI": (
+                            f"http://corpus.example/doc/{row.doc_id}"
+                        ),
+                        "WARC-Date": ts,
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    warc.http_response_payload(body),
+                )
+            )
+        if i == 1:  # whole-file gzip
+            blob = gzip.compress(b"".join(recs), mtime=0)
+            name = f"part-{i}.warc.gz"
+        elif i == 3:  # one gzip member per record (the standard layout)
+            blob = b"".join(warc.gzip_member(r) for r in recs)
+            name = f"part-{i}.warc.gz"
+        else:
+            blob = b"".join(recs)
+            name = f"part-{i}.warc"
+        with open(os.path.join(tmp, name), "wb") as fh:
+            fh.write(blob)
+    return tmp
+
+
+_WARC_PROJECTION_ORACLE = f"""
+SELECT doc_id,
+       CAST(200 AS BIGINT) AS http_status,
+       'text/plain' AS content_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       CAST({_WARC_EPOCH} + doc_id AS BIGINT) AS warc_epoch_s,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
+def _warc_extract(df):
+    from tabular_to_parquet_spark.sources.warc import WARC_SCHEMA  # noqa: F401
+
+    return df.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
+        F.col("payload_len").cast("long").alias("payload_len"),
+        F.unix_timestamp("warc_date").cast("long").alias("warc_epoch_s"),
+        F.md5("http_body").alias("body_md5"),
+    )
+
+
+def _q_warc_responses(spark, sf_dir):
+    """Extract the response records across all three .warc/.warc.gz
+    layouts and recover each document exactly (status, content-type,
+    byte length, timestamp, body md5) — proving the parse, the HTTP
+    split, the gzip member handling, and the binary payload path in
+    one query."""
+    from tabular_to_parquet_spark.sources.warc import read_warc_python
+
+    tmp = _build_warc_fixture(spark, sf_dir)
+    return _warc_extract(read_warc_python(spark, tmp))
+
+
+register("warc1_response_extract", _WARC_PROJECTION_ORACLE)(_q_warc_responses)
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    """The conversion-product path: WARC -> typed zstd parquet
+    (convert_warc_to_parquet, the --format warc CLI branch) -> read
+    back -> same projection; proves the extraction schema (timestamp,
+    int, binary) survives the parquet sink bit-exactly."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.warc import convert_warc_to_parquet
+
+    tmp = _build_warc_fixture(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="warc2_"), "warc.parquet")
+    cols, types, _rows = convert_warc_to_parquet(spark, tmp, out)
+    assert types is None, "typed extraction must skip inference"
+    return _warc_extract(spark.read.parquet(out))
+
+
+register("warc2_conversion_roundtrip", _WARC_PROJECTION_ORACLE)(
+    _q_warc_roundtrip
+)
