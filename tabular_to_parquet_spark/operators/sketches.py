@@ -139,3 +139,64 @@ def cms_sql(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> dict[str, str]:
         )
 
     return {"js": f"(SELECT unnest([{js}]) AS j)", "bucket": bucket}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (own deterministic construction)
+
+HLL_BUCKETS = 64  # p = 6
+HLL_W_BITS = 48  # rank window inside the 60-bit md5 hash
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic HLL register table over ``key_col``: bucket =
+    h % 64 of the md5-derived 60-bit hash, register = max over keys of
+    (49 - bit_length(w48)) where w48 is the next 48 hash bits — the
+    leading-zero rank, computed exactly in both engines via
+    ``length(bin(x))`` (no floats, no platform clz).
+
+    Unlike ``approx_count_distinct`` the register STATE is a first-
+    class bounded DataFrame (<= 64 rows), which is what makes the
+    sketch mergeable BY QUERY: union partials, per-bucket MAX.
+    Duplicates can't move a max, so the estimate depends only on the
+    distinct key set — the property st11 certifies through the
+    micro-batch path."""
+    from tabular_to_parquet_spark.functions.hashing import md5_i64
+
+    h = md5_i64(F.col(key_col).cast("string"), seed="hll")
+    # h div 64 via shiftright — exact for the full 60-bit range (a
+    # double-division cast would round past 2^53)
+    w48 = F.shiftright(h, 6).bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    bits = F.when(w48 == 0, F.lit(0)).otherwise(
+        F.length(F.bin(w48)).cast("long")
+    )
+    return (
+        df.select(
+            F.pmod(h, F.lit(HLL_BUCKETS)).cast("long").alias("bucket"),
+            (F.lit(HLL_W_BITS + 1) - bits).cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("register"))
+    )
+
+
+def hll_sql(key_expr: str) -> str:
+    """DuckDB relation computing the identical register table."""
+    from tabular_to_parquet_spark.functions.hashing import HEX_CHARS
+
+    h = (
+        f"(('0x' || substr(md5('hll#' || {key_expr}), 1, {HEX_CHARS}))::BIGINT)"
+    )
+    return f"""(
+    WITH hh AS (SELECT {h} AS h FROM __HLL_SRC__),
+    wb AS (
+        SELECT h % {HLL_BUCKETS} AS bucket,
+               (h // {HLL_BUCKETS}) % {1 << HLL_W_BITS} AS w48
+        FROM hh
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX({HLL_W_BITS + 1} -
+                    (CASE WHEN w48 = 0 THEN 0 ELSE length(bin(w48)) END))
+                AS BIGINT) AS register
+    FROM wb GROUP BY bucket
+)"""

@@ -470,3 +470,69 @@ def _q_warc_roundtrip(spark, sf_dir):
 register("warc2_conversion_roundtrip", _WARC_PROJECTION_ORACLE)(
     _q_warc_roundtrip
 )
+
+
+# ---------------------------------------------------------------------------
+# st11 — streaming HLL registers == batch registers (max-merge
+# linearity; the st10 companion with the OTHER merge algebra: CMS
+# merges by sum — at-least-once replays over-count — HLL merges by
+# max, so replays are free idempotent no-ops).
+
+
+def _q_stream_hll(spark, sf_dir):
+    """Events arrive as three mtime-pinned single-file micro-batches;
+    each appends its <=64-row partial register table, and the drained
+    per-bucket MAX must equal the one-shot batch sketch exactly (the
+    register construction is deterministic md5 arithmetic, so DuckDB
+    re-derives it value-for-value).  Final merge aggregates <=3*64
+    partial rows — O(1) in corpus size."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_to_parquet_spark.parity.extensions import _fixture_pdf
+    from tabular_to_parquet_spark.streaming.streams import stream_hll
+
+    events = _fixture_pdf(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="st11_hll_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    third = max(1, len(events) // 3)
+    waves = (
+        events.iloc[:third],
+        events.iloc[third : 2 * third],
+        events.iloc[2 * third :],
+    )
+    for i, wave in enumerate(waves):
+        if wave.empty:
+            continue
+        path = os.path.join(in_dir, f"w{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = stream_hll(
+        spark, in_dir, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(tmp, "out"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.max("register").cast("long").alias("register"))
+    )
+
+
+def _st11_oracle() -> str:
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    rel = sk.hll_sql("CAST(user_id AS VARCHAR)").replace(
+        "__HLL_SRC__", "events"
+    )
+    return f"SELECT bucket, register FROM {rel} AS hll"
+
+
+register("st11_stream_hll", _st11_oracle())(_q_stream_hll)

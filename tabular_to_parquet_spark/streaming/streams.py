@@ -778,3 +778,44 @@ def stream_countmin(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming HLL register build: each micro-batch appends its own
+    <=64-row partial register table (operators/sketches.hll_registers);
+    the live sketch at any moment is the per-bucket MAX over appended
+    partials.  HLL merges by register max — idempotent AND
+    commutative, so unlike the CMS sum-merge (st10's at-least-once
+    caveat) a RETRIED micro-batch cannot change the result: max-merge
+    sketches are exactly-once under at-least-once delivery for free.
+    st11 pins streamed == one-shot batch equality through the
+    micro-batch path.
+
+    Per micro-batch cost: one bucket-keyed agg over the batch only;
+    state is the 64-row grid, never the key set."""
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk.hll_registers(batch_df, key_col).write.mode("append").parquet(
+            output_dir
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

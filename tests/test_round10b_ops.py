@@ -200,3 +200,63 @@ def test_pq_tie_breaks_to_lowest_code(spark):
             assert out[vid][f"code_s{s}"] == code
             total += best
         assert out[vid]["err_sq_fixed"] == total
+
+
+# ---------------------------------------------------------------------------
+# hll_registers
+
+
+def test_hll_duplicates_cannot_move_registers(spark):
+    from tabular_to_parquet_spark.operators.sketches import hll_registers
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(200)], "user_id long"
+    )
+    dup = base.union(base).union(base.limit(50))
+    a = {r["bucket"]: r["register"] for r in hll_registers(base, "user_id").collect()}
+    b = {r["bucket"]: r["register"] for r in hll_registers(dup, "user_id").collect()}
+    assert a == b
+
+
+def test_hll_max_merge_equals_batch_and_is_replay_proof(spark):
+    import pyspark.sql.functions as F
+
+    from tabular_to_parquet_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame([(i * 31 % 997,) for i in range(600)], "user_id long")
+    parts = [
+        df.filter(F.pmod(F.col("user_id"), F.lit(3)) == k) for k in range(3)
+    ]
+    # union of per-part partials + a REPLAYED part (at-least-once), max-merged
+    partials = hll_registers(parts[0], "user_id")
+    for p in parts[1:] + [parts[1]]:
+        partials = partials.union(hll_registers(p, "user_id"))
+    merged = {
+        r["bucket"]: r["register"]
+        for r in partials.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .collect()
+    }
+    batch = {
+        r["bucket"]: r["register"] for r in hll_registers(df, "user_id").collect()
+    }
+    assert merged == batch
+
+
+def test_hll_register_range_and_estimate_sanity(spark):
+    import math
+
+    from tabular_to_parquet_spark.operators.sketches import (
+        HLL_BUCKETS,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "user_id long")
+    regs = {r["bucket"]: r["register"] for r in hll_registers(df, "user_id").collect()}
+    assert all(1 <= v <= 49 for v in regs.values())
+    assert len(regs) == HLL_BUCKETS  # 5000 keys: every bucket hit
+    # standard HLL estimator within the 1.04/sqrt(m)*5 band (~65%)
+    m = HLL_BUCKETS
+    est = 0.709 * m * m / sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    assert abs(est - n) / n < 5 * 1.04 / math.sqrt(m)
