@@ -397,6 +397,7 @@ def main() -> None:
         "s11_product_quantization",
         "warc1_response_extract",
         "st11_stream_hll",
+        "s12_mmr_selection",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

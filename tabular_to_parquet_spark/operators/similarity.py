@@ -948,3 +948,90 @@ def product_quantize(
         packed.cast("long").alias("pq_code"),
         err_total.cast("long").alias("err_sq_fixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) greedy diverse selection — the
+# exemplar-picking op "give me k docs that are relevant AND not
+# redundant" (diversity sampling for training-data curation, dedup's
+# constructive dual: instead of dropping near-duplicates, never pick
+# two of them).
+
+MMR_SCALE = 1048576.0  # 2^20 fixed point (s09/s11 domain)
+
+
+def _fixed_vec(col: Column) -> Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(MMR_SCALE)).cast("long")
+    )
+
+
+def _fixed_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def mmr_select(
+    emb: DataFrame, query_fixed: list[int], k: int = 5, exclude_ids=()
+) -> list[dict]:
+    """Greedy MMR with lambda = 1/2 in exact 2^20 fixed point: round r
+    picks argmax over remaining candidates of
+    ``score = rel - max_sim_to_selected`` (both int64 dot products of
+    floored coordinates; 64 * 2^42 < 2^48, overflow-safe), ties to the
+    lowest vec_id.
+
+    Scale shape: every round is ONE distributed projection over the
+    corpus plus a TakeOrdered top-1 (no global sort shuffle); the
+    selected set — k rows of 64 ints — is the only driver round-trip,
+    the kmeans_fixed bounded-model-state rule.  Returns the k picks as
+    dicts (rank, vec_id, rel_fixed, max_sim_fixed, score_fixed)."""
+    qf = F.array(*[F.lit(int(v)).cast("long") for v in query_fixed])
+    base = emb
+    if exclude_ids:
+        base = base.filter(~F.col("vec_id").isin(*[int(i) for i in exclude_ids]))
+    cand = base.select(
+        "vec_id",
+        _fixed_vec(F.col("embedding")).alias("df"),
+    ).withColumn("rel", _fixed_dot(F.col("df"), qf))
+    cand = cand.persist()
+    try:
+        picked: list[dict] = []
+        sel_vecs: list[list[int]] = []
+        for r in range(1, k + 1):
+            frame = cand
+            if picked:
+                frame = frame.filter(
+                    ~F.col("vec_id").isin(*[p["vec_id"] for p in picked])
+                )
+                sims = [
+                    _fixed_dot(
+                        F.col("df"),
+                        F.array(*[F.lit(v).cast("long") for v in sv]),
+                    )
+                    for sv in sel_vecs
+                ]
+                ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            else:
+                ms = F.lit(0).cast("long")
+            scored = frame.withColumn("ms", ms).withColumn(
+                "score", F.col("rel") - F.col("ms")
+            )
+            top = scored.orderBy(
+                F.col("score").desc(), F.col("vec_id")
+            ).limit(1).collect()[0]
+            picked.append(
+                {
+                    "rank": r,
+                    "vec_id": top["vec_id"],
+                    "rel_fixed": top["rel"],
+                    "max_sim_fixed": int(top["ms"]),
+                    "score_fixed": top["score"],
+                }
+            )
+            sel_vecs.append([int(v) for v in top["df"]])
+        return picked
+    finally:
+        cand.unpersist()

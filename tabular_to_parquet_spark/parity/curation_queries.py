@@ -536,3 +536,99 @@ def _st11_oracle() -> str:
 
 
 register("st11_stream_hll", _st11_oracle())(_q_stream_hll)
+
+
+# ---------------------------------------------------------------------------
+# s12 — MMR diverse selection (greedy argmax with anti-redundancy):
+# dedup's constructive dual — instead of dropping near-duplicates,
+# never PICK two of them.  Iterative-with-bounded-state like s08's
+# Lloyd rounds; the oracle is the g03-rule unroll (every round's CTE
+# AS MATERIALIZED).
+
+
+def _q_mmr_selection(spark, sf_dir):
+    """similarity.mmr_select: 5 greedy rounds over the corpus, query =
+    vec 0, lambda = 1/2 (score = rel - max_sim, both exact int64
+    fixed-point dots).  Each round is one distributed projection + a
+    TakeOrdered top-1; only the 5x64-int selected set round-trips the
+    driver."""
+    import math
+
+    from tabular_to_parquet_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    qf = [math.floor(float(v) * 1048576.0) for v in q]
+    rows = similarity.mmr_select(emb, qf, k=5, exclude_ids=(0,))
+    return spark.createDataFrame(
+        [
+            (
+                r["rank"],
+                r["vec_id"],
+                r["rel_fixed"],
+                r["max_sim_fixed"],
+                r["score_fixed"],
+            )
+            for r in rows
+        ],
+        "rank long, vec_id long, rel_fixed long, max_sim_fixed long, "
+        "score_fixed long",
+    )
+
+
+def _s12_oracle(k: int = 5) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    fx = (
+        "list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+    SELECT {fx} AS qf FROM embeddings WHERE vec_id = 0
+),
+cand AS MATERIALIZED (
+    SELECT vec_id, {fx} AS df FROM embeddings WHERE vec_id <> 0
+),
+rel AS MATERIALIZED (
+    SELECT c.vec_id, c.df, {dot('c.df', 'q.qf')} AS rel
+    FROM cand c CROSS JOIN q
+),
+p1 AS MATERIALIZED (
+    SELECT vec_id, df, rel, CAST(0 AS BIGINT) AS ms, rel AS score
+    FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id, df FROM p1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+sc{r} AS MATERIALIZED (
+    SELECT c.vec_id, c.df, c.rel, MAX({dot('c.df', 's.df')}) AS ms
+    FROM rel c CROSS JOIN sel{r - 1} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+    GROUP BY c.vec_id, c.df, c.rel
+),
+p{r} AS MATERIALIZED (
+    SELECT vec_id, df, rel, ms, rel - ms AS score
+    FROM sc{r} ORDER BY score DESC, vec_id LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+    SELECT vec_id, df FROM sel{r - 1}
+    UNION ALL SELECT vec_id, df FROM p{r}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, "
+        f"CAST(rel AS BIGINT) AS rel_fixed, CAST(ms AS BIGINT) AS max_sim_fixed, "
+        f"CAST(score AS BIGINT) AS score_fixed FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
+register("s12_mmr_selection", _s12_oracle())(_q_mmr_selection)

@@ -260,3 +260,86 @@ def test_hll_register_range_and_estimate_sanity(spark):
     m = HLL_BUCKETS
     est = 0.709 * m * m / sum(2.0 ** -regs.get(b, 0) for b in range(m))
     assert abs(est - n) / n < 5 * 1.04 / math.sqrt(m)
+
+
+# ---------------------------------------------------------------------------
+# mmr_select
+
+
+def _mmr_brute(vecs: dict[int, list[float]], qf: list[int], k: int):
+    import math
+
+    fx = {
+        i: [math.floor(x * 1048576.0) for x in v] for i, v in vecs.items()
+    }
+    rel = {i: sum(a * b for a, b in zip(f, qf)) for i, f in fx.items()}
+    picked, out = [], []
+    for r in range(1, k + 1):
+        best = None
+        for i in sorted(fx):
+            if i in picked:
+                continue
+            ms = max(
+                (sum(a * b for a, b in zip(fx[i], fx[j])) for j in picked),
+                default=0,
+            )
+            cand = (rel[i] - ms, i, ms)
+            if best is None or cand[0] > best[0] or (
+                cand[0] == best[0] and cand[1] < best[1]
+            ):
+                best = cand
+        picked.append(best[1])
+        out.append((r, best[1], rel[best[1]], best[2], best[0]))
+    return out
+
+
+def test_mmr_skips_planted_duplicate(spark):
+    import math
+
+    from tabular_to_parquet_spark.operators.similarity import mmr_select
+
+    pad = [0.0] * 62
+    vecs = {
+        1: [0.9, 0.1] + pad,   # top relevance
+        2: [0.9, 0.1] + pad,   # exact duplicate of 1
+        3: [0.5, -0.5] + pad,  # less relevant but diverse
+    }
+    q = [1.0, 0.0] + pad
+    qf = [math.floor(x * 1048576.0) for x in q]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    rows = mmr_select(emb, qf, k=2)
+    assert rows[0]["vec_id"] == 1  # ties to lowest id between 1 and 2
+    assert rows[1]["vec_id"] == 3  # the duplicate loses to the diverse doc
+    assert rows == [
+        {
+            "rank": r,
+            "vec_id": v,
+            "rel_fixed": rel,
+            "max_sim_fixed": ms,
+            "score_fixed": sc,
+        }
+        for r, v, rel, ms, sc in _mmr_brute(vecs, qf, 2)
+    ]
+
+
+def test_mmr_matches_bruteforce(spark):
+    import math
+
+    from tabular_to_parquet_spark.operators.similarity import mmr_select
+
+    vecs = {
+        i: [((i * 13 + d * 7) % 41 - 20) / 20.0 for d in range(64)]
+        for i in range(1, 30)
+    }
+    q = [((d * 3) % 17 - 8) / 8.0 for d in range(64)]
+    qf = [math.floor(x * 1048576.0) for x in q]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["rel_fixed"], r["max_sim_fixed"], r["score_fixed"])
+        for r in mmr_select(emb, qf, k=5)
+    ]
+    assert got == _mmr_brute(vecs, qf, 5)
