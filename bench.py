@@ -398,6 +398,7 @@ def main() -> None:
         "warc1_response_extract",
         "st11_stream_hll",
         "s12_mmr_selection",
+        "st12_stream_pareto",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -632,3 +632,68 @@ sel{r} AS MATERIALIZED (
 
 
 register("s12_mmr_selection", _s12_oracle())(_q_mmr_selection)
+
+
+# ---------------------------------------------------------------------------
+# st12 — streaming Pareto frontier == batch frontier.  The third merge
+# algebra in the streaming-sketch family: CMS merges by SUM (st10,
+# replays over-count), HLL by MAX (st11, replays free), the skyline by
+# DOMINANCE ELIMINATION (sub-semilattice: skyline(A∪B) =
+# skyline(skyline(A)∪skyline(B))) — certified against the SAME oracle
+# as the batch query a40.
+
+
+def _q_stream_pareto(spark, sf_dir):
+    """The a40 projection arrives as three mtime-pinned micro-batches;
+    each appends its batch-local frontier, and the skyline over the
+    appended survivors must equal the one-shot corpus skyline
+    exactly."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_to_parquet_spark.operators.ordering import pareto_frontier_2d
+    from tabular_to_parquet_spark.parity.extensions import _fixture_pdf
+    from tabular_to_parquet_spark.streaming.streams import stream_pareto
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").alias("len_chars"),
+        F.size(F.array_distinct(ta.tokens(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("n_types"),
+    )
+    pdf = _fixture_pdf(base.orderBy("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="st12_sky_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    third = max(1, len(pdf) // 3)
+    waves = (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+    for i, wave in enumerate(waves):
+        if wave.empty:
+            continue
+        path = os.path.join(in_dir, f"w{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = stream_pareto(
+        spark,
+        in_dir,
+        os.path.join(tmp, "out"),
+        os.path.join(tmp, "ckpt"),
+        "len_chars",
+        "n_types",
+    )
+    q.awaitTermination()
+    survivors = spark.read.parquet(os.path.join(tmp, "out"))
+    return pareto_frontier_2d(
+        survivors, "len_chars", "n_types", bucket=F.pmod(F.col("doc_id"), F.lit(32))
+    ).select("doc_id", "len_chars", "n_types")
+
+
+from tabular_to_parquet_spark.parity.catalog import CATALOG as _CATALOG  # noqa: E402
+
+register("st12_stream_pareto", _CATALOG["a40_pareto_frontier"].oracle)(
+    _q_stream_pareto
+)

@@ -819,3 +819,51 @@ def stream_hll(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_pareto(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    x_col: str,
+    y_col: str,
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming 2-D Pareto frontier: each micro-batch appends its own
+    LOCAL skyline (ordering.pareto_frontier_2d over the batch); the
+    live frontier at any moment is the skyline over the appended
+    survivors.  Correct because skylines form a sub-semilattice:
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — the third
+    merge algebra in the st10/st11 family (CMS: sum, HLL: max,
+    skyline: dominance-elimination).  Replays are idempotent at the
+    SET level: a re-appended survivor duplicates a row but cannot
+    change which points are on the frontier, and exact duplicates
+    survive dominance together by definition.
+
+    Per micro-batch cost: two partitioned window passes over the batch
+    only; appended state is the per-batch frontier (for any real
+    metric pair, orders of magnitude below the batch)."""
+    from pyspark.sql import functions as F
+
+    from tabular_to_parquet_spark.operators.ordering import pareto_frontier_2d
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        local = pareto_frontier_2d(
+            batch_df, x_col, y_col,
+            bucket=F.spark_partition_id() % F.lit(32),
+        )
+        local.write.mode("append").parquet(output_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

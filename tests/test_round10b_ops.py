@@ -343,3 +343,38 @@ def test_mmr_matches_bruteforce(spark):
         for r in mmr_select(emb, qf, k=5)
     ]
     assert got == _mmr_brute(vecs, qf, 5)
+
+
+# ---------------------------------------------------------------------------
+# stream_pareto (the merge algebra, without the streaming harness)
+
+
+def test_skyline_of_skylines_identity(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, (i * 7) % 23, (i * 5) % 19) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    whole = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in pareto_frontier_2d(
+            df, "x", "y", bucket=F.pmod(F.col("id"), F.lit(4))
+        ).collect()
+    )
+    # micro-batch simulation: per-wave local skylines (one wave REPLAYED
+    # — the at-least-once case), then the skyline of the union
+    waves = [
+        df.filter(F.pmod(F.col("id"), F.lit(3)) == k) for k in range(3)
+    ]
+    partials = None
+    for w in waves + [waves[2]]:
+        local = pareto_frontier_2d(w, "x", "y", bucket=F.pmod(F.col("id"), F.lit(4)))
+        partials = local if partials is None else partials.union(local)
+    merged = sorted(
+        set(
+            (r["id"], r["x"], r["y"])
+            for r in pareto_frontier_2d(
+                partials, "x", "y", bucket=F.pmod(F.col("id"), F.lit(4))
+            ).collect()
+        )
+    )
+    assert merged == whole
