@@ -697,3 +697,41 @@ from tabular_to_parquet_spark.parity.catalog import CATALOG as _CATALOG  # noqa:
 register("st12_stream_pareto", _CATALOG["a40_pareto_frontier"].oracle)(
     _q_stream_pareto
 )
+
+
+# ---------------------------------------------------------------------------
+# warc3 — distributed WARC writer roundtrip (the ipc3 shape on the new
+# format: write_warc emits one member-per-record .warc.gz per
+# partition executor-side + a _SUCCESS manifest the reader honors).
+
+
+def _q_warc_writer_roundtrip(spark, sf_dir):
+    """documents -> write_warc (4 partitions, executor-side, two-phase
+    manifest) -> read_warc_python -> the warc1 projection; same oracle
+    as warc1/warc2.  Completes the crawl-pipeline symmetry: ingest
+    (warc1), convert (warc2), re-archive (warc3)."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.sources.warc import (
+        read_warc_python,
+        write_warc,
+    )
+
+    frame = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://corpus.example/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.timestamp_seconds(F.lit(_WARC_EPOCH) + F.col("doc_id")).alias(
+            "warc_date"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("http_body"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="warc3_"), "arch")
+    write_warc(frame.repartition(4), out)
+    return _warc_extract(read_warc_python(spark, out))
+
+
+register("warc3_writer_roundtrip", _WARC_PROJECTION_ORACLE)(
+    _q_warc_writer_roundtrip
+)

@@ -60,7 +60,7 @@ def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(decode, schema=ddl)
 
 
-def _load_ipc_manifest(spark: SparkSession, path: str):
+def _load_ipc_manifest(spark: SparkSession, path: str, suffixes=(".arrow",)):
     """Best-effort read of ``{path}/_SUCCESS`` through the Hadoop
     FileSystem API — the SAME filesystem resolution the ``binaryFile``
     scan uses, so the manifest is honored however the directory is
@@ -95,7 +95,7 @@ def _load_ipc_manifest(spark: SparkSession, path: str):
     listed = [
         ln.split("\t")[0] for ln in text.splitlines() if ln.strip()
     ]
-    if not listed or not all(n.endswith(".arrow") for n in listed):
+    if not listed or not all(n.endswith(tuple(suffixes)) for n in listed):
         return None
     return listed
 

@@ -154,7 +154,19 @@ def read_warc_python(spark: SparkSession, path: str) -> DataFrame:
     content-type / body, non-HTTP payloads pass through opaque."""
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
+    from tabular_to_parquet_spark.sources.columnar import _load_ipc_manifest
+
     files = spark.read.format("binaryFile").load(path)
+    # honor a write_warc _SUCCESS manifest (same Hadoop-FS resolution
+    # and read-everything fallback as the IPC reader): torn/retried
+    # task output under unlisted names is never double-read
+    listed = _load_ipc_manifest(spark, path, suffixes=(".warc", ".warc.gz"))
+    if listed is not None:
+        files = files.where(
+            F.element_at(F.split(F.col("path"), "/"), -1).isin(listed)
+        )
 
     def decode(batches):
         for pdf in batches:
@@ -243,3 +255,74 @@ def gzip_member(record: bytes) -> bytes:
     with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
         gz.write(record)
     return out.getvalue()
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+    body_col: str = "http_body",
+    content_type: str = "text/plain",
+    status: int = 200,
+):
+    """WARC export sink — the re-archival half of the crawl pipeline
+    (filtered/deduped corpora are republished as WARC, e.g. the
+    Common Crawl derivative datasets).
+
+    One ``.warc.gz`` per input partition — member-per-record gzip, the
+    seekable layout — written EXECUTOR-SIDE from the partition's
+    Arrow batches (``mapInPandas``; control file count with
+    ``df.repartition(n)`` upstream; no driver collect).  Two-phase
+    like write_ipc: parts land under uuid names, the driver's
+    ``_SUCCESS`` manifest lists (file, rows), and ``read_warc_python``
+    honors the manifest, so torn/retried task output is never
+    double-read.  Returns [(file, rows)] from the manifest."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        fname = None
+        fh = None
+        n = 0
+        for pdf in batches:
+            if fh is None:
+                fname = os.path.join(path, f"part-{uuid.uuid4().hex}.warc.gz")
+                fh = open(fname, "wb")
+            for row in pdf.itertuples(index=False):
+                uri = getattr(row, uri_col)
+                dt = getattr(row, date_col)
+                body = bytes(getattr(row, body_col))
+                ts = pd.Timestamp(dt).strftime("%Y-%m-%dT%H:%M:%SZ")
+                rec = write_warc_record(
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:{uuid.uuid4()}>",
+                        "WARC-Target-URI": str(uri),
+                        "WARC-Date": ts,
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    http_response_payload(
+                        body, status=status, content_type=content_type
+                    ),
+                )
+                fh.write(gzip_member(rec))
+                n += 1
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame(
+                {"file": [os.path.basename(fname)], "rows": [n]}
+            )
+
+    manifest = [
+        (r["file"], int(r["rows"]))
+        for r in df.mapInPandas(dump, "file string, rows bigint").collect()
+    ]
+    with open(os.path.join(path, "_SUCCESS"), "w") as fh:
+        for name, rows in sorted(manifest):
+            fh.write(f"{name}\t{rows}\n")
+    return manifest

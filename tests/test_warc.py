@@ -102,3 +102,29 @@ def test_convert_cli_branch(spark, tmp_path):
     assert back.count() == 1
     assert dict(back.dtypes)["warc_date"] == "timestamp"
     assert dict(back.dtypes)["http_body"] == "binary"
+
+
+def test_write_warc_roundtrip_and_manifest(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "arch")
+    src = spark.range(0, 40).select(
+        F.concat(F.lit("http://ex.com/doc/"), F.col("id")).alias("target_uri"),
+        F.timestamp_seconds(F.lit(1709251200) + F.col("id")).alias("warc_date"),
+        F.encode(F.concat(F.lit("body-"), F.col("id")), "UTF-8").alias(
+            "http_body"
+        ),
+    )
+    manifest = warc.write_warc(src.repartition(3), out)
+    assert sum(n for _, n in manifest) == 40
+    assert len(manifest) <= 3 and all(f.endswith(".warc.gz") for f, _ in manifest)
+
+    back = warc.read_warc_python(spark, out)
+    assert back.count() == 40
+
+    # torn-task simulation: an UNLISTED orphan part must be ignored
+    import shutil
+
+    parts = sorted((tmp_path / "arch").glob("part-*.warc.gz"))
+    shutil.copy(parts[0], tmp_path / "arch" / ("part-" + "0" * 32 + ".warc.gz"))
+    assert warc.read_warc_python(spark, out).count() == 40
