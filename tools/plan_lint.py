@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "x32_association_rules": "1-row scalar aggregate (basket total)",
     "a16_decile_stats_scale": "1-row scalar aggregate (total row count for ntile)",
     "x42_vocab_growth": "1-row scalar aggregate (corpus max doc id)",
+    "pr27_hll_estimate_audit": "1-row x 1-row aggregate cross join (estimator inputs)",
     "pl35_quality_dup_calibration_scale": "1-row scalar aggregate (total row count for ntile)",
     # bounded literal fan-out
     "pl26_epoch_shuffle": "broadcast 3-row literal epoch range",

@@ -269,10 +269,59 @@ def suite(
         "ipc_writer": lambda: _catalog()["ipc3_writer_roundtrip"].spark(
             spark, sf_dir
         ).write.format("noop").mode("overwrite").save(),
+        # round-10 continuation families (catalog entries against the
+        # replica dir). vocab_growth and pareto_frontier run on the
+        # STANDARD replica: token/point keyed aggs grow linearly with
+        # copies (exact-duplicate texts collapse first-occurrence
+        # ownership into the lowest-id copy and duplicate frontier
+        # points survive dominance together — both fine for the wall
+        # measurement, noted so the output shapes aren't misread).
+        "vocab_growth": lambda: _noop(
+            _catalog()["x42_vocab_growth"].spark(spark, sf_dir)
+        ),
+        "pareto_frontier": lambda: _noop(
+            _catalog()["a40_pareto_frontier"].spark(spark, sf_dir)
+        ),
+        "product_quantization": lambda: _noop(
+            _catalog()["s11_product_quantization"].spark(spark, sf_dir)
+        ),
+        "mmr_selection": lambda: _noop(
+            _catalog()["s12_mmr_selection"].spark(spark, sf_dir)
+        ),
+        "stream_hll": lambda: _noop(
+            _catalog()["st11_stream_hll"].spark(spark, sf_dir)
+        ),
+        # WARC leg: distributed write (32 parts at replica scale) then
+        # read+extract — measures BOTH halves of the archive path
+        "warc_write_read": lambda: _warc_leg(spark, sf_dir, work),
     }
 
 
+def _warc_leg(spark, sf_dir: str, work: str) -> None:
+    import os
+
+    from tabular_to_parquet_spark.sources.warc import (
+        read_warc_python,
+        write_warc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.concat(F.lit("http://corpus.example/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.timestamp_seconds(F.lit(1709251200) + F.col("doc_id")).alias(
+            "warc_date"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("http_body"),
+    )
+    out = os.path.join(work, "warc_arch")
+    write_warc(frame.repartition(32), out)
+    _noop(read_warc_python(spark, out))
+
+
 def _catalog():
+    from tabular_to_parquet_spark.parity import curation_queries as _cur  # noqa: F401
     from tabular_to_parquet_spark.parity import extensions as _ext  # noqa: F401
     from tabular_to_parquet_spark.parity.catalog import CATALOG
 
