@@ -401,6 +401,7 @@ def main() -> None:
         "st12_stream_pareto",
         "warc3_writer_roundtrip",
         "pr27_hll_estimate_audit",
+        "tar1_csv_members",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -810,3 +810,74 @@ SELECT m, harmonic_num, zero_registers, exact_distinct FROM s CROSS JOIN d
 
 
 register("pr27_hll_estimate_audit", _pr27_oracle())(_q_hll_estimate_audit)
+
+
+# ---------------------------------------------------------------------------
+# tar1 — TAR container source (archives of delimited members through
+# the SHARED inference + lenient-cast pipeline; sources/tar_source.py).
+
+
+def _q_tar_csv_members(spark, sf_dir):
+    """Two archives (one .tar, one .tar.gz) x three CSV members each,
+    holding the ipc2 stringly lineitem slice -> convert_tar_csv_to_
+    parquet (binaryFile -> executor-side tarfile + csv.reader ->
+    shared inference -> lenient casts -> zstd parquet): int64, float64,
+    string, ms-timestamp all recovered from text.  Same oracle as the
+    other stringly-container formats."""
+    import csv as _csv
+    import io as _io
+    import os
+    import tarfile as _tarfile
+    import tempfile
+
+    from tabular_to_parquet_spark.parity.extensions import _fixture_pdf
+    from tabular_to_parquet_spark.sources.tar_source import (
+        convert_tar_csv_to_parquet,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 250000  # bounded fixture; see avro1
+    )
+    pdf = _fixture_pdf(
+        li.select(
+            F.col("l_orderkey").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_returnflag").cast("string"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "l_shipdate"
+            ),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="tar1_")
+    arch_dir = os.path.join(tmp, "archives")
+    os.makedirs(arch_dir)
+    n_arch, n_members = 2, 3
+    step = max(1, (len(pdf) + n_arch * n_members - 1) // (n_arch * n_members))
+    chunks = [pdf.iloc[i : i + step] for i in range(0, len(pdf), step)]
+    for a in range(n_arch):
+        gz = a == 1
+        name = os.path.join(arch_dir, f"dump-{a}.tar" + (".gz" if gz else ""))
+        with _tarfile.open(name, "w:gz" if gz else "w") as tf:
+            for m in range(n_members):
+                idx = a * n_members + m
+                part = chunks[idx] if idx < len(chunks) else pdf.iloc[0:0]
+                buf = _io.StringIO()
+                w = _csv.writer(buf)
+                w.writerow(list(pdf.columns))
+                for row in part.itertuples(index=False):
+                    w.writerow(list(row))
+                data = buf.getvalue().encode("utf-8")
+                info = _tarfile.TarInfo(name=f"member-{a}-{m}.csv")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+    out = os.path.join(tmp, "lineitem_tar.parquet")
+    names, types, _rows = convert_tar_csv_to_parquet(spark, arch_dir, out)
+    assert types is not None, "tar members must run inference"
+    return spark.read.parquet(out)
+
+
+register("tar1_csv_members", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem WHERE l_orderkey < 250000
+""")(_q_tar_csv_members)

@@ -288,8 +288,16 @@ def suite(
         "mmr_selection": lambda: _noop(
             _catalog()["s12_mmr_selection"].spark(spark, sf_dir)
         ),
-        "stream_hll": lambda: _noop(
-            _catalog()["st11_stream_hll"].spark(spark, sf_dir)
+        # st11's streaming harness is a FIXTURE roundtrip (driver-side
+        # wave materialization, capped at 2M rows by design — the avro
+        # rule); the scale-bound computation is the register build
+        # itself, so the leg measures hll_registers over the replica
+        # events directly (streaming adds O(1) state on top).
+        "hll_registers": lambda: _noop(
+            __import__(
+                "tabular_to_parquet_spark.operators.sketches",
+                fromlist=["hll_registers"],
+            ).hll_registers(load_table(spark, sf_dir, "events"), "user_id")
         ),
         # WARC leg: distributed write (32 parts at replica scale) then
         # read+extract — measures BOTH halves of the archive path
