@@ -684,6 +684,47 @@ def gen_agg_product_query(seed: int) -> str:
     )
 
 
+def gen_skyline_query(seed: int) -> str:
+    """Anti-dominance (skyline) queries — the a40 class: keep rows for
+    which NO other row is at-least-as-good on both of two integer
+    metrics and strictly better on one.  Exercises NOT EXISTS
+    anti-join planning with compound correlated predicates — a shape
+    no other generator emits.  Metrics are exact ints (counts / cents
+    sums) over a keyed aggregate, so dominance is decided identically
+    on both engines; the optimization direction per metric is fuzzed
+    (min/max), and half the seeds add a dominance tie-window LIMIT
+    behind the total order."""
+    rng = random.Random(seed)
+    fact, key = rng.choice([
+        ("orders", "o_custkey"),
+        ("lineitem", "l_suppkey"),
+        ("lineitem", "l_partkey"),
+        ("customer", "c_nationkey"),
+    ])
+    m = META[fact]
+    money = rng.choice(m["money"])
+    x = "CAST(COUNT(*) AS BIGINT)"
+    y = f"CAST(SUM(CAST(floor({money} * 100) AS BIGINT)) AS BIGINT)"
+    where = ""
+    if rng.random() < 0.5:
+        icol = rng.choice(m["ints"])
+        where = f" WHERE {icol} % {rng.randint(2, 5)} = {rng.randint(0, 1)}"
+    dx = rng.choice(["<", ">"])
+    dy = rng.choice(["<", ">"])
+    le_x = "<=" if dx == "<" else ">="
+    le_y = "<=" if dy == "<" else ">="
+    sql = (
+        f"WITH base AS (SELECT {key} AS k, {x} AS mx, {y} AS my"
+        f" FROM {fact}{where} GROUP BY {key}) "
+        f"SELECT d.k, d.mx, d.my FROM base d WHERE NOT EXISTS ("
+        f"SELECT 1 FROM base o WHERE o.mx {le_x} d.mx AND o.my {le_y} d.my"
+        f" AND (o.mx {dx} d.mx OR o.my {dy} d.my))"
+    )
+    if rng.random() < 0.5:
+        sql += f" ORDER BY d.k LIMIT {rng.randint(3, 40)}"
+    return sql
+
+
 def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str, str]]:
     """Returns a list of (seed, sql, reason) failures (empty = all match)."""
     failures = []
@@ -692,7 +733,8 @@ def run_fuzz(spark, con, n_queries: int, seed0: int = 0) -> list[tuple[int, str,
             gen_combined_query, gen_correlated_select_query,
             gen_outer_setop_query, gen_nested_in_query, gen_agg_of_agg_query,
             gen_window_over_join_query, gen_scalar_expr_query,
-            gen_cte_chain_query, gen_agg_product_query, gen_island_query]
+            gen_cte_chain_query, gen_agg_product_query, gen_island_query,
+            gen_skyline_query]
     for seed in range(seed0, seed0 + n_queries):
         sql = gens[seed % len(gens)](seed)
         try:
