@@ -402,6 +402,7 @@ def main() -> None:
         "warc3_writer_roundtrip",
         "pr27_hll_estimate_audit",
         "tar1_csv_members",
+        "x43_bpe_merge_learning",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

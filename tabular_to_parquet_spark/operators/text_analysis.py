@@ -453,3 +453,52 @@ def vocab_growth(
             F.sum("new_types").over(w).cast("long").alias("vocab_cum"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    marker: str = "@@",
+) -> DataFrame:
+    """LEARN byte-pair-style merges over the corpus — the training
+    half of the BPE story (functions/bpe.py applies a fixed merge
+    table; this derives one).  Each round: count adjacent token pairs
+    corpus-wide, take the most frequent (ties to the lexicographically
+    smallest pair — deterministic), rewrite the working text with the
+    pair fused by ``marker``, repeat.  Returns one row per round:
+    (round, pair, n) — the learned merge table with its evidence.
+
+    Everything stays in ONE Catalyst plan: the per-round argmax is a
+    TakeOrdered top-1 (no global sort), broadcast back into the
+    rewrite projection (1-row broadcast per round, bounded by the
+    round count); no driver collect anywhere.  Rewrite semantics are
+    ``replace`` — left-to-right non-overlapping, identical in Spark
+    and DuckDB, which is what makes the learned table value-hashable
+    cross-engine.  ``marker`` must not occur in the normalized text
+    (audited cheaply by callers; '@@' is the wordpiece convention)."""
+    work = df.select(normalized_text(F.col(text_col)).alias("t"))
+    pairs_expr = (
+        "CASE WHEN size(split(t, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(t, ' ')) - 1), "
+        "i -> concat(element_at(split(t, ' '), i), ' ', "
+        "element_at(split(t, ' '), i + 1))) END"
+    )
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        counts = (
+            work.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        best = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(1)
+        row = best.select(
+            F.lit(r).cast("long").alias("round"), "pair", "n"
+        )
+        out = row if out is None else out.unionAll(row)
+        work = work.crossJoin(F.broadcast(best.select("pair"))).select(
+            F.expr(f"replace(t, pair, replace(pair, ' ', '{marker}'))").alias(
+                "t"
+            )
+        )
+    return out

@@ -881,3 +881,51 @@ SELECT l_orderkey, l_quantity, l_returnflag,
        date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
 FROM lineitem WHERE l_orderkey < 250000
 """)(_q_tar_csv_members)
+
+
+# ---------------------------------------------------------------------------
+# x43 — BPE merge LEARNING (the training half of the tokenizer story;
+# x06/x11 apply a fixed merge table, this derives one).  Iterative
+# argmax-and-rewrite, all in one Catalyst plan (TakeOrdered top-1 +
+# 1-row broadcast per round); the oracle is the g03-rule MATERIALIZED
+# unroll over identical replace() semantics.
+
+
+def _q_bpe_learn(spark, sf_dir):
+    """ta.bpe_learn_merges over documents: 3 learned merges with their
+    corpus-wide pair counts.  Ties go to the lexicographically
+    smallest pair on both engines."""
+    return ta.bpe_learn_merges(_docs(spark, sf_dir), rounds=3)
+
+
+def _x43_oracle(rounds: int = 3, marker: str = "@@") -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    parts = [f"t1 AS MATERIALIZED (SELECT {norm} AS t FROM documents)"]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+    SELECT pr AS pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t{r}, LATERAL (
+        SELECT unnest(list_transform(
+            range(1, len(string_split(t, ' '))),
+            i -> string_split(t, ' ')[i] || ' ' || string_split(t, ' ')[i + 1]
+        )) AS pr)
+    GROUP BY pr
+),
+b{r} AS MATERIALIZED (
+    SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1
+)""")
+        if r < rounds:
+            parts.append(f""",
+t{r + 1} AS MATERIALIZED (
+    SELECT replace(t, b.pair, replace(b.pair, ' ', '{marker}')) AS t
+    FROM t{r} CROSS JOIN b{r} b
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
+register("x43_bpe_merge_learning", _x43_oracle())(_q_bpe_learn)

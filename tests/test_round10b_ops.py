@@ -395,3 +395,43 @@ def test_hll_harmonic_numerator_identity(spark):
     s = sum(1 << (49 - regs.get(b, 0)) for b in range(HLL_BUCKETS))
     est = 0.709 * HLL_BUCKETS * HLL_BUCKETS * (1 << 49) / s
     assert abs(est - n) / n < 0.65
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn_merges
+
+
+def test_bpe_learn_hand_case(spark):
+    from tabular_to_parquet_spark.operators.text_analysis import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "the cat sat down"),
+            (3, "a dog sat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["round"]: (r["pair"], r["n"]) for r in bpe_learn_merges(docs).collect()}
+    # round 1: 'the cat' x3 wins; round 2: after fusing, 'the@@cat sat' x2
+    assert rows[1] == ("the cat", 3)
+    assert rows[2] == ("the@@cat sat", 2)
+    # round 3: all remaining pairs are singletons -> lexicographically
+    # smallest singleton pair wins (deterministic tie)
+    assert rows[3][1] == 1
+    assert rows[3][0] == "a dog"
+
+
+def test_bpe_learn_tie_goes_to_smallest_pair(spark):
+    from tabular_to_parquet_spark.operators.text_analysis import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "b c"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = bpe_learn_merges(docs, rounds=1).collect()
+    assert (rows[0]["pair"], rows[0]["n"]) == ("a b", 1)
