@@ -403,6 +403,7 @@ def main() -> None:
         "pr27_hll_estimate_audit",
         "tar1_csv_members",
         "x43_bpe_merge_learning",
+        "s13_knn_ivf_pq",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

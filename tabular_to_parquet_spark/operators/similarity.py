@@ -897,6 +897,7 @@ def product_quantize(
     emb: DataFrame,
     subspaces: int = PQ_SUBSPACES,
     codes: int = PQ_CODES,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every vector its PQ code per subspace and price the
     compression: exact fixed-point squared reconstruction error
@@ -912,7 +913,7 @@ def product_quantize(
     :func:`pq_codebooks_fixed`."""
     sub = EMBED_DIM // subspaces
     books = pq_codebooks_fixed(subspaces, codes)
-    out_cols: list[Column] = [F.col("vec_id")]
+    out_cols: list[Column] = [F.col("vec_id")] + [F.col(c) for c in keep_cols]
     code_cols: list[Column] = []
     err_total: Column | None = None
     for s, book in enumerate(books):
@@ -1035,3 +1036,83 @@ def mmr_select(
         return picked
     finally:
         cand.unpersist()
+
+
+def knn_ivf_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probes: int = IVF_PROBES,
+    anchors: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-ADC search — the production ANN read path: probe the top
+    IVF cells like :func:`knn_ivf`, but score candidates with the
+    ASYMMETRIC distance to their PQ codeword (s11 codes) instead of
+    their raw vector.  At 100 TB the candidate side never touches the
+    float vectors at query time: a candidate row is (cell, 4 small
+    codes), the whole distance computation is four lookups into a
+    per-query 4x8 table — this is why PQ exists.
+
+    Exactness: the lookup table entries are the same int64 fixed-point
+    folds as product_quantize (query floats floored once, codewords
+    are integer literals), so the ADC distance — an APPROXIMATION of
+    the true distance — is itself computed exactly and cross-engine
+    hashable.  Plan: corpus projection (cell + codes, one pass),
+    bounded query-set broadcast (cell-exploded probes + the 32 LUT
+    columns), one equi-join on cell, one per-query rank window."""
+    anchors = anchors or ivf_anchors()
+    sub = EMBED_DIM // PQ_SUBSPACES
+    books = pq_codebooks_fixed()
+    corpus = product_quantize(
+        emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
+        keep_cols=("_cell",),
+    )
+    lut_cols = []
+    for s, book in enumerate(books):
+        sl = F.slice(F.col("embedding"), s * sub + 1, sub)
+        for c, cw in enumerate(book):
+            g = F.array(*[F.lit(v).cast("long") for v in cw])
+            diffs = F.zip_with(
+                sl,
+                g,
+                lambda x, y: F.floor(x.cast("double") * F.lit(PQ_SCALE)).cast(
+                    "long"
+                )
+                - y,
+            )
+            lut_cols.append(
+                F.aggregate(
+                    diffs, F.lit(0).cast("long"), lambda acc, d: acc + d * d
+                ).alias(f"lut_{s}_{c}")
+            )
+    qside = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            ivf_probe_cells(F.col("embedding"), probes=probes, anchors=anchors)
+        ).alias("_cell"),
+        *lut_cols,
+    )
+    dist = None
+    for s in range(PQ_SUBSPACES):
+        term = F.lit(0).cast("long")
+        expr = None
+        for c in range(PQ_CODES):
+            cond = F.col(f"code_s{s}") == c
+            val = F.col(f"lut_{s}_{c}")
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        dist = expr if dist is None else dist + expr
+    from pyspark.sql import Window as W
+
+    joined = corpus.join(F.broadcast(qside), "_cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist.cast("long").alias("adc_dist_fixed"),
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist_fixed", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

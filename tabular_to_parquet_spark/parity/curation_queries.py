@@ -929,3 +929,112 @@ t{r + 1} AS MATERIALIZED (
 
 
 register("x43_bpe_merge_learning", _x43_oracle())(_q_bpe_learn)
+
+
+# ---------------------------------------------------------------------------
+# s13 — IVF-ADC search (the production ANN read path: IVF probing from
+# s03 composed with the PQ codes from s11; candidates are scored by
+# four lookups into a per-query table, never by their raw vectors).
+
+
+def _q_knn_ivf_pq(spark, sf_dir):
+    """similarity.knn_ivf_pq over the standard query workload
+    (vec_id % 50 = 0): top-5 by exact fixed-point ADC distance, ties
+    to the lowest neighbor id."""
+    from tabular_to_parquet_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    return similarity.knn_ivf_pq(
+        emb, emb.filter(F.expr("vec_id % 50 = 0")), k=5
+    )
+
+
+def _s13_oracle(k: int = 5) -> str:
+    from tabular_to_parquet_spark.operators import similarity
+    from tabular_to_parquet_spark.parity.extensions import _QFILTER, _dot
+
+    anchors = similarity.ivf_anchors()
+    dots = [
+        _dot("embedding", "[" + ", ".join(repr(v) for v in a) + "]")
+        for a in anchors
+    ]
+    score_cols = ", ".join(f"{d} AS s_{c}" for c, d in enumerate(dots))
+    best = "greatest(" + ", ".join(f"s_{c}" for c in range(len(anchors))) + ")"
+    cell_case = " ".join(
+        f"WHEN s_{c} = {best} THEN {c}" for c in range(len(anchors))
+    )
+    probe_structs = ", ".join(
+        f"{{'negscore': -s_{c}, 'cell': {c}}}" for c in range(len(anchors))
+    )
+    books = similarity.pq_codebooks_fixed()
+    subspaces, codes = len(books), len(books[0])
+    sub = len(books[0][0])
+    f = "CAST(floor(embedding[{off} + i] * 1048576.0) AS BIGINT)"
+
+    def dcol(s: int, c: int, prefix: str) -> str:
+        g = "[" + ", ".join(str(v) for v in books[s][c]) + "]"
+        fe = f.format(off=s * sub)
+        return (
+            f"list_reduce(list_transform(list_transform(range(1, {sub + 1}), "
+            f"i -> {fe} - ({g})[i]), d -> d * d), (x, y) -> x + y) "
+            f"AS {prefix}_{s}_{c}"
+        )
+
+    d_cols = ", ".join(
+        dcol(s, c, "d") for s in range(subspaces) for c in range(codes)
+    )
+    lut_cols = ", ".join(
+        dcol(s, c, "lut") for s in range(subspaces) for c in range(codes)
+    )
+    code_cases = ", ".join(
+        "CAST((CASE "
+        + " ".join(
+            f"WHEN d_{s}_{c} = least("
+            + ", ".join(f"d_{s}_{cc}" for cc in range(codes))
+            + f") THEN {c}"
+            for c in range(codes)
+        )
+        + " END) AS BIGINT) AS c_" + str(s)
+        for s in range(subspaces)
+    )
+    dist = " + ".join(
+        "(CASE cc.c_" + str(s) + " "
+        + " ".join(f"WHEN {c} THEN q.lut_{s}_{c}" for c in range(codes))
+        + " END)"
+        for s in range(subspaces)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding, {score_cols}, {d_cols} FROM embeddings
+),
+cellcodes AS (
+    SELECT vec_id, (CASE {cell_case} END) AS cell, {code_cases} FROM base
+),
+probes AS (
+    SELECT vec_id AS query_id, p['cell'] AS cell
+    FROM base,
+         LATERAL (SELECT unnest(list_slice(list_sort([{probe_structs}]), 1,
+                         {similarity.IVF_PROBES})) AS p)
+    WHERE {_QFILTER}
+),
+qlut AS (
+    SELECT vec_id AS query_id, {lut_cols} FROM embeddings WHERE {_QFILTER}
+),
+cand AS (
+    SELECT p.query_id, cc.vec_id AS neighbor_id,
+           CAST({dist} AS BIGINT) AS adc_dist_fixed
+    FROM probes p JOIN cellcodes cc USING (cell)
+                  JOIN qlut q ON q.query_id = p.query_id
+    WHERE cc.vec_id != p.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY adc_dist_fixed, neighbor_id) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, adc_dist_fixed, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+register("s13_knn_ivf_pq", _s13_oracle())(_q_knn_ivf_pq)

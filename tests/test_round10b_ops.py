@@ -435,3 +435,51 @@ def test_bpe_learn_tie_goes_to_smallest_pair(spark):
     )
     rows = bpe_learn_merges(docs, rounds=1).collect()
     assert (rows[0]["pair"], rows[0]["n"]) == ("a b", 1)
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_pq (ADC)
+
+
+def test_ivf_pq_adc_distances_match_recompute(spark):
+    import math
+
+    from tabular_to_parquet_spark.operators.similarity import (
+        knn_ivf_pq,
+        pq_codebooks_fixed,
+        product_quantize,
+    )
+
+    vecs = {
+        i: [((i * 17 + d * 5) % 37 - 18) / 18.0 for d in range(64)]
+        for i in range(60)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter("vec_id % 10 = 0")
+    out = knn_ivf_pq(emb, queries, k=3).collect()
+    assert out, "probing must surface candidates"
+    codes = {
+        r["vec_id"]: [r[f"code_s{s}"] for s in range(4)]
+        for r in product_quantize(emb).collect()
+    }
+    books = pq_codebooks_fixed()
+    for r in out:
+        q = vecs[r["query_id"]]
+        qf = [math.floor(x * 1048576.0) for x in q]
+        want = 0
+        for s in range(4):
+            cw = books[s][codes[r["neighbor_id"]][s]]
+            want += sum(
+                (qf[s * 16 + i] - cw[i]) ** 2 for i in range(16)
+            )
+        assert r["adc_dist_fixed"] == want
+        assert r["neighbor_id"] != r["query_id"]
+    # ranks are dense 1..k per query
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r["query_id"]].append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
