@@ -401,7 +401,6 @@ def main() -> None:
         "st12_stream_pareto",
         "warc3_writer_roundtrip",
         "pr27_hll_estimate_audit",
-        "tar1_csv_members",
         "x43_bpe_merge_learning",
         "s13_knn_ivf_pq",
         # ipc2_string_inference is fixture-dominated (600k-row pandas

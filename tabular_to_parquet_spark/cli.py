@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--format",
         choices=["delimited", "jsonl", "orc", "avro", "ipc", "fixed-width",
-                 "logfmt", "xml", "warc", "tar"],
+                 "logfmt", "xml", "warc", "tar", "xlsx"],
         default="delimited",
         help="input wire format (default: delimited text with sniffed "
         "delimiter); every format runs the same inference + lenient-cast "
@@ -179,6 +179,15 @@ def _convert_other_format(spark, args, input_path: str, output_path: str) -> int
             pairs.append((name.strip(), int(width)))
         names, types, _ = convert_fixed_width_to_parquet(
             spark, input_path, output_path, fields_from_widths(pairs),
+            infer_full=args.infer_full_schema,
+        )
+    elif args.format == "xlsx":
+        from tabular_to_parquet_spark.sources.xlsx_source import (
+            convert_xlsx_to_parquet,
+        )
+
+        names, types, _ = convert_xlsx_to_parquet(
+            spark, input_path, output_path,
             infer_full=args.infer_full_schema,
         )
     elif args.format == "tar":

@@ -1038,3 +1038,57 @@ FROM ranked WHERE rank <= {k}
 
 
 register("s13_knn_ivf_pq", _s13_oracle())(_q_knn_ivf_pq)
+
+
+# ---------------------------------------------------------------------------
+# xlsx1 — XLSX source (stdlib OOXML reader; sources/xlsx_source.py)
+# through the shared inference pipeline.
+
+
+def _q_xlsx_string_inference(spark, sf_dir):
+    """Two single-sheet workbooks (inline-string cells) holding the
+    stringly lineitem slice -> convert_xlsx_to_parquet (binaryFile ->
+    executor-side zip+XML parse -> shared inference -> lenient casts):
+    the ipc2/tar1 shape on the spreadsheet wire format; same oracle."""
+    import os
+    import tempfile
+
+    from tabular_to_parquet_spark.parity.extensions import _fixture_pdf
+    from tabular_to_parquet_spark.sources.xlsx_source import (
+        convert_xlsx_to_parquet,
+        write_xlsx,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 250000  # bounded fixture; see avro1
+    )
+    pdf = _fixture_pdf(
+        li.select(
+            F.col("l_orderkey").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_returnflag").cast("string"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "l_shipdate"
+            ),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="xlsx1_")
+    wb_dir = os.path.join(tmp, "books")
+    os.makedirs(wb_dir)
+    half = (len(pdf) + 1) // 2
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        rows = [list(pdf.columns)] + [
+            [str(v) for v in row] for row in part.itertuples(index=False)
+        ]
+        write_xlsx(rows, os.path.join(wb_dir, f"book-{i}.xlsx"))
+    out = os.path.join(tmp, "lineitem_xlsx.parquet")
+    names, types, _rows = convert_xlsx_to_parquet(spark, wb_dir, out)
+    assert types is not None, "xlsx members must run inference"
+    return spark.read.parquet(out)
+
+
+register("xlsx1_string_inference", """
+SELECT l_orderkey, l_quantity, l_returnflag,
+       date_trunc('milliseconds', l_shipdate)::TIMESTAMP AS l_shipdate
+FROM lineitem WHERE l_orderkey < 250000
+""")(_q_xlsx_string_inference)
