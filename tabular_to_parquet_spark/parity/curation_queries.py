@@ -421,8 +421,6 @@ FROM documents
 
 
 def _warc_extract(df):
-    from tabular_to_parquet_spark.sources.warc import WARC_SCHEMA  # noqa: F401
-
     return df.filter(F.col("warc_type") == "response").select(
         F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
         .cast("long")

@@ -45,8 +45,6 @@ def test_skyline_equal_y_keeps_only_min_x(spark):
 
 
 def test_skyline_matches_bruteforce_any_bucketing(spark):
-    import itertools
-
     rows = [
         (i, (i * 7) % 13, (i * 11) % 17) for i in range(60)
     ]
