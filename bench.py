@@ -320,6 +320,7 @@ def main() -> None:
 
     # -- adapted TPC-H joins (parity/tpch_queries.py; appended at the
     # end per the pinned-order rule) ---------------------------------------
+    from tabular_to_parquet_spark.parity import curation_queries as _cur  # noqa: F401
     from tabular_to_parquet_spark.parity import profiling_queries as _prof  # noqa: F401
     from tabular_to_parquet_spark.parity import tpch_queries as _tpch  # noqa: F401
     from tabular_to_parquet_spark.parity.catalog import CATALOG as _CAT
