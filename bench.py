@@ -404,6 +404,7 @@ def main() -> None:
         "pr27_hll_estimate_audit",
         "x43_bpe_merge_learning",
         "s13_knn_ivf_pq",
+        "s13_knn_ivf_pq_fast",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -1044,6 +1044,7 @@ def knn_ivf_pq(
     k: int = 5,
     probes: int = IVF_PROBES,
     anchors: list[list[float]] | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """IVF-ADC search — the production ANN read path: probe the top
     IVF cells like :func:`knn_ivf`, but score candidates with the
@@ -1063,10 +1064,15 @@ def knn_ivf_pq(
     anchors = anchors or ivf_anchors()
     sub = EMBED_DIM // PQ_SUBSPACES
     books = pq_codebooks_fixed()
-    corpus = product_quantize(
-        emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
-        keep_cols=("_cell",),
-    )
+    if fast:
+        # one mapInArrow sweep; bit-equal by the twin contract
+        corpus = pq_cell_codes_fast(emb, anchors)
+    else:
+        corpus = product_quantize(
+            emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
+            keep_cols=("_cell",),
+        )
+    corpus = corpus.withColumn("_cell", F.col("_cell").cast("long"))
     lut_cols = []
     for s, book in enumerate(books):
         sl = F.slice(F.col("embedding"), s * sub + 1, sub)
@@ -1089,9 +1095,9 @@ def knn_ivf_pq(
         F.col("vec_id").alias("query_id"),
         F.explode(
             ivf_probe_cells(F.col("embedding"), probes=probes, anchors=anchors)
-        ).alias("_cell"),
+        ).alias("_cell_raw"),
         *lut_cols,
-    )
+    ).withColumn("_cell", F.col("_cell_raw").cast("long")).drop("_cell_raw")
     dist = None
     for s in range(PQ_SUBSPACES):
         term = F.lit(0).cast("long")
@@ -1116,3 +1122,82 @@ def knn_ivf_pq(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_cell_codes_fast(
+    emb: DataFrame, anchors: list[list[float]] | None = None
+) -> DataFrame:
+    """The one-pass 100 TB corpus side for IVF-ADC: ONE ``mapInArrow``
+    sweep emits (vec_id, cell, PQ codes) — the corpus crosses the JVM
+    boundary once as Arrow vectors instead of evaluating 16 float-dot
+    folds + 32 fixed-point folds as interpreted expressions per row.
+
+    Bit-equality with the expression form (the twin contract):
+    - cell scores repeat the EXACT sequential left-to-right double
+      fold of dedup.dot_product (a dim-loop of elementwise adds — not
+      numpy's pairwise sum), so every IEEE intermediate matches;
+      np.argmax's first-maximum IS the lowest-cell tie rule;
+    - PQ distances decompose as ‖f‖² − 2f·G + ‖g‖² in int64 (f <
+      2²¹ ⇒ terms < 2⁴⁶ — exact integer matmul); np.argmin's
+      first-minimum IS the lowest-code tie rule."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    anchors = anchors or ivf_anchors()
+    A = np.array(anchors, dtype=np.float64)
+    books = pq_codebooks_fixed()
+    sub = EMBED_DIM // len(books)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("_cell", T.LongType()),
+        ]
+        + [
+            T.StructField(f"code_s{s}", T.LongType())
+            for s in range(len(books))
+        ]
+    )
+
+    def compute(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            names = b.schema.names
+            vid = (
+                b.column(names.index("vec_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if len(vid) == 0:
+                continue
+            V = np.stack(
+                b.column(names.index("embedding")).to_numpy(
+                    zero_copy_only=False
+                )
+            ).astype(np.float64)
+            n = V.shape[0]
+            scores = np.empty((n, A.shape[0]), dtype=np.float64)
+            for c in range(A.shape[0]):
+                s = V[:, 0] * A[c, 0]
+                for d in range(1, V.shape[1]):
+                    s = s + V[:, d] * A[c, d]
+                scores[:, c] = s
+            cell = np.argmax(scores, axis=1).astype(np.int64)
+            Ff = np.floor(V * PQ_SCALE).astype(np.int64)
+            cols = {"vec_id": pa.array(vid, pa.int64()),
+                    "_cell": pa.array(cell, pa.int64())}
+            for s_i, book in enumerate(books):
+                G = np.array(book, dtype=np.int64)
+                Fs = Ff[:, s_i * sub : (s_i + 1) * sub]
+                dist = (
+                    (Fs * Fs).sum(axis=1, keepdims=True)
+                    - 2 * (Fs @ G.T)
+                    + (G * G).sum(axis=1)[None, :]
+                )
+                cols[f"code_s{s_i}"] = pa.array(
+                    np.argmin(dist, axis=1).astype(np.int64), pa.int64()
+                )
+            yield pa.record_batch(cols)
+
+    return emb.select("vec_id", "embedding").mapInArrow(compute, out_schema)

@@ -481,3 +481,21 @@ def test_ivf_pq_adc_distances_match_recompute(spark):
     for r in out:
         per_q[r["query_id"]].append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_ivf_pq_fast_twin_equals_expression_form(spark):
+    from tabular_to_parquet_spark.operators.similarity import knn_ivf_pq
+
+    vecs = [
+        (i, [((i * 23 + d * 3) % 29 - 14) / 14.0 for d in range(64)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id % 8 = 0")
+    cols = ["query_id", "neighbor_id", "adc_dist_fixed", "rank"]
+    slow = sorted(tuple(r[c] for c in cols) for r in knn_ivf_pq(emb, q, k=4).collect())
+    fast = sorted(
+        tuple(r[c] for c in cols)
+        for r in knn_ivf_pq(emb, q, k=4, fast=True).collect()
+    )
+    assert slow == fast and slow

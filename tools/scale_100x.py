@@ -307,6 +307,15 @@ def suite(
                 emb, queries, k=5, anchors=ivf_anchors(cells=knn_cells)
             )
         ),
+        "knn_ivf_pq_fast_fixed_queries": lambda: _noop(
+            __import__(
+                "tabular_to_parquet_spark.operators.similarity",
+                fromlist=["knn_ivf_pq"],
+            ).knn_ivf_pq(
+                emb, queries, k=5, anchors=ivf_anchors(cells=knn_cells),
+                fast=True,
+            )
+        ),
         # WARC leg: distributed write (32 parts at replica scale) then
         # read+extract — measures BOTH halves of the archive path
         "warc_write_read": lambda: _warc_leg(spark, sf_dir, work),
