@@ -405,6 +405,7 @@ def main() -> None:
         "x43_bpe_merge_learning",
         "s13_knn_ivf_pq",
         "s13_knn_ivf_pq_fast",
+        "d20_pq_dedup_cascade",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -1201,3 +1201,86 @@ def pq_cell_codes_fast(
             yield pa.record_batch(cols)
 
     return emb.select("vec_id", "embedding").mapInArrow(compute, out_schema)
+
+
+def pq_sdc_tables() -> list[list[list[int]]]:
+    """8x8 exact integer codeword-to-codeword squared distances per
+    subspace — the SDC (symmetric distance computation) lookup tables:
+    with both sides PQ-coded, a pair's approximate distance is four
+    table lookups, no vector arithmetic at all."""
+    books = pq_codebooks_fixed()
+    return [
+        [
+            [sum((ai - bi) ** 2 for ai, bi in zip(a, b)) for b in book]
+            for a in book
+        ]
+        for book in books
+    ]
+
+
+def pq_dedup_cascade(
+    emb: DataFrame,
+    sdc_bound: int,
+    exact_bound: int,
+    anchors: list[list[float]] | None = None,
+) -> DataFrame:
+    """The production two-stage near-dup pattern with a PQ prefilter:
+    candidate pairs inside an IVF cell are scored by SDC — four
+    lookups into the 8x8 codeword tables, both sides coded, NO vector
+    math — and only SDC survivors pay the exact 64-dim fixed-point
+    verification.  Emits BOTH scores per surviving pair, so the output
+    is simultaneously the dedup verdict and the calibration table for
+    the prefilter (how loose must ``sdc_bound`` be to keep the true
+    pairs ``exact_bound`` defines).
+
+    Scale shape: cell-blocked self-join (the d09 discipline — never
+    all-pairs), SDC is a per-row projection over the code columns, and
+    the exact verify re-joins the vectors ONLY for survivors.  At
+    100 TB the survivor set is the filter's whole point."""
+    anchors = anchors or ivf_anchors()
+    corpus = product_quantize(
+        emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
+        keep_cols=("_cell",),
+    )
+    tables = pq_sdc_tables()
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._cell") == F.col("b._cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sdc: Column | None = None
+    for s, tbl in enumerate(tables):
+        lit2d = F.array(
+            *[
+                F.array(*[F.lit(v).cast("long") for v in row])
+                for row in tbl
+            ]
+        )
+        term = F.element_at(
+            F.element_at(lit2d, (F.col(f"a.code_s{s}") + 1).cast("int")),
+            (F.col(f"b.code_s{s}") + 1).cast("int"),
+        )
+        sdc = term if sdc is None else sdc + term
+    cand = pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        sdc.cast("long").alias("sdc_dist_fixed"),
+    ).filter(F.col("sdc_dist_fixed") <= sdc_bound)
+    fx = emb.select(
+        F.col("vec_id"), _fixed_vec(F.col("embedding")).alias("f")
+    )
+    joined = (
+        cand.join(fx.select(F.col("vec_id").alias("id_a"), F.col("f").alias("fa")), "id_a")
+        .join(fx.select(F.col("vec_id").alias("id_b"), F.col("f").alias("fb")), "id_b")
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("fa"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        joined.withColumn("exact_dist_fixed", exact.cast("long"))
+        .filter(F.col("exact_dist_fixed") <= exact_bound)
+        .select("id_a", "id_b", "sdc_dist_fixed", "exact_dist_fixed")
+    )

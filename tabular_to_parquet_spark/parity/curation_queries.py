@@ -1110,3 +1110,101 @@ def _q_knn_ivf_pq_fast(spark, sf_dir):
 register("s13_knn_ivf_pq_fast", _CATALOG["s13_knn_ivf_pq"].oracle)(
     _q_knn_ivf_pq_fast
 )
+
+
+# ---------------------------------------------------------------------------
+# d20 — PQ-prefiltered dedup cascade (SDC candidates -> exact verify):
+# the production two-stage pattern, with both scores emitted so the
+# output doubles as the prefilter calibration table.
+
+_D20_SDC_BOUND = 12_000_000_000_000
+_D20_EXACT_BOUND = 1_700_000_000_000
+
+
+def _q_pq_dedup_cascade(spark, sf_dir):
+    """similarity.pq_dedup_cascade over embeddings: IVF-cell-blocked
+    pairs scored by the 8x8 SDC codeword tables (no vector math),
+    exact 2^20 fixed-point verification only for SDC survivors."""
+    from tabular_to_parquet_spark.operators import similarity
+
+    return similarity.pq_dedup_cascade(
+        _emb(spark, sf_dir), _D20_SDC_BOUND, _D20_EXACT_BOUND
+    )
+
+
+def _d20_oracle() -> str:
+    from tabular_to_parquet_spark.operators import similarity
+    from tabular_to_parquet_spark.parity.extensions import _dot
+
+    anchors = similarity.ivf_anchors()
+    dots = [
+        _dot("embedding", "[" + ", ".join(repr(v) for v in a) + "]")
+        for a in anchors
+    ]
+    score_cols = ", ".join(f"{d} AS s_{c}" for c, d in enumerate(dots))
+    best = "greatest(" + ", ".join(f"s_{c}" for c in range(len(anchors))) + ")"
+    cell_case = " ".join(
+        f"WHEN s_{c} = {best} THEN {c}" for c in range(len(anchors))
+    )
+    books = similarity.pq_codebooks_fixed()
+    subspaces, codes = len(books), len(books[0])
+    sub = len(books[0][0])
+    f = "CAST(floor(embedding[{off} + i] * 1048576.0) AS BIGINT)"
+
+    def dcol(s: int, c: int) -> str:
+        g = "[" + ", ".join(str(v) for v in books[s][c]) + "]"
+        fe = f.format(off=s * sub)
+        return (
+            f"list_reduce(list_transform(list_transform(range(1, {sub + 1}), "
+            f"i -> {fe} - ({g})[i]), d -> d * d), (x, y) -> x + y) AS d_{s}_{c}"
+        )
+
+    d_cols = ", ".join(dcol(s, c) for s in range(subspaces) for c in range(codes))
+    code_cases = ", ".join(
+        "CAST((CASE "
+        + " ".join(
+            f"WHEN d_{s}_{c} = least("
+            + ", ".join(f"d_{s}_{cc}" for cc in range(codes))
+            + f") THEN {c}"
+            for c in range(codes)
+        )
+        + " END) AS BIGINT) AS c_" + str(s)
+        for s in range(subspaces)
+    )
+    tables = similarity.pq_sdc_tables()
+    sdc_terms = []
+    for s, tbl in enumerate(tables):
+        lit = "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in tbl
+        ) + "]"
+        sdc_terms.append(f"({lit})[a.c_{s} + 1][b.c_{s} + 1]")
+    sdc = " + ".join(sdc_terms)
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding, {score_cols}, {d_cols} FROM embeddings
+),
+cellcodes AS (
+    SELECT vec_id, (CASE {cell_case} END) AS cell, {code_cases},
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS f
+    FROM base
+),
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST({sdc} AS BIGINT) AS sdc_dist_fixed, a.f AS fa, b.f AS fb
+    FROM cellcodes a JOIN cellcodes b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {sdc} <= {_D20_SDC_BOUND}
+)
+SELECT id_a, id_b, sdc_dist_fixed,
+       CAST(list_reduce(list_transform(range(1, 65),
+            i -> (fa[i] - fb[i]) * (fa[i] - fb[i])), (x, y) -> x + y)
+            AS BIGINT) AS exact_dist_fixed
+FROM cand
+WHERE list_reduce(list_transform(range(1, 65),
+          i -> (fa[i] - fb[i]) * (fa[i] - fb[i])), (x, y) -> x + y)
+      <= {_D20_EXACT_BOUND}
+"""
+
+
+register("d20_pq_dedup_cascade", _d20_oracle())(_q_pq_dedup_cascade)

@@ -499,3 +499,56 @@ def test_ivf_pq_fast_twin_equals_expression_form(spark):
         for r in knn_ivf_pq(emb, q, k=4, fast=True).collect()
     )
     assert slow == fast and slow
+
+
+# ---------------------------------------------------------------------------
+# pq_dedup_cascade
+
+
+def test_pq_cascade_keeps_planted_near_duplicates(spark):
+    from tabular_to_parquet_spark.operators.similarity import (
+        pq_dedup_cascade,
+    )
+
+    base = [((d * 7 + 19) % 31 - 15) / 15.0 for d in range(64)]
+    near = list(base)
+    near[0] += 1e-4  # tiny perturbation: same cell, same codes
+    far = [((d * 11 + 5) % 27 - 13) / 13.0 for d in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_dedup_cascade(emb, sdc_bound=10**13, exact_bound=10**12).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got
+    row = next(r for r in out if (r["id_a"], r["id_b"]) == (1, 2))
+    # identical codes => SDC distance 0; exact distance tiny but > 0
+    assert row["sdc_dist_fixed"] == 0
+    assert 0 < row["exact_dist_fixed"] <= 10**9
+
+
+def test_pq_cascade_sdc_matches_code_tables(spark):
+    from tabular_to_parquet_spark.operators.similarity import (
+        pq_dedup_cascade,
+        pq_sdc_tables,
+        product_quantize,
+    )
+
+    vecs = [
+        (i, [((i * 13 + d * 11) % 23 - 11) / 11.0 for d in range(64)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = pq_dedup_cascade(emb, sdc_bound=10**14, exact_bound=10**14).collect()
+    assert out
+    codes = {
+        r["vec_id"]: [r[f"code_s{s}"] for s in range(4)]
+        for r in product_quantize(emb).collect()
+    }
+    tables = pq_sdc_tables()
+    for r in out:
+        want = sum(
+            tables[s][codes[r["id_a"]][s]][codes[r["id_b"]][s]]
+            for s in range(4)
+        )
+        assert r["sdc_dist_fixed"] == want
