@@ -46,27 +46,37 @@ def _ordered(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # Priority order for the capped (~50-row) driver sweep, computed from
-# the committed CORRECTNESS_r*.json rows at import time: every catalog
-# query that has never had a *passing* driver row goes first, in
-# registration order, so each round's sweep certifies the oldest
-# unverified slice and the rotation never needs a manual edit. A row
-# counts as passing only if err is unset and no recorded match flag is
-# false (rows-only queries record null hash/schema flags — null is not
-# a failure); errored or mismatched rows re-queue automatically at the
-# sweep head (r6: x29_kwic's only row was a canonicalizer error, and
-# "any row == verified" would have dropped it past the cap forever).
-# Already-verified queries follow in registration order (via
-# _catalog_ordered). Robust to a missing/corrupt file (no rows).
+# the committed CORRECTNESS_r*.json rows at import time. Each query is
+# keyed by the ROUND of its most recent *passing* driver row (never
+# passed → -1, so never-verified / errored / mismatched / oracle-
+# upgraded queries still go first), tie-broken by registration order.
+# With the whole catalog driver-green after r10, a plain "never passed
+# first" priority degenerates to re-certifying the same first 50
+# registrations forever while the tail goes driver-invisible (r10
+# verdict item 1); staleness rotation instead re-certifies the slice
+# whose last green row is oldest, so every query cycles back under the
+# driver every ~ceil(catalog/50) rounds. A row counts as passing only
+# if err is unset and no recorded match flag is false (rows-only
+# queries record null hash/schema flags — null is not a failure;
+# err='no_oracle' with a row count is the documented weaker pass, but
+# only while the catalog still declares no oracle: a query that GAINED
+# an oracle since must re-queue so its certification upgrades to
+# value-hash, cf. r10 pr08/pr09). Robust to missing/corrupt files.
 
 
-def _never_driver_verified() -> list[str]:
+def _last_pass_round() -> dict[str, int]:
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     here = _os.path.dirname(_os.path.abspath(__file__))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = _json.load(fh)
@@ -75,40 +85,30 @@ def _never_driver_verified() -> list[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # The driver records rows-only (no-oracle) queries with
-            # err='no_oracle' and a non-null spark_rows — that IS the
-            # documented weaker pass, not a failure (r7 verdict item 2).
-            # But it only counts while the catalog still declares no
-            # oracle: a query that GAINED an oracle since (r10:
-            # pr08/pr09) must re-queue so the sweep upgrades its
-            # certification from rows-only to value-hash.
             if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 q = CATALOG.get(name)
                 if q is None or q.oracle is None:
-                    seen.add(name)
+                    last[name] = max(last.get(name, rnd), rnd)
                 continue
             if row.get("err") is not None:
                 continue
             flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
             if any(f is False for f in flags):
                 continue
-            # rows-only queries (no oracle) may record null match flags;
-            # a recorded non-null spark row count with no error is the
-            # weaker pass the driver documents for them
             if all(f is None for f in flags) and row.get("spark_rows") is None:
                 continue  # no evidence at all — not a pass
-            seen.add(name)
-    return [name for name in CATALOG if name not in seen]
+            last[name] = max(last.get(name, rnd), rnd)
+    return last
 
 
-_PRIORITY = _never_driver_verified()
+_LAST_PASS = _last_pass_round()
 
 
 def _catalog_ordered():
-    rest = [n for n in CATALOG if n not in _PRIORITY]
-    for name in [*_PRIORITY, *rest]:
-        if name in CATALOG:
-            yield name, CATALOG[name]
+    names = list(CATALOG)
+    reg_index = {n: i for i, n in enumerate(names)}
+    for name in sorted(names, key=lambda n: (_LAST_PASS.get(n, -1), reg_index[n])):
+        yield name, CATALOG[name]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

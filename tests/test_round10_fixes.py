@@ -130,7 +130,7 @@ def test_correctness_glob_order_survives_two_digit_rounds():
     assert sorted(shuffled) == names
 
 
-def test_never_driver_verified_union_is_order_independent(tmp_path, monkeypatch):
+def test_last_pass_round_union_is_order_independent(tmp_path, monkeypatch):
     import json
 
     import __spark_entry__ as entry_mod
@@ -148,10 +148,55 @@ def test_never_driver_verified_union_is_order_independent(tmp_path, monkeypatch)
         "os.path.abspath",
         lambda p: str(tmp_path / "x.py") if p == entry_mod.__file__ else real_abspath(p),
     )
-    pending = entry_mod._never_driver_verified()
-    # qx passed (r09) and is not pending; qy failed (r10) so, were it a
-    # catalog name, it would re-queue — assert the pass-set logic only.
-    assert "qx" not in pending
+    last = entry_mod._last_pass_round()
+    # qx passed (r09) and carries its round; qy failed (r10) so it has
+    # no pass round and would re-queue at the sweep head (key -1).
+    assert last.get("qx") == 9
+    assert "qy" not in last
+
+
+def test_sweep_rotates_by_staleness(tmp_path, monkeypatch):
+    """r10 verdict item 1: with every catalog query green, the sweep must
+    order by (round of most recent passing row, registration order) so
+    the stalest slice is re-certified first — not the same first-50
+    registrations forever."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.CATALOG)
+    fresh, stale, never = names[0], names[1], names[2]
+    pass_row = {"rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({stale: pass_row}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({fresh: pass_row, stale: pass_row})
+    )
+    real_abspath = __import__("os").path.abspath
+    monkeypatch.setattr(
+        "os.path.abspath",
+        lambda p: str(tmp_path / "x.py") if p == entry_mod.__file__ else real_abspath(p),
+    )
+    monkeypatch.setattr(entry_mod, "_LAST_PASS", entry_mod._last_pass_round())
+    # newest round wins for a query passing in several files
+    assert entry_mod._LAST_PASS[stale] == 10
+    monkeypatch.setattr(
+        entry_mod, "_LAST_PASS", {fresh: 10, stale: 3}
+    )
+    ordered = [n for n, _ in entry_mod._catalog_ordered()]
+    # never-passed first, then the stale query, then the fresh one
+    assert ordered.index(never) < ordered.index(stale) < ordered.index(fresh)
+    assert set(ordered) == set(names) and len(ordered) == len(names)
+
+
+def test_live_sweep_front_loads_oldest_rounds():
+    """Against the real committed CORRECTNESS files: the first 50 sweep
+    entries must all be at least as stale as every entry after them."""
+    import __spark_entry__ as entry_mod
+
+    ordered = [n for n, _ in entry_mod._catalog_ordered()]
+    rounds = [entry_mod._LAST_PASS.get(n, -1) for n in ordered]
+    assert rounds == sorted(rounds)
 
 
 # ---------------------------------------------------------------------------
