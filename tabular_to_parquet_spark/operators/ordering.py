@@ -198,20 +198,27 @@ def _skyline_pass(
 
     A row (x, y) is dominated iff some other row has x' <= x, y' >= y
     with at least one strict.  Split by the x-relation: rows at
-    strictly smaller x dominate iff their y >= this y (the RANGE
-    window ending at -1); rows at equal x dominate iff their y is
-    strictly larger (the per-x max).  Keep = (prefix-max-y < y) AND
-    (y == per-x-max-y); exact ties on (x, y) survive together."""
+    strictly smaller x dominate iff their y >= this y; rows at equal
+    x dominate iff their y is strictly larger (the per-x max).
+    "Strictly smaller x" is expressed as a RANGE frame ending at -1
+    over ``dense_rank(x)`` — NOT over x itself, where a frame bound
+    of -1 would skip rows with x' in (x-1, x) for fractional x (r10
+    ADVICE) — so strictness holds exactly for ANY ordered x type.
+    Keep = (prefix-max-y < y) AND (y == per-x-max-y); exact ties on
+    (x, y) survive together."""
     base = W.partitionBy(*part) if part else W
-    w_lt = base.orderBy(x_col).rangeBetween(W.unboundedPreceding, -1)
+    w_rk = base.orderBy(x_col)
+    w_lt = base.orderBy("_xrk").rangeBetween(W.unboundedPreceding, -1)
     w_eq = W.partitionBy(*(part or []), x_col)
-    out = df.withColumn("_mlt", F.max(y_col).over(w_lt)).withColumn(
-        "_meq", F.max(y_col).over(w_eq)
+    out = (
+        df.withColumn("_xrk", F.dense_rank().over(w_rk))
+        .withColumn("_mlt", F.max(y_col).over(w_lt))
+        .withColumn("_meq", F.max(y_col).over(w_eq))
     )
     keep = (F.col("_mlt").isNull() | (F.col("_mlt") < F.col(y_col))) & (
         F.col(y_col) == F.col("_meq")
     )
-    return out.filter(keep).drop("_mlt", "_meq")
+    return out.filter(keep).drop("_xrk", "_mlt", "_meq")
 
 
 def pareto_frontier_2d(

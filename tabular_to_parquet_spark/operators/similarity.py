@@ -1020,9 +1020,14 @@ def mmr_select(
             scored = frame.withColumn("ms", ms).withColumn(
                 "score", F.col("rel") - F.col("ms")
             )
-            top = scored.orderBy(
+            rows = scored.orderBy(
                 F.col("score").desc(), F.col("vec_id")
-            ).limit(1).collect()[0]
+            ).limit(1).collect()
+            if not rows:
+                # candidates exhausted (k > corpus size after excludes):
+                # return the shorter selection instead of IndexError
+                break
+            top = rows[0]
             picked.append(
                 {
                     "rank": r,

@@ -473,10 +473,18 @@ def bpe_learn_merges(
     TakeOrdered top-1 (no global sort), broadcast back into the
     rewrite projection (1-row broadcast per round, bounded by the
     round count); no driver collect anywhere.  Rewrite semantics are
-    ``replace`` — left-to-right non-overlapping, identical in Spark
-    and DuckDB, which is what makes the learned table value-hashable
-    cross-engine.  ``marker`` must not occur in the normalized text
-    (audited cheaply by callers; '@@' is the wordpiece convention)."""
+    WHOLE-TOKEN, left-to-right non-overlapping: the working text is
+    padded so every token carries its own surrounding spaces
+    (``' '||replace(t,' ','  ')||' '``) and the pair is matched as
+    ``' a  b '`` — a pattern that cannot start or end inside a longer
+    token (r10 ADVICE: plain substring replace fused 'a b' inside
+    'xa b' into 'xa@@b', corrupting later-round counts) and whose
+    adjacent occurrences share no separator characters, so greedy
+    left-to-right merging is faithful BPE.  ``replace`` is
+    left-to-right non-overlapping in BOTH Spark and DuckDB, which is
+    what makes the learned table value-hashable cross-engine.
+    ``marker`` must not occur in the normalized text (audited cheaply
+    by callers; '@@' is the wordpiece convention)."""
     work = df.select(normalized_text(F.col(text_col)).alias("t"))
     pairs_expr = (
         "CASE WHEN size(split(t, ' ')) < 2 THEN array() "
@@ -497,8 +505,12 @@ def bpe_learn_merges(
         )
         out = row if out is None else out.unionAll(row)
         work = work.crossJoin(F.broadcast(best.select("pair"))).select(
-            F.expr(f"replace(t, pair, replace(pair, ' ', '{marker}'))").alias(
-                "t"
-            )
+            F.expr(
+                "trim(replace(replace("
+                "concat(' ', replace(t, ' ', '  '), ' '), "
+                "concat(' ', replace(pair, ' ', '  '), ' '), "
+                f"concat(' ', replace(pair, ' ', '{marker}'), ' ')"
+                "), '  ', ' '))"
+            ).alias("t")
         )
     return out

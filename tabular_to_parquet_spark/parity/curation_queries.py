@@ -914,9 +914,15 @@ b{r} AS MATERIALIZED (
     SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1
 )""")
         if r < rounds:
+            # whole-token rewrite (double-space padding) — must mirror
+            # ta.bpe_learn_merges exactly; see its docstring
             parts.append(f""",
 t{r + 1} AS MATERIALIZED (
-    SELECT replace(t, b.pair, replace(b.pair, ' ', '{marker}')) AS t
+    SELECT trim(replace(replace(
+        ' ' || replace(t, ' ', '  ') || ' ',
+        ' ' || replace(b.pair, ' ', '  ') || ' ',
+        ' ' || replace(b.pair, ' ', '{marker}') || ' '
+    ), '  ', ' ')) AS t
     FROM t{r} CROSS JOIN b{r} b
 )""")
     unions = "\nUNION ALL\n".join(

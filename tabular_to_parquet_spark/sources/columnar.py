@@ -74,7 +74,13 @@ def _load_ipc_manifest(spark: SparkSession, path: str, suffixes=(".arrow",)):
     like ``.arrow`` part names.  ``None`` means "read everything": a
     directory of valid containers with a foreign ``_SUCCESS`` must not
     be filtered down to zero files.
+
+    If the JVM route itself throws (e.g. commons-io missing on some
+    deployment), a driver-local ``open()`` of the plain path is tried
+    before giving up — otherwise a JVM hiccup would silently ignore a
+    real manifest and re-admit torn task output (r10 ADVICE).
     """
+    text = None
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(
@@ -91,6 +97,20 @@ def _load_ipc_manifest(spark: SparkSession, path: str, suffixes=(".arrow",)):
         finally:
             stream.close()
     except Exception:
+        # JVM route failed (NOT "file absent" — that returns above):
+        # fall back to a driver-local read for plain local paths.
+        import os
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        marker = os.path.join(local, "_SUCCESS")
+        try:
+            if not os.path.exists(marker):
+                return None
+            with open(marker, encoding="utf-8") as fh:
+                text = fh.read()
+        except OSError:
+            return None
+    if text is None:
         return None
     listed = [
         ln.split("\t")[0] for ln in text.splitlines() if ln.strip()

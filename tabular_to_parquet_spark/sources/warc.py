@@ -296,7 +296,19 @@ def write_warc(
             for row in pdf.itertuples(index=False):
                 uri = getattr(row, uri_col)
                 dt = getattr(row, date_col)
-                body = bytes(getattr(row, body_col))
+                raw_body = getattr(row, body_col)
+                # Null fields cannot serialize meaningfully: a null
+                # date becomes NaT (strftime raises mid-task), a null
+                # uri would be archived as the literal string 'None'.
+                # Fail fast with the column name (r10 ADVICE).
+                for label, v in ((uri_col, uri), (date_col, dt), (body_col, raw_body)):
+                    if v is None or (not isinstance(v, (bytes, bytearray)) and pd.isna(v)):
+                        raise ValueError(
+                            f"write_warc: null {label!r} in input row; "
+                            "filter or fill null uri/date/body rows "
+                            "before re-archiving"
+                        )
+                body = bytes(raw_body)
                 ts = pd.Timestamp(dt).strftime("%Y-%m-%dT%H:%M:%SZ")
                 rec = write_warc_record(
                     {

@@ -44,6 +44,36 @@ def test_skyline_equal_y_keeps_only_min_x(spark):
     assert _skyline_rows(spark, rows) == [(1, 2, 9)]
 
 
+def test_skyline_fractional_x_strictness(spark):
+    """r10 ADVICE (medium): with a RANGE frame over x itself, a bound
+    of -1 skips dominators with x' in (x-1, x); the dense_rank frame
+    must catch them for double x."""
+    rows = [(1, 1.5, 10.0), (2, 2.0, 5.0), (3, 2.4, 9.0), (4, 0.9, 1.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = pareto_frontier_2d(df, "x", "y", bucket=F.lit(0))
+    # (2.0,5) and (2.4,9) are dominated by (1.5,10) at distance < 1;
+    # (0.9,1) survives (smallest x), (1.5,10) survives (largest y).
+    assert sorted((r["id"] for r in out.collect())) == [1, 4]
+
+
+def test_skyline_fractional_x_across_buckets(spark):
+    """Same strictness property through the local-then-global pass."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.random() * 4.0, float(rng.randrange(100))) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = pareto_frontier_2d(df, "x", "y", bucket=F.pmod(F.col("id"), F.lit(5)))
+
+    def dominated(a, b):
+        return b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+
+    brute = sorted(
+        r[0] for r in rows if not any(dominated(r, o) for o in rows if o is not r)
+    )
+    assert sorted(r["id"] for r in out.collect()) == brute
+
+
 def test_skyline_matches_bruteforce_any_bucketing(spark):
     rows = [
         (i, (i * 7) % 13, (i * 11) % 17) for i in range(60)
@@ -421,6 +451,56 @@ def test_bpe_learn_hand_case(spark):
     # smallest singleton pair wins (deterministic tie)
     assert rows[3][1] == 1
     assert rows[3][0] == "a dog"
+
+
+def test_bpe_learn_no_cross_token_fusion(spark):
+    """r10 ADVICE: substring rewrite fused pair 'a b' inside 'xa b'
+    (token 'xa' ends with 'a') producing 'xa@@b'. Whole-token rewrite
+    must leave 'xa b' intact so round-2 counts stay token-faithful."""
+    from tabular_to_parquet_spark.operators.text_analysis import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "xa b")], "doc_id long, text string"
+    )
+    rows = {r["round"]: (r["pair"], r["n"]) for r in bpe_learn_merges(docs, rounds=2).collect()}
+    assert rows[1] == ("a b", 2)
+    # under the old substring rewrite doc 2 became the single token
+    # 'xa@@b' and round 2 had no pairs at all
+    assert rows[2] == ("xa b", 1)
+
+
+def test_bpe_learn_adjacent_occurrences_both_merge(spark):
+    """Greedy left-to-right BPE merges consecutive non-overlapping
+    occurrences: 'a b a b' -> 'a@@b a@@b' (the padded rewrite must not
+    let one match consume the next one's separator)."""
+    from tabular_to_parquet_spark.operators.text_analysis import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = {r["round"]: (r["pair"], r["n"]) for r in bpe_learn_merges(docs, rounds=2).collect()}
+    assert rows[1] == ("a b", 3)
+    # after fusing all three occurrences, the only remaining pair is
+    # the fused bigram inside doc 0
+    assert rows[2] == ("a@@b a@@b", 1)
+
+
+def test_bpe_learn_overlap_is_left_to_right(spark):
+    """'a a a' with pair 'a a': only the first occurrence merges."""
+    from tabular_to_parquet_spark.operators.text_analysis import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "a a")], "doc_id long, text string"
+    )
+    rows = {r["round"]: (r["pair"], r["n"]) for r in bpe_learn_merges(docs, rounds=2).collect()}
+    assert rows[1] == ("a a", 3)
+    assert rows[2] == ("a@@a a", 1)
 
 
 def test_bpe_learn_tie_goes_to_smallest_pair(spark):
