@@ -422,6 +422,27 @@ def main() -> None:
         f"({n_lines / conv:,.0f} lines/s; reference ~1e4 lines/s)",
         file=sys.stderr,
     )
+    # regression flag vs committed history (r10 verdict item 5): any
+    # query >1.5x the min of its trailing 3 comparable (idle, same-sf)
+    # committed snapshots. Informational when this run isn't idle —
+    # the min column is still recorded, but noise can't be separated.
+    regressions: dict[str, dict] = {}
+    try:
+        import importlib.util as _ilu
+
+        _bh_spec = _ilu.spec_from_file_location(
+            "bench_history",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "bench_history.py"),
+        )
+        _bh = _ilu.module_from_spec(_bh_spec)
+        _bh_spec.loader.exec_module(_bh)
+        regressions = _bh.flag_regressions(_bh.read_csv(), timings, sf=_sf())
+        if regressions:
+            print(f"[bench] REGRESSIONS vs trailing-3 min: {regressions}",
+                  file=sys.stderr)
+    except Exception as exc:  # missing history file etc. — never fatal
+        print(f"[bench] history check skipped: {exc}", file=sys.stderr)
     shutil.rmtree(work, ignore_errors=True)
     load_after = os.getloadavg()
     payload = json.dumps(
@@ -449,6 +470,7 @@ def main() -> None:
             "lines": n_lines,
             "convert_lines_per_sec": round(n_lines / conv),
             "baseline_ref_lines_per_sec": 10_000,  # BASELINE.md, README.md:127
+            "regressions": regressions,
         }
     )
     # The driver records the LAST stdout line as BENCH_r{N}.json and
@@ -483,6 +505,9 @@ def main() -> None:
             "load1_after": round(load_after[0], 2),
             "idle_at_start": load_before[0] < IDLE_LOAD1,
             "cpus": os.cpu_count(),
+            # names only (full ratios in BENCH_LOCAL.json) to keep the
+            # stdout line under the driver's clip limit
+            "regressions": sorted(regressions),
         }
     )
     print(summary)
