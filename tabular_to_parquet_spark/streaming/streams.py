@@ -481,10 +481,13 @@ def sessionize_stream_tws(
 
     DEPLOYMENT GATE: the transformWithState Python worker speaks a
     protobuf protocol to the JVM state server, so it requires the
-    ``protobuf`` package at runtime — absent in this container (no
-    pip), so there is no ev-series oracle row for this path; the
-    equivalence test skips unless protobuf is importable.  ev04
-    (applyInPandasWithState) remains the oracle-gated stateful
+    ``protobuf`` package at runtime (driver AND worker PYTHONPATH)
+    plus the RocksDB state store (pinned below — TWS keeps each state
+    variable in its own column family, which the default HDFS-backed
+    store rejects).  The test env satisfies protobuf via the vendored
+    google-cloud-sdk runtime (tests/conftest.py shim), and the
+    equivalence test asserts TWS output == sessionize_stream exactly.
+    ev04 (applyInPandasWithState) remains the oracle-gated stateful
     sessionizer.
 
     State-store story at scale: per-user ValueState is O(1) per key,
@@ -577,15 +580,32 @@ def sessionize_stream_tws(
         outputMode="append",
         timeMode="eventTime",
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState stores each state variable in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed store raises multipleColumnFamiliesNotSupported), so
+    # pin it for this query and restore the session conf after.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
-    q.processAllAvailable()
-    q.stop()
+    prior_provider = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prior_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior_provider)
     return spark.table(query_name)
 
 

@@ -170,12 +170,13 @@ def test_sessionize_tws_matches_apply_in_pandas(spark, tmp_path):
     output (requires protobuf for the TWS state protocol — skipped
     where absent; see streams.sessionize_stream_tws deployment gate).
 
-    Blocker re-checked r10: no google.protobuf runtime exists anywhere
-    on this image (only typeshed stubs and pyspark's generated _pb2
-    modules, which themselves import the runtime), no protobuf wheel
-    is present to vendor, and package installs are out of scope — so
-    the skip is an environment fact, not a code gap. The TWS path
-    itself ships and is exercised wherever protobuf is installed."""
+    Closed r11: the google-cloud-sdk image layer vendors a pure-path
+    protobuf runtime (6.32.0) that conftest.py exposes on sys.path +
+    PYTHONPATH, with protobuf's official version-check escape hatch
+    for the one-minor gencode gap (pyspark stamps 6.33.0) — safe
+    because THIS assert is a full output-equivalence check against
+    the applyInPandasWithState oracle path. RocksDB state store is
+    pinned inside sessionize_stream_tws (TWS column families)."""
     pytest.importorskip("google.protobuf")
     from tabular_to_parquet_spark.streaming.streams import (
         sessionize_stream,

@@ -76,6 +76,41 @@ def build_salted_documents(spark, base_dir: str, out_dir: str, copies: int) -> N
     )
 
 
+def build_embsalt_embeddings(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    """100 key-shifted embedding copies whose vectors share no
+    near-dups ACROSS copies — documents_salted transposed to vectors.
+    The standard replica duplicates every vector exactly 100x, so any
+    pair-emitting embedding dedup (d20's within-cell self-join) sees
+    100-copy cliques and candidates grow as copies² — the synthetic
+    dup structure, not the operator. Copy i>0 displaces dimension
+    (i mod 64) by 10 + i/2: any two distinct copies end up >= (0.5*64
+    = 32 fixed units apart in some dimension)² ~ 1.1e15 fixed — far
+    beyond both d20 bounds — while every within-copy pair keeps its
+    base-level relative distances (a shared displacement cancels in
+    a-b). True-dup density stays at base level as the corpus grows
+    100x: the "100x more unique data" scenario."""
+    base = load_table(spark, base_dir, "embeddings")
+    parts = []
+    for i in range(copies):
+        p = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            dim, delta = i % 64, 10.0 + 0.5 * i
+            p = p.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> CASE WHEN j = {dim} "
+                    f"THEN x + CAST({delta} AS DOUBLE) ELSE x END)"
+                ),
+            )
+        parts.append(p)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings_salted.parquet")
+    )
+
+
 def build_graphsalt_dir(spark, base_dir: str, out_dir: str, copies: int) -> str:
     """Support-constant graph replica (the r8 verdict's fixture fix):
     lineitem with BOTH ``l_orderkey`` and ``l_partkey`` shifted per
@@ -140,6 +175,14 @@ def ensure_replica(spark, copies: int) -> str:
         with open(gmarker, "w") as fh:
             fh.write(str(time.monotonic() - t0))
         print(f"graph-salt built in {time.monotonic() - t0:.0f}s", file=sys.stderr)
+    emarker = os.path.join(out, "_EMBSALT")
+    if not os.path.exists(emarker):
+        print(f"building {copies}x emb-salt embeddings ...", file=sys.stderr)
+        t0 = time.monotonic()
+        build_embsalt_embeddings(spark, BASE, out, copies)
+        with open(emarker, "w") as fh:
+            fh.write(str(time.monotonic() - t0))
+        print(f"emb-salt built in {time.monotonic() - t0:.0f}s", file=sys.stderr)
     return out
 
 
@@ -169,6 +212,7 @@ def suite(
     salted_docs_path: str | None,
     work: str,
     graphsalt_dir: str | None = None,
+    embsalt_path: str | None = None,
 ):
     # support-constant graph input (base scale: the base graph IS
     # support-constant — one copy — so the plain sf_dir is the twin)
@@ -319,7 +363,124 @@ def suite(
         # WARC leg: distributed write (32 parts at replica scale) then
         # read+extract — measures BOTH halves of the archive path
         "warc_write_read": lambda: _warc_leg(spark, sf_dir, work),
+        # d20 on the EMB-SALTED replica (see build_embsalt_embeddings:
+        # base-level dup density, 100x unique vectors). Base scale runs
+        # the plain embeddings — identical input to catalog d20.
+        "pq_dedup_cascade_salted": lambda: _noop(
+            __import__(
+                "tabular_to_parquet_spark.operators.similarity",
+                fromlist=["pq_dedup_cascade"],
+            ).pq_dedup_cascade(
+                spark.read.parquet(embsalt_path) if embsalt_path else emb,
+                12_000_000_000_000,
+                1_700_000_000_000,
+            )
+        ),
+        # TAR / XLSX legs: like warc_write_read, BOTH halves — executor-
+        # side archive/workbook generation from the replica lineitem,
+        # then the shared inference+cast conversion back to parquet.
+        # (The catalog tar1/xlsx1 fixtures are bounded driver-side
+        # pandas builds — a fixture cost, not an engine one — so the
+        # scale leg generates distributed.)
+        "tar_write_read": lambda: _tar_leg(spark, sf_dir, work),
+        "xlsx_write_read": lambda: _xlsx_leg(spark, sf_dir, work),
     }
+
+
+def _stringly_lineitem(spark, sf_dir: str):
+    """The tar1/xlsx1 stringly 4-column lineitem shape, full table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "l_shipdate"
+        ),
+    )
+
+
+def _tar_leg(spark, sf_dir: str, work: str) -> None:
+    """One .tar.gz (single CSV member) per partition, written
+    executor-side (pandas to_csv — vectorized), then
+    convert_tar_csv_to_parquet over the archive directory."""
+    import io
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from tabular_to_parquet_spark.sources.tar_source import (
+        convert_tar_csv_to_parquet,
+    )
+
+    arch_dir = os.path.join(work, "tar_arch")
+    shutil.rmtree(arch_dir, ignore_errors=True)
+    os.makedirs(arch_dir)
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+
+    def dump(batches):
+        import tarfile
+
+        buf = io.StringIO()
+        buf.write(",".join(cols) + "\n")
+        n = 0
+        for pdf in batches:
+            pdf.to_csv(buf, index=False, header=False)
+            n += len(pdf)
+        if n:
+            data = buf.getvalue().encode("utf-8")
+            name = os.path.join(arch_dir, f"dump-{uuid.uuid4().hex}.tar.gz")
+            with tarfile.open(name, "w:gz") as tf:
+                info = tarfile.TarInfo("member.csv")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        yield pd.DataFrame({"n": [n]})
+
+    _stringly_lineitem(spark, sf_dir).repartition(32).mapInPandas(
+        dump, "n long"
+    ).collect()
+    convert_tar_csv_to_parquet(
+        spark, arch_dir, os.path.join(work, "lineitem_tar_out.parquet")
+    )
+
+
+def _xlsx_leg(spark, sf_dir: str, work: str) -> None:
+    """One workbook per partition written executor-side via write_xlsx
+    (partition count keeps each sheet under the OOXML 1,048,576-row
+    limit — a 100x single sheet isn't even a VALID workbook, so 'more
+    workbooks' is the only honest growth mode), then
+    convert_xlsx_to_parquet over the directory."""
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from tabular_to_parquet_spark.sources.xlsx_source import (
+        convert_xlsx_to_parquet,
+        write_xlsx,
+    )
+
+    wb_dir = os.path.join(work, "xlsx_books")
+    shutil.rmtree(wb_dir, ignore_errors=True)
+    os.makedirs(wb_dir)
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+
+    def dump(batches):
+        rows = [cols]
+        for pdf in batches:
+            rows.extend([str(v) for v in row] for row in pdf.itertuples(index=False))
+        if len(rows) > 1:
+            assert len(rows) <= 1_048_576, "partition exceeds sheet limit"
+            write_xlsx(rows, os.path.join(wb_dir, f"book-{uuid.uuid4().hex}.xlsx"))
+        yield pd.DataFrame({"n": [len(rows) - 1]})
+
+    _stringly_lineitem(spark, sf_dir).repartition(96).mapInPandas(
+        dump, "n long"
+    ).collect()
+    convert_xlsx_to_parquet(
+        spark, wb_dir, os.path.join(work, "lineitem_xlsx_out.parquet")
+    )
 
 
 def _warc_leg(spark, sf_dir: str, work: str) -> None:
