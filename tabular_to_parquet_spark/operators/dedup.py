@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from tabular_to_parquet_spark.functions.hashing import fast_i64, md5_i64
 from tabular_to_parquet_spark.operators.text_analysis import (
     normalized_text,
+    tokens,
     word_shingles,
 )
 
@@ -231,6 +232,135 @@ def minhash_banded(
         F.col(id_col),
         *[F.col(f"_mh{j}") for j in range(MINHASH_K)],
         F.posexplode(band_keys).alias("band", "band_key"),
+    )
+
+
+#: planted-corpus grades for the banding calibration (percent of the
+#: token prefix kept; the rest is salted — true Jaccard then spans
+#: roughly 0.2–0.95 across grades once shingle boundary effects land)
+CALIBRATION_GRADES = (30, 40, 50, 60, 70, 80, 90, 95)
+
+
+def planted_neardup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grades: tuple[int, ...] = CALIBRATION_GRADES,
+    sample_mod: int = 7,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Graded near-dup corpus for calibrating the LSH banding: every
+    ``sample_mod``-th document (with >= ``min_tokens`` tokens) plus
+    ONE variant per grade g that keeps the first ceil(n*g/100) tokens
+    and replaces the tail with salt tokens unique per (doc, grade,
+    position) — so each planted pair's true shingle Jaccard is a
+    direct, deterministic function of the grade, measurable exactly.
+
+    Variant ids are ``-(doc_id*1000 + g)`` — negative, so they can
+    never collide with real ids and the (base, grade) identity is
+    recoverable from the id alone. Returns (doc_id, text) rows.
+    Everything is integer/token arithmetic reproducible in ANSI SQL
+    (the d21 oracle mirrors it token for token)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).filter(
+        (F.col("doc_id") % sample_mod == 0)
+        & (F.size(tokens(F.col("text"))) >= min_tokens)
+    )
+    # token array materialized ONCE per row (lambdas below only touch
+    # scalar ints — embedding tokens() in a lambda is the O(n²) trap
+    # word_ngrams documents)
+    toks = base.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    out = base
+    for g in grades:
+        v = toks.withColumn(
+            "_keep", F.expr(f"(_n * {g} + 99) div 100")
+        ).select(
+            (-(F.col("doc_id") * 1000 + F.lit(g))).cast("long").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.expr("slice(_toks, 1, _keep)"),
+                    F.expr(
+                        "IF(_keep >= _n, array(), "
+                        "transform(sequence(_keep + 1, _n), i -> "
+                        f"concat('zz', CAST(doc_id AS STRING), 'x{g}x', "
+                        "CAST(i AS STRING))))"
+                    ),
+                ),
+            ).alias("text"),
+        )
+        out = out.unionByName(v)
+    return out
+
+
+def banding_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grades: tuple[int, ...] = CALIBRATION_GRADES,
+    sample_mod: int = 7,
+) -> DataFrame:
+    """Measured candidate recall of the K=16/bands=4 LSH banding per
+    planted-similarity grade — the confusion table that makes the 0.5
+    default threshold defensible at 100 TB instead of folklore.
+
+    Pipeline: :func:`planted_neardup_corpus` -> the production
+    ``minhash_pairs`` banding at threshold 0 (raw band collisions) ->
+    inner-join against the planted truth pairs -> per-grade counts.
+    Output per grade: n_planted, n_candidates (banding recall
+    numerator), n_est_ge_05 (pairs ALSO passing the default est>=0.5
+    filter, i.e. >=8 of 16 signature matches), sum_inter/sum_union
+    (exact integer Jaccard mass — mean true Jaccard without float
+    aggregation), min/max true Jaccard (order-independent doubles).
+
+    Scale shape: the planted subset is 1/sample_mod of the corpus x
+    (1+|grades|) rows; candidates come from the same banded equi-join
+    as production (never all-pairs); the exact shingle verification
+    touches planted pairs only (|grades| per sampled doc, linear)."""
+    corpus = planted_neardup_corpus(
+        df, text_col, id_col, grades=grades, sample_mod=sample_mod
+    )
+    cand = minhash_pairs(corpus, threshold=0.0).select(
+        "id_a",
+        "id_b",
+        (F.col("est_jaccard") * MINHASH_K).cast("long").alias("_matches"),
+    )
+    sh = corpus.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    truth = corpus.filter(F.col("doc_id") < 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.expr("(-doc_id) div 1000").cast("long").alias("id_b"),
+        F.expr("(-doc_id) % 1000").cast("long").alias("grade"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = truth.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    un = F.size("sh_a") + F.size("sh_b") - inter
+    scored = j.select(
+        "grade",
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("_inter"),
+        un.cast("long").alias("_union"),
+        (inter.cast("double") / un).alias("_tj"),
+    )
+    flagged = scored.join(cand, ["id_a", "id_b"], "left")
+    half = MINHASH_K // 2
+    return flagged.groupBy(F.col("grade")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum(F.when(F.col("_matches").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("_matches") >= half, 1).otherwise(0))
+        .cast("long")
+        .alias("n_est_ge_05"),
+        F.sum("_inter").cast("long").alias("sum_inter"),
+        F.sum("_union").cast("long").alias("sum_union"),
+        F.min("_tj").alias("min_true_jaccard"),
+        F.max("_tj").alias("max_true_jaccard"),
     )
 
 

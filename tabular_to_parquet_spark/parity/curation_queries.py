@@ -1214,3 +1214,115 @@ WHERE list_reduce(list_transform(range(1, 65),
 
 
 register("d20_pq_dedup_cascade", _d20_oracle())(_q_pq_dedup_cascade)
+
+
+# ---------------------------------------------------------------------------
+# d21 — LSH banding calibration over a planted graded near-dup corpus
+# (r10 verdict item 3: measured candidate recall per similarity grade,
+# making the K=16/bands=4/threshold-0.5 defaults defensible at 100 TB).
+# Oracle mirrors the WHOLE pipeline — variant construction, shingles,
+# md5 minhash, banding join, confusion counts — token for token.
+
+
+def _q_banding_calibration(spark, sf_dir):
+    """dedup.banding_calibration over documents: per-grade planted
+    pairs, banding candidates, est>=0.5 survivors, and exact integer
+    Jaccard mass (sum_inter/sum_union) + min/max true Jaccard."""
+    from tabular_to_parquet_spark.operators import dedup
+
+    return dedup.banding_calibration(_docs(spark, sf_dir))
+
+
+def _d21_oracle() -> str:
+    from tabular_to_parquet_spark.operators import dedup
+    from tabular_to_parquet_spark.parity.extensions import (
+        _BANDS,
+        _md5i,
+        _MH_COMPONENTS,
+        _MH_EQ,
+        _mh_band_key,
+        _shingles,
+        _TOKS,
+    )
+
+    grades = ", ".join(str(g) for g in dedup.CALIBRATION_GRADES)
+    half = dedup.MINHASH_K // 2
+    band_case = " ".join(
+        f"WHEN {b} THEN {_mh_band_key(b)}" for b in range(_BANDS)
+    )
+    return f"""
+WITH grades AS (SELECT unnest([{grades}]) AS g),
+basedocs AS (
+    SELECT doc_id, text, {_TOKS} AS toks, len({_TOKS}) AS n
+    FROM documents
+    WHERE doc_id % 7 = 0 AND len({_TOKS}) >= 20
+),
+variants AS (
+    SELECT -(doc_id * 1000 + g) AS doc_id,
+           array_to_string(list_concat(
+               toks[1:keep],
+               list_transform(range(keep + 1, n + 1),
+                   i -> 'zz' || doc_id::VARCHAR || 'x' || g::VARCHAR
+                        || 'x' || i::VARCHAR)
+           ), ' ') AS text
+    FROM (SELECT doc_id, toks, n, g, (n * g + 99) // 100 AS keep
+          FROM basedocs CROSS JOIN grades)
+),
+planted AS MATERIALIZED (
+    SELECT doc_id, text FROM basedocs
+    UNION ALL SELECT doc_id, text FROM variants
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id, {_MH_COMPONENTS}
+    FROM (SELECT doc_id,
+                 list_transform({_shingles(_TOKS)}, s -> {_md5i('s')}) AS bases
+          FROM planted)
+),
+banded AS (
+    SELECT sigs.*, band,
+           (CASE band {band_case} END) AS band_key
+    FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+),
+scored_cand AS (
+    SELECT id_a, id_b, ({_MH_EQ}) AS matches
+    FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b
+),
+sh AS MATERIALIZED (
+    SELECT doc_id, {_shingles(_TOKS)} AS sh FROM planted
+),
+truth AS (
+    SELECT doc_id AS id_a, (-doc_id) // 1000 AS id_b,
+           (-doc_id) % 1000 AS grade
+    FROM planted WHERE doc_id < 0
+),
+j AS (
+    SELECT t.grade,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un,
+           c.matches
+    FROM truth t
+    JOIN sh a ON a.doc_id = t.id_a
+    JOIN sh b ON b.doc_id = t.id_b
+    LEFT JOIN scored_cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST(grade AS BIGINT) AS grade,
+       CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(SUM(CASE WHEN matches IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(SUM(CASE WHEN matches >= {half} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_est_ge_05,
+       CAST(SUM(inter) AS BIGINT) AS sum_inter,
+       CAST(SUM(un) AS BIGINT) AS sum_union,
+       MIN(inter::DOUBLE / un) AS min_true_jaccard,
+       MAX(inter::DOUBLE / un) AS max_true_jaccard
+FROM j GROUP BY grade
+"""
+
+
+register("d21_banding_calibration", _d21_oracle())(_q_banding_calibration)
