@@ -898,6 +898,7 @@ def product_quantize(
     subspaces: int = PQ_SUBSPACES,
     codes: int = PQ_CODES,
     keep_cols: tuple[str, ...] = (),
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Assign every vector its PQ code per subspace and price the
     compression: exact fixed-point squared reconstruction error
@@ -911,8 +912,8 @@ def product_quantize(
     the struct-array-min trick (ties -> lowest code, the kmeans_fixed
     rule).  The codewords enter as integer literals from
     :func:`pq_codebooks_fixed`."""
-    sub = EMBED_DIM // subspaces
-    books = pq_codebooks_fixed(subspaces, codes)
+    sub = dim // subspaces
+    books = pq_codebooks_fixed(subspaces, codes, dim)
     out_cols: list[Column] = [F.col("vec_id")] + [F.col(c) for c in keep_cols]
     code_cols: list[Column] = []
     err_total: Column | None = None
@@ -1050,6 +1051,9 @@ def knn_ivf_pq(
     probes: int = IVF_PROBES,
     anchors: list[list[float]] | None = None,
     fast: bool = False,
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """IVF-ADC search — the production ANN read path: probe the top
     IVF cells like :func:`knn_ivf`, but score candidates with the
@@ -1067,15 +1071,18 @@ def knn_ivf_pq(
     bounded query-set broadcast (cell-exploded probes + the 32 LUT
     columns), one equi-join on cell, one per-query rank window."""
     anchors = anchors or ivf_anchors()
-    sub = EMBED_DIM // PQ_SUBSPACES
-    books = pq_codebooks_fixed()
+    sub = dim // subspaces
+    books = pq_codebooks_fixed(subspaces, codes, dim)
     if fast:
         # one mapInArrow sweep; bit-equal by the twin contract
-        corpus = pq_cell_codes_fast(emb, anchors)
+        corpus = pq_cell_codes_fast(emb, anchors, subspaces, codes, dim)
     else:
         corpus = product_quantize(
             emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
+            subspaces,
+            codes,
             keep_cols=("_cell",),
+            dim=dim,
         )
     corpus = corpus.withColumn("_cell", F.col("_cell").cast("long"))
     lut_cols = []
@@ -1104,10 +1111,10 @@ def knn_ivf_pq(
         *lut_cols,
     ).withColumn("_cell", F.col("_cell_raw").cast("long")).drop("_cell_raw")
     dist = None
-    for s in range(PQ_SUBSPACES):
+    for s in range(subspaces):
         term = F.lit(0).cast("long")
         expr = None
-        for c in range(PQ_CODES):
+        for c in range(codes):
             cond = F.col(f"code_s{s}") == c
             val = F.col(f"lut_{s}_{c}")
             expr = F.when(cond, val) if expr is None else expr.when(cond, val)
@@ -1130,7 +1137,11 @@ def knn_ivf_pq(
 
 
 def pq_cell_codes_fast(
-    emb: DataFrame, anchors: list[list[float]] | None = None
+    emb: DataFrame,
+    anchors: list[list[float]] | None = None,
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """The one-pass 100 TB corpus side for IVF-ADC: ONE ``mapInArrow``
     sweep emits (vec_id, cell, PQ codes) — the corpus crosses the JVM
@@ -1151,8 +1162,8 @@ def pq_cell_codes_fast(
 
     anchors = anchors or ivf_anchors()
     A = np.array(anchors, dtype=np.float64)
-    books = pq_codebooks_fixed()
-    sub = EMBED_DIM // len(books)
+    books = pq_codebooks_fixed(subspaces, codes, dim)
+    sub = dim // len(books)
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -1208,12 +1219,16 @@ def pq_cell_codes_fast(
     return emb.select("vec_id", "embedding").mapInArrow(compute, out_schema)
 
 
-def pq_sdc_tables() -> list[list[list[int]]]:
+def pq_sdc_tables(
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+) -> list[list[list[int]]]:
     """8x8 exact integer codeword-to-codeword squared distances per
     subspace — the SDC (symmetric distance computation) lookup tables:
     with both sides PQ-coded, a pair's approximate distance is four
     table lookups, no vector arithmetic at all."""
-    books = pq_codebooks_fixed()
+    books = pq_codebooks_fixed(subspaces, codes, dim)
     return [
         [
             [sum((ai - bi) ** 2 for ai, bi in zip(a, b)) for b in book]
@@ -1228,6 +1243,9 @@ def pq_dedup_cascade(
     sdc_bound: int,
     exact_bound: int,
     anchors: list[list[float]] | None = None,
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """The production two-stage near-dup pattern with a PQ prefilter:
     candidate pairs inside an IVF cell are scored by SDC — four
@@ -1245,9 +1263,12 @@ def pq_dedup_cascade(
     anchors = anchors or ivf_anchors()
     corpus = product_quantize(
         emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
+        subspaces,
+        codes,
         keep_cols=("_cell",),
+        dim=dim,
     )
-    tables = pq_sdc_tables()
+    tables = pq_sdc_tables(subspaces, codes, dim)
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(
         b,
