@@ -406,6 +406,11 @@ def main() -> None:
         "s13_knn_ivf_pq",
         "s13_knn_ivf_pq_fast",
         "d20_pq_dedup_cascade",
+        # round 11: banding calibration, exact-substring dedup,
+        # in-plan GD trainer
+        "d21_banding_calibration",
+        "d22_substring_dedup",
+        "pl37_gd_linear_regressor",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

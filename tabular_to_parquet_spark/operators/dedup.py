@@ -1105,3 +1105,84 @@ def containment_pairs(
     return scored.withColumn("containment", contain).filter(
         F.col("containment") >= threshold
     )
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    max_df: int = 6,
+) -> DataFrame:
+    """EXACT longest-duplicated-substring pairs — the exact-substring
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (their suffix-array sweep), re-expressed
+    relationally: every document emits its k-char windows (seed
+    k-grams); documents sharing a seed are found by an equi-join on
+    the WINDOW STRING ITSELF (no hashing — hash collisions cannot
+    exist); per (pair, alignment offset = pos_a - pos_b) the shared
+    positions form gaps-and-islands, and an island of L consecutive
+    positions certifies an exact common substring of L + k - 1 chars.
+    Emits per pair the longest such span and the seed-hit count:
+    (doc_a, doc_b, lcs_len >= k, n_seed_hits).
+
+    Semantics note: seeds are document-frequency-capped to [2,
+    max_df] distinct docs (rare-anchor blocking, the
+    containment_pairs discipline) — stop-phrase windows, the skew
+    killers at 100 TB, never reach the join.  A capped window inside
+    a true duplicated span splits its island, so lcs_len is the
+    longest span AS WITNESSED BY CAPPED SEEDS — a documented
+    under-approximation that both engines (and real pipelines, which
+    cap identically for the same reason) share deterministically.
+
+    Scale shape: window explosion is linear in corpus chars (the x07
+    winnowing footprint); per-seed pair fan-out is bounded by
+    max_df^2; islands are a PARTITIONED window over (pair, offset) —
+    no global window; all arithmetic is integer, zero UDFs."""
+    from pyspark.sql import Window as W
+
+    wins = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring({text_col}, pos, {k})").alias("g"),
+        )
+    )
+    seeds = (
+        wins.groupBy("g")
+        .agg(F.countDistinct("doc").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df))
+        .select("g")
+    )
+    anchored = wins.join(seeds, "g")
+    x, y = anchored.alias("x"), anchored.alias("y")
+    hits = x.join(
+        y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc") < F.col("y.doc"))
+    ).select(
+        F.col("x.doc").alias("doc_a"),
+        F.col("y.doc").alias("doc_b"),
+        F.col("x.pos").alias("pa"),
+        F.col("y.pos").alias("pb"),
+    )
+    w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = hits.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    spans = isl.groupBy("doc_a", "doc_b", "off", "grp").agg(
+        (F.max("pa") - F.min("pa") + F.lit(k)).alias("span")
+    )
+    lcs = spans.groupBy("doc_a", "doc_b").agg(
+        F.max("span").cast("long").alias("lcs_len")
+    )
+    nhits = hits.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seed_hits")
+    )
+    return lcs.join(nhits, ["doc_a", "doc_b"])

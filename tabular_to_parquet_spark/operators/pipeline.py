@@ -1084,3 +1084,100 @@ def largest_remainder_allocation(
             + F.when(F.col("rn") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# in-plan model training: exact fixed-point gradient descent
+
+GD_W_SCALE = 20  # weights live in 2^-20 fixed point (the s09/s11 domain)
+GD_RESID_SHIFT = 10  # residual pre-shift, keeps every fdiv numerator < 2^53
+GD_LR_SHIFT = 7  # learning rate = 2^-(RESID_SHIFT + LR_SHIFT) = 2^-17
+
+
+def _pmod_floordiv(a, m) -> Column:
+    """Exact floor division for int64 columns via the pmod identity:
+    floordiv(a, m) = (a - ((a % m + m) % m)) / m.  Both engines
+    truncate ``%`` toward zero identically, the numerator is divisible
+    by m, and callers keep |numerator| < 2^53 so the double division
+    is IEEE-exact — the only way to share floor-div semantics between
+    Spark (`div` truncates) and DuckDB (`//`) without engine-specific
+    spellings."""
+    pm = ((a % m) + m) % m
+    return ((a - pm) / m).cast("long")
+
+
+def gd_linear_regressor(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    rounds: int = 5,
+) -> DataFrame:
+    """Train a linear regressor by batch gradient descent ENTIRELY
+    in-plan — the distributed model-training primitive of a curation
+    pipeline (quality regressors, importance weights, calibration
+    heads are all this shape), exact to the bit across engines.
+
+    Arithmetic contract (what makes the weights value-hashable):
+    weights are 2^-20 fixed point int64; each round computes
+    ``resid_i = Σ_j w_j x_ij − (y_i << 20)`` (int64), pre-shifts the
+    residual by 2^-10 (floor), accumulates the exact int64 gradient
+    ``Σ_i x_ij · rs_i``, mean-normalizes by n and applies a 2^-7
+    learning-rate shift — every floor division via
+    :func:`_pmod_floordiv` with numerators < 2^53 (holds to ~10^9
+    docs with |x| <= ~600, |y| <= ~2200).  Emits one row per round:
+    (round, w0.., sum_abs_resid_scaled BEFORE the update) — the loss
+    column is the convergence evidence.
+
+    Scale shape (the x43 discipline): `rounds` corpus scans in ONE
+    Catalyst plan; the model state crossing rounds is a 1-row
+    broadcast (weights + n); no driver collect, no UDFs, no floats
+    except IEEE-exact integral divisions."""
+    nf = feats.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = nf.select(
+        *[F.lit(0).cast("long").alias(f"w{j}") for j in range(len(feature_cols))],
+        "n",
+    )
+    two_s = 1 << GD_W_SCALE
+    out: DataFrame | None = None
+    for t in range(1, rounds + 1):
+        scored = feats.crossJoin(F.broadcast(wt))
+        pred: Column | None = None
+        for j, c in enumerate(feature_cols):
+            term = F.col(f"w{j}") * F.col(c)
+            pred = term if pred is None else pred + term
+        resid = pred - F.col(label_col) * F.lit(two_s)
+        rs = _pmod_floordiv(resid, F.lit(1 << GD_RESID_SHIFT))
+        aresid = F.abs(resid)
+        delta = scored.agg(
+            *[
+                F.sum(F.col(c) * rs).cast("long").alias(f"d{j}")
+                for j, c in enumerate(feature_cols)
+            ],
+            F.sum(_pmod_floordiv(aresid, F.lit(two_s)))
+            .cast("long")
+            .alias("loss"),
+        )
+        new = delta.crossJoin(F.broadcast(wt)).select(
+            *[
+                (
+                    F.col(f"w{j}")
+                    - _pmod_floordiv(
+                        _pmod_floordiv(F.col(f"d{j}"), F.col("n")),
+                        F.lit(1 << GD_LR_SHIFT),
+                    )
+                ).alias(f"w{j}")
+                for j in range(len(feature_cols))
+            ],
+            "loss",
+            "n",
+        )
+        row = new.select(
+            F.lit(t).cast("long").alias("round"),
+            *[F.col(f"w{j}") for j in range(len(feature_cols))],
+            F.col("loss").alias("sum_abs_resid_scaled"),
+        )
+        out = row if out is None else out.unionAll(row)
+        wt = new.select(
+            *[f"w{j}" for j in range(len(feature_cols))], "n"
+        )
+    return out

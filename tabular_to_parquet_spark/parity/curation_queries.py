@@ -1326,3 +1326,166 @@ FROM j GROUP BY grade
 
 
 register("d21_banding_calibration", _d21_oracle())(_q_banding_calibration)
+
+
+# ---------------------------------------------------------------------------
+# d22 — exact longest-duplicated-substring pairs (the Lee et al.
+# exact-substring dedup re-expressed relationally: df-capped seed
+# k-grams -> string equi-join -> gaps-and-islands per alignment
+# offset).  The testdata contains genuine near-full-text duplicates
+# (lcs up to ~530 chars on a ~550-char corpus), so the output is the
+# real dedup verdict, not a toy.
+
+_D22_K = 24
+_D22_MAX_DF = 6
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """dedup.substring_duplicate_spans over documents: exact common
+    substrings of >= 24 chars between doc pairs, longest span +
+    seed-hit count per pair."""
+    from tabular_to_parquet_spark.operators import dedup
+
+    return dedup.substring_duplicate_spans(
+        _docs(spark, sf_dir), k=_D22_K, max_df=_D22_MAX_DF
+    )
+
+
+def _d22_oracle() -> str:
+    k, max_df = _D22_K, _D22_MAX_DF
+    return f"""
+WITH wins AS (
+  SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), {k}) AS g
+  FROM (SELECT * FROM documents WHERE length(text) >= {k}),
+       unnest(range(1, length(text) - {k} + 2)) AS t(i)
+),
+seeds AS (
+  SELECT g FROM wins GROUP BY g
+  HAVING count(DISTINCT doc) BETWEEN 2 AND {max_df}
+),
+hits AS (
+  SELECT x.doc AS doc_a, y.doc AS doc_b, x.pos AS pa, y.pos AS pb
+  FROM wins x JOIN seeds s ON x.g = s.g
+  JOIN wins y ON x.g = y.g AND x.doc < y.doc
+),
+isl AS (
+  SELECT doc_a, doc_b, pa - pb AS off, pa,
+         pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_a, doc_b, max(pa) - min(pa) + {k} AS span
+  FROM isl GROUP BY doc_a, doc_b, off, grp
+),
+pair_lcs AS (
+  SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS lcs_len
+  FROM spans GROUP BY 1, 2
+),
+pair_hits AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_seed_hits
+  FROM hits GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, lcs_len, n_seed_hits
+FROM pair_lcs JOIN pair_hits USING (doc_a, doc_b)
+"""
+
+
+register("d22_substring_dedup", _d22_oracle())(_q_substring_dedup)
+
+
+# ---------------------------------------------------------------------------
+# pl37 — in-plan exact fixed-point gradient-descent linear regressor
+# (pipeline.gd_linear_regressor): the distributed model-training
+# primitive of a curation pipeline, trained on integer text features
+# against a planted linear-plus-noise label.  The oracle unrolls the
+# five rounds as CTEs with the same pmod floor-division identity.
+
+_PL37_X2 = "(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+_PL37_X3 = "(length(text) - length(replace(text, ' ', '')) + 1)"
+_PL37_X4 = "(length(text) - length(replace(text, 'data', '')))"
+_PL37_XS = ["1", "n_chars", _PL37_X2, _PL37_X3, _PL37_X4]
+_PL37_Y = (
+    f"(3 * n_chars - 2 * {_PL37_X3} + 50 * {_PL37_X2} + (doc_id % 10))"
+)
+_PL37_ROUNDS = 5
+
+
+def _q_gd_regressor(spark, sf_dir):
+    """pipeline.gd_linear_regressor over documents: 5 GD rounds on
+    (bias, n_chars, is_en, words, 'data'-mass) against the planted
+    label; emits (round, w0..w4, sum_abs_resid_scaled)."""
+    from tabular_to_parquet_spark.operators import pipeline as pl
+
+    feats = _docs(spark, sf_dir).select(
+        *[
+            F.expr(x).cast("long").alias(f"x{j}")
+            for j, x in enumerate(_PL37_XS)
+        ],
+        F.expr(_PL37_Y).cast("long").alias("y"),
+    )
+    return pl.gd_linear_regressor(
+        feats, [f"x{j}" for j in range(len(_PL37_XS))], rounds=_PL37_ROUNDS
+    )
+
+
+def _pl37_oracle() -> str:
+    from tabular_to_parquet_spark.operators.pipeline import (
+        GD_LR_SHIFT,
+        GD_RESID_SHIFT,
+        GD_W_SCALE,
+    )
+
+    nx = len(_PL37_XS)
+    two_s = 1 << GD_W_SCALE
+
+    def fd(a: str, m: str) -> str:
+        return f"CAST(({a} - ((({a} % {m}) + {m}) % {m})) / {m} AS BIGINT)"
+
+    x_cols = ", ".join(
+        f"CAST({x} AS BIGINT) AS x{j}" for j, x in enumerate(_PL37_XS)
+    )
+    ctes = [
+        f"f AS (SELECT {x_cols}, CAST({_PL37_Y} AS BIGINT) AS y"
+        " FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
+        "r0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nx))
+        + ")",
+    ]
+    for t in range(1, _PL37_ROUNDS + 1):
+        pred = " + ".join(f"p.w{j} * x{j}" for j in range(nx))
+        ctes.append(
+            f"s{t} AS (SELECT f.*, ({pred}) - y * {two_s} AS resid"
+            f" FROM f, r{t - 1} p)"
+        )
+        rs = fd("resid", str(1 << GD_RESID_SHIFT))
+        d_cols = ", ".join(
+            f"CAST(SUM(x{j} * {rs}) AS BIGINT) AS d{j}" for j in range(nx)
+        )
+        loss = fd("abs(resid)", str(two_s))
+        ctes.append(
+            f"a{t} AS (SELECT {d_cols},"
+            f" CAST(SUM({loss}) AS BIGINT) AS loss FROM s{t})"
+        )
+        w_cols = ", ".join(
+            f"p.w{j} - "
+            + fd(fd(f"a.d{j}", "nn.n"), str(1 << GD_LR_SHIFT))
+            + f" AS w{j}"
+            for j in range(nx)
+        )
+        ctes.append(
+            f"r{t} AS (SELECT {w_cols}, a.loss AS loss"
+            f" FROM a{t} a, r{t - 1} p, nn)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, "
+        + ", ".join(f"w{j}" for j in range(nx))
+        + f", loss AS sum_abs_resid_scaled FROM r{t}"
+        for t in range(1, _PL37_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+register("pl37_gd_linear_regressor", _pl37_oracle())(_q_gd_regressor)

@@ -32,7 +32,18 @@ TAR seeds (odd):
 - checks read_tar_csv_header, the distributed string scan, and the
   driver-side sample_rows twin (first-N member-order rule).
 
-Usage: python tools/archive_fuzz.py [n_seeds] [seed0]
+XLSX seeds (family=xlsx): an INDEPENDENT OOXML generator (not
+write_xlsx) — per workbook random mixtures of sharedStrings (multi-run
+<si>), inlineStr, and raw <v> cells; explicit A1-style refs vs
+ref-less sequential cells; sparse rows with gap cells (expected ""
+padding); empty <row/> elements (expected to surface as all-"" rows —
+sheet_rows pads them to sheet width); short/long rows vs the header
+width; xml-escaped + xml:space content; 1..3 workbooks per directory.
+Checks read_xlsx_header + the distributed string scan against
+generation-derived expectations.
+
+Usage: python tools/archive_fuzz.py [n_seeds] [seed0] [family]
+       family: mixed (default; warc/tar by seed parity) | xlsx
 """
 
 from __future__ import annotations
@@ -284,11 +295,167 @@ def gen_tar_corpus(rng: random.Random, tmp: str):
 
 
 # ---------------------------------------------------------------------------
+# XLSX generation (independent OOXML serializer)
+
+_XLSX_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_XLSX_CT = (
+    '<?xml version="1.0"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+    "</Types>"
+)
+_XLSX_RELS = (
+    '<?xml version="1.0"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WB = (
+    f'<?xml version="1.0"?><workbook xmlns="{_XLSX_NS}">'
+    '<sheets><sheet name="S1" sheetId="1" r:id="rId1" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>'
+    "</sheets></workbook>"
+)
+_XLSX_WB_RELS = (
+    '<?xml version="1.0"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def _xesc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _cell_ref(ci: int, ri: int) -> str:
+    ref, n = "", ci + 1
+    while n:
+        n, rem = divmod(n - 1, 26)
+        ref = chr(65 + rem) + ref
+    return f"{ref}{ri}"
+
+
+def _rand_cell_text(rng: random.Random) -> str:
+    style = rng.random()
+    if style < 0.2:
+        return str(rng.randint(-10**6, 10**6))
+    if style < 0.3:
+        return f"{rng.randint(0, 999)}.{rng.randint(0, 99):02d}"
+    if style < 0.4:
+        return rng.choice(["", " lead", "trail ", "a & b", "<tag>", 'q"uo'])
+    return rng.choice(WORDS) + str(rng.randrange(100))
+
+
+def gen_xlsx_book(rng: random.Random, header: list[str]):
+    """Returns (zip_bytes, logical_rows) where logical_rows are the
+    DATA rows (header excluded) as sparse dicts {col_index: text}."""
+    import zipfile
+
+    shared: list[str] = []
+    rows_xml: list[str] = []
+    logical: list[dict[int, str]] = []
+    width = len(header)
+
+    def cell_xml(ci: int, ri: int, val: str, explicit: bool):
+        """-> (xml, effective_text the reader should surface)."""
+        r_attr = f' r="{_cell_ref(ci, ri)}"' if explicit else ""
+        kind = rng.random()
+        if kind < 0.35:
+            if rng.random() < 0.5 and len(val) > 2:
+                # multi-run shared string (reader concatenates runs)
+                cut = rng.randint(1, len(val) - 1)
+                si = (
+                    f'<si><t xml:space="preserve">{_xesc(val[:cut])}</t>'
+                    f'<t xml:space="preserve">{_xesc(val[cut:])}</t></si>'
+                )
+            else:
+                si = f'<si><t xml:space="preserve">{_xesc(val)}</t></si>'
+            shared.append(si)
+            return f'<c{r_attr} t="s"><v>{len(shared) - 1}</v></c>', val
+        if kind < 0.7:
+            return (
+                f'<c{r_attr} t="inlineStr"><is>'
+                f'<t xml:space="preserve">{_xesc(val)}</t></is></c>',
+                val,
+            )
+        if kind < 0.9:
+            # raw <v> — stored text passes through (numbers/booleans)
+            num = str(rng.randint(-9999, 9999))
+            return f"<c{r_attr}><v>{num}</v></c>", num
+        return f"<c{r_attr}/>", ""
+
+    ri = 1
+    # header row: always explicit refs, dense
+    hdr_cells = []
+    for ci, name in enumerate(header):
+        hdr_cells.append(
+            f'<c r="{_cell_ref(ci, ri)}" t="inlineStr"><is>'
+            f"<t>{_xesc(name)}</t></is></c>"
+        )
+    rows_xml.append(f'<row r="{ri}">' + "".join(hdr_cells) + "</row>")
+    ri += 1
+
+    for _ in range(rng.randint(0, 20)):
+        if rng.random() < 0.1:
+            # empty <row/>: sheet_rows records [] then pads to sheet
+            # width, so it SURFACES as an all-"" row (the sheet is
+            # never zero-width — the header row is dense)
+            rows_xml.append(f'<row r="{ri}"/>')
+            logical.append({})
+            ri += 1
+            continue
+        explicit = rng.random() < 0.7
+        w = rng.randint(1, width + 2)
+        if explicit and rng.random() < 0.4 and width > 1:
+            # sparse row: random subset of columns
+            cols = sorted(rng.sample(range(w), rng.randint(1, w)))
+        else:
+            cols = list(range(w))
+        cells, logical_row = [], {}
+        for seq, ci in enumerate(cols):
+            use_ci = ci if explicit else seq
+            xml, val = cell_xml(use_ci, ri, _rand_cell_text(rng), explicit)
+            cells.append(xml)
+            logical_row[use_ci] = val
+        rows_xml.append(f'<row r="{ri}">' + "".join(cells) + "</row>")
+        logical.append(logical_row)
+        ri += 1
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        f'<worksheet xmlns="{_XLSX_NS}"><sheetData>'
+        + "".join(rows_xml)
+        + "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CT)
+        zf.writestr("_rels/.rels", _XLSX_RELS)
+        zf.writestr("xl/workbook.xml", _XLSX_WB)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        if shared:
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst xmlns="{_XLSX_NS}">'
+                + "".join(shared)
+                + "</sst>",
+            )
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue(), logical
+
+
+# ---------------------------------------------------------------------------
 
 
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    family = sys.argv[3] if len(sys.argv) > 3 else "mixed"
     n_threads = int(os.environ.get("ARCHIVE_FUZZ_THREADS", "8"))
 
     from concurrent.futures import ThreadPoolExecutor
@@ -404,11 +571,43 @@ def main() -> int:
             return ("tar_sample", f"{samp[:2]} != {want[:2]}")
         return None
 
+    def run_xlsx_seed(rng: random.Random, seed: int, tmp: str):
+        from tabular_to_parquet_spark.sources.xlsx_source import (
+            read_xlsx_as_strings,
+            read_xlsx_header,
+        )
+
+        width = rng.randint(1, 6)
+        header = [f"h{i}_{rng.choice('abcdef')}" for i in range(width)]
+        expected: list[tuple] = []
+        for b in range(rng.randint(1, 3)):
+            blob, logical = gen_xlsx_book(rng, header)
+            with open(os.path.join(tmp, f"book{b}.xlsx"), "wb") as fh:
+                fh.write(blob)
+            for lr in logical:
+                expected.append(
+                    tuple(lr.get(i, "") for i in range(width))
+                )
+        got_header = read_xlsx_header(spark, tmp)
+        if got_header != header:
+            return ("xlsx_header", f"{got_header} != {header}")
+        df = read_xlsx_as_strings(spark, tmp, header)
+        got = [tuple(r) for r in df.collect()]
+        if sorted(got, key=repr) != sorted(expected, key=repr):
+            sg, se = sorted(got, key=repr), sorted(expected, key=repr)
+            diff = [x for x in sg if x not in se][:2] + [
+                x for x in se if x not in sg
+            ][:2]
+            return ("xlsx_read", repr(diff)[:400])
+        return None
+
     def wrapped(seed: int):
         rng = random.Random(seed ^ 0xA5C3)
         tmp = tempfile.mkdtemp(prefix=f"afz{seed}_")
         try:
-            if seed % 2 == 0:
+            if family == "xlsx":
+                r = run_xlsx_seed(rng, seed, tmp)
+            elif seed % 2 == 0:
                 r = run_warc_seed(rng, seed, tmp)
             else:
                 r = run_tar_seed(rng, seed, tmp)
@@ -426,8 +625,8 @@ def main() -> int:
     with ThreadPoolExecutor(max_workers=n_threads) as ex:
         list(ex.map(wrapped, range(seed0, seed0 + n_seeds)))
 
-    print(f"archive_fuzz: {n_seeds} seeds ({seed0}..{seed0 + n_seeds - 1}), "
-          f"{len(failures)} failures")
+    print(f"archive_fuzz[{family}]: {n_seeds} seeds "
+          f"({seed0}..{seed0 + n_seeds - 1}), {len(failures)} failures")
     for seed, kind, detail in failures[:20]:
         print(f"  FAIL seed={seed} {kind}: {detail}")
     return 1 if failures else 0

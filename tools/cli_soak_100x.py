@@ -201,7 +201,7 @@ def _rss_kb(pid: int) -> int:
         return 0
 
 
-def run(copies: int) -> None:
+def run(copies: int, only: str = "") -> None:
     import threading
 
     wd = work_dir(copies)
@@ -211,6 +211,8 @@ def run(copies: int) -> None:
         ("xlsx", os.path.join(wd, "xlsx_books")),
         ("warc", os.path.join(wd, "warc_arch")),
     ):
+        if only and fmt != only:
+            continue
         out = os.path.join(wd, f"out_{fmt}.parquet")
         cmd = [
             sys.executable, "-m", "tabular_to_parquet_spark.cli",
@@ -267,7 +269,7 @@ def main() -> int:
     if mode == "setup":
         setup(copies)
     elif mode == "run":
-        run(copies)
+        run(copies, sys.argv[3] if len(sys.argv) > 3 else "")
     else:
         print(__doc__)
         return 1

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "x42_vocab_growth": "1-row scalar aggregate (corpus max doc id)",
     "pr27_hll_estimate_audit": "1-row x 1-row aggregate cross join (estimator inputs)",
     "x43_bpe_merge_learning": "1-row argmax broadcast per learned merge round (bounded by round count)",
+    "pl37_gd_linear_regressor": "1-row model-state broadcast per GD round (weights + n, bounded by round count)",
     "pl35_quality_dup_calibration_scale": "1-row scalar aggregate (total row count for ntile)",
     # bounded literal fan-out
     "pl26_epoch_shuffle": "broadcast 3-row literal epoch range",
