@@ -1138,7 +1138,19 @@ def substring_duplicate_spans(
     Scale shape: window explosion is linear in corpus chars (the x07
     winnowing footprint); per-seed pair fan-out is bounded by
     max_df^2; islands are a PARTITIONED window over (pair, offset) —
-    no global window; all arithmetic is integer, zero UDFs."""
+    no global window; all arithmetic is integer, zero UDFs.
+
+    Per-ROW memory limit (shared with x07 winnowing): the window
+    positions come from ``F.sequence(1, len - k + 1)`` which
+    materializes the full position array for one document in one row
+    BEFORE the explode fans out — a single 100 MB document builds a
+    ~100M-element array (~800 MB as Catalyst longs) on one executor.
+    "Linear in corpus chars" is the aggregate cost; the per-row spike
+    is the binding constraint when individual documents are huge.  If
+    such documents are in scope, pre-chunk them (split on
+    ``floor(pos / chunk)`` with k-1 chars of overlap so no window is
+    lost) before calling this — islands then certify spans per chunk
+    and merge by offset exactly as within a document."""
     from pyspark.sql import Window as W
 
     wins = (

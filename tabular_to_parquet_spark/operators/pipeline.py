@@ -1128,14 +1128,59 @@ def gd_linear_regressor(
     (round, w0.., sum_abs_resid_scaled BEFORE the update) — the loss
     column is the convergence evidence.
 
-    Scale shape (the x43 discipline): `rounds` corpus scans in ONE
+    Scale shape (the x43 discipline): the training loop runs in ONE
     Catalyst plan; the model state crossing rounds is a 1-row
-    broadcast (weights + n); no driver collect, no UDFs, no floats
-    except IEEE-exact integral divisions."""
-    nf = feats.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    wt = nf.select(
+    broadcast of weights; no collect inside the loop, no UDFs, no
+    floats except IEEE-exact integral divisions.  The STATIC plan
+    nests each round's aggregate inside the next (O(rounds^2) scan
+    nodes on paper); the "rounds corpus scans" runtime contract is
+    delivered by Spark's exchange reuse — identical per-round
+    aggregate subtrees canonicalize to ReusedExchange at execution
+    (verified: rounds=3 executes 3 corpus aggregates, not 9).  With
+    ``spark.sql.exchange.reuse`` disabled the loop degrades to
+    O(rounds^2) scans (correct, just slower) — cap ``rounds`` (~10)
+    or checkpoint externally if you must run without exchange reuse.
+
+    Pre-flight guard (one driver-side aggregate before the plan is
+    built): raises ValueError on empty input (n = 0 would floor-divide
+    by zero and silently emit null weights) and when
+    ``n * max|x| * (max|y| << (W_SCALE - RESID_SHIFT))`` breaches
+    2^53/4 — the round-1 gradient magnitude with 4x headroom for
+    later-round residual growth.  The guard matters because the two
+    engines fail DIFFERENTLY outside the envelope: Spark's sum(long)
+    silently wraps on int64 overflow while DuckDB's SUM promotes to
+    HUGEINT and the BIGINT cast raises — an out-of-contract corpus
+    yields silently wrong weights on one engine and an error on the
+    other, with nothing else detecting the breach at runtime."""
+    pre = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(
+            F.greatest(*[F.abs(F.col(c)) for c in feature_cols])
+            if len(feature_cols) > 1
+            else F.abs(F.col(feature_cols[0]))
+        ).alias("mx"),
+        F.max(F.abs(F.col(label_col))).alias("my"),
+    ).first()
+    n = int(pre["n"] or 0)
+    if n == 0:
+        raise ValueError(
+            "gd_linear_regressor: empty input — n=0 would floor-divide "
+            "by zero and emit null weights in every round"
+        )
+    mx = max(int(pre["mx"] or 0), 1)
+    my = max(int(pre["my"] or 0), 1)
+    grad1_bound = n * mx * ((my << (GD_W_SCALE - GD_RESID_SHIFT)) + 1)
+    if grad1_bound >= (1 << 53) // 4:
+        raise ValueError(
+            f"gd_linear_regressor: gradient bound {grad1_bound} breaches "
+            f"2^53/4 (n={n}, max|x|={mx}, max|y|={my}) — outside the "
+            "exact-arithmetic envelope; Spark would wrap int64 sums "
+            "silently while the SQL oracle raises. Rescale features/"
+            "labels or shard the corpus."
+        )
+    wt = feats.sparkSession.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{j}") for j in range(len(feature_cols))],
-        "n",
+        F.lit(n).cast("long").alias("n"),
     )
     two_s = 1 << GD_W_SCALE
     out: DataFrame | None = None

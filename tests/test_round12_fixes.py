@@ -1,0 +1,52 @@
+"""Round-12 ADVICE fixes: gd_linear_regressor pre-flight guards
+(empty input, 2^53 gradient-bound breach) and the literal-n weight
+state, pinned against the integer-numpy twin from test_round11_ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tabular_to_parquet_spark.operators.pipeline import gd_linear_regressor
+
+from tests.test_round11_ops import _np_gd, _spark_gd
+
+
+def test_gd_empty_input_raises(spark):
+    df = spark.createDataFrame([], "x0 long, x1 long, y long")
+    with pytest.raises(ValueError, match="empty input"):
+        gd_linear_regressor(df, ["x0", "x1"], rounds=2)
+
+
+def test_gd_overflow_envelope_raises(spark):
+    # n * max|x| * (max|y| << 10) >= 2^53/4: one row is enough when
+    # the magnitudes are extreme — the guard must fire BEFORE any
+    # round runs (Spark would wrap the int64 gradient sum silently).
+    big = 1 << 30
+    df = spark.createDataFrame([(1, big, big)], "x0 long, x1 long, y long")
+    with pytest.raises(ValueError, match="2\\^53"):
+        gd_linear_regressor(df, ["x0", "x1"], rounds=1)
+
+
+def test_gd_single_feature_guard_path(spark):
+    # len(feature_cols) == 1 exercises the no-greatest() agg branch
+    X = np.array([[3], [5], [9]], dtype=np.int64)
+    y = np.array([7, 11, 23], dtype=np.int64)
+    assert _spark_gd(spark, X, y, 2) == _np_gd(X, y, 2)
+
+
+def test_gd_values_unchanged_after_literal_n(spark):
+    # the r12 rewrite (driver-side n literal instead of in-plan count
+    # aggregate) must be value-invisible: re-pin the r11 twin seed
+    rng = np.random.default_rng(7)
+    X = np.column_stack(
+        [
+            np.ones(40, dtype=np.int64),
+            rng.integers(50, 600, 40),
+            rng.integers(0, 2, 40),
+            rng.integers(5, 120, 40),
+        ]
+    ).astype(np.int64)
+    y = 3 * X[:, 1] - 2 * X[:, 3] + 17 * X[:, 2] + rng.integers(0, 10, 40)
+    assert _spark_gd(spark, X, y, 3) == _np_gd(X, y, 3)
