@@ -18,9 +18,10 @@ bh = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(bh)
 
 
-def _snap(commit, idle=True, sf=0.1, **queries):
+def _snap(commit, idle=True, sf=0.1, canary=None, **queries):
     return {"commit": commit, "date": "2026-08-01T00:00:00+00:00",
             "idle": idle, "sf": sf, "reps": 3,
+            "canary_sha": canary, "canary_noop": None,
             "queries": {k: float(v) for k, v in queries.items()}}
 
 
@@ -83,3 +84,75 @@ def test_committed_history_loads_and_matches_local():
     newest = snaps[-1]["queries"]
     overlap = set(newest) & set(local["queries"])
     assert len(overlap) >= 50
+
+
+# -- r12: host-normalized flagging (r11 verdict item 1) ----------------------
+
+
+def test_normalized_no_false_flag_on_2x_host_slowdown():
+    # history on a fast host (canary 0.1); current run on a host
+    # exactly 2x slower (canary 0.2, every query 2x) — zero flags.
+    snaps = [_snap("a", canary=0.1, q1=1.0, q2=4.0),
+             _snap("b", canary=0.1, q1=1.1, q2=4.4)]
+    cur = {"q1": 2.0, "q2": 8.0}
+    assert bh.flag_regressions(snaps, cur, current_canary=0.2) == {}
+
+
+def test_normalized_real_regression_still_fires():
+    # same host speed (canary equal) but q1 got 2x slower in code
+    snaps = [_snap("a", canary=0.1, q1=1.0)]
+    flagged = bh.flag_regressions(snaps, {"q1": 2.0}, current_canary=0.1)
+    assert "q1" in flagged
+    assert flagged["q1"]["ratio"] == 2.0
+    assert flagged["q1"]["host_ratio"] == 1.0
+
+
+def test_normalized_regression_visible_through_host_slowdown():
+    # host 2x slower AND code 2x slower: normalized ratio is 2x -> flag
+    snaps = [_snap("a", canary=0.1, q1=1.0)]
+    flagged = bh.flag_regressions(snaps, {"q1": 4.0}, current_canary=0.2)
+    assert "q1" in flagged and flagged["q1"]["ratio"] == 2.0
+    assert flagged["q1"]["host_ratio"] == 2.0
+
+
+def test_bootstrap_no_canary_history_is_quiet():
+    # canary-less (pre-r12) snapshots are exactly the drift-confounded
+    # ones — with a current canary but no canary-bearing history the
+    # flag must report nothing (bootstrap) rather than 65 noise rows.
+    snaps = [_snap("a", q1=0.5), _snap("b", q1=0.55)]
+    assert bh.flag_regressions(snaps, {"q1": 5.0}, current_canary=0.1) == {}
+    meta = bh.flag_meta(snaps, current_canary=0.1)
+    assert meta["bootstrap"] and not meta["normalized"]
+    assert meta["n_canary_snapshots"] == 0
+
+
+def test_canaryless_snapshots_excluded_once_canary_exists():
+    # the drift-confounded fast snapshot (no canary) must not set the
+    # baseline once a canary-bearing one exists
+    snaps = [_snap("a", q1=0.1),                  # pre-r12, fast host
+             _snap("b", canary=0.1, q1=1.0)]      # canary-stamped
+    assert bh.flag_regressions(snaps, {"q1": 1.2}, current_canary=0.1) == {}
+    meta = bh.flag_meta(snaps, current_canary=0.1)
+    assert meta["normalized"] and meta["n_canary_snapshots"] == 1
+
+
+def test_legacy_unnormalized_path_unchanged():
+    # no current canary -> the pre-r12 rule, canary-less history OK
+    snaps = [_snap("a", q1=1.0)]
+    assert "q1" in bh.flag_regressions(snaps, {"q1": 1.6})
+
+
+def test_csv_roundtrip_with_canaries(tmp_path):
+    snaps = [_snap("a", canary=0.123, q1=1.0), _snap("b", q1=1.1)]
+    p = str(tmp_path / "hist.csv")
+    bh.write_csv(snaps, p)
+    assert bh.read_csv(p) == snaps
+
+
+def test_read_pre_r12_csv_without_canary_columns(tmp_path):
+    # a committed pre-r12 CSV has no canary columns at all
+    p = tmp_path / "old.csv"
+    p.write_text("commit,date,idle,sf,reps,query,sec\n"
+                 "a,2026-08-01T00:00:00+00:00,1,0.1,3,q1,1.0\n")
+    back = bh.read_csv(str(p))
+    assert back == [_snap("a", q1=1.0)]

@@ -8,11 +8,23 @@ timings plus the machine-state stamps, and writes ONE committed CSV
 (``BENCH_HISTORY.csv``) that downstream tooling — and bench.py's
 regression flag — can read without touching git.
 
-Regression rule (r10 verdict item 5): a query is flagged when its
-fresh min-of-reps exceeds ``factor`` (default 1.5×) times the minimum
-of its last ``window`` (default 3) comparable snapshots — same sf,
-``idle_at_start`` true (the NEXT.md idle rule: non-idle snapshots are
-noise-bounded only, never a regression baseline).
+Regression rule (r10 verdict item 5, host-normalized per r11 verdict
+item 1): a query is flagged when its fresh min-of-reps exceeds
+``factor`` (default 1.5×) times the minimum of its last ``window``
+(default 3) comparable snapshots — same sf, ``idle_at_start`` true
+(the NEXT.md idle rule: non-idle snapshots are noise-bounded only,
+never a regression baseline) — where each historical time is first
+RESCALED to today's host speed by the CPU-canary ratio
+(``hist_sec * current_canary / snapshot_canary``).  The canary is a
+fixed single-thread sha256 workload timed by bench.py before the
+suite; r11's judge proved the unnormalized rule fires on ~65/104
+queries from host drift alone (r10's unchanged code re-ran 1.59×
+slower on the same box weeks later) — a real 1.5× code regression
+would hide in that wash.  Bootstrap rule: once any canary-bearing
+comparable snapshot exists, canary-less snapshots are NEVER baselines
+(they are exactly the drift-confounded ones); until one exists,
+normalized flagging is impossible and the flag reports
+``bootstrap: true`` with an empty set rather than 65 noise entries.
 
 Usage:
     python tools/bench_history.py            # rebuild BENCH_HISTORY.csv
@@ -30,7 +42,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CSV_PATH = os.path.join(REPO, "BENCH_HISTORY.csv")
-FIELDS = ["commit", "date", "idle", "sf", "reps", "query", "sec"]
+FIELDS = ["commit", "date", "idle", "sf", "reps", "canary_sha",
+          "canary_noop", "query", "sec"]
 
 
 def load_history(repo: str = REPO) -> list[dict]:
@@ -64,6 +77,8 @@ def load_history(repo: str = REPO) -> list[dict]:
         queries = payload.get("queries")
         if not isinstance(queries, dict) or not queries:
             continue
+        c_sha = payload.get("canary_sha256_sec")
+        c_noop = payload.get("canary_spark_noop_sec")
         snaps.append(
             {
                 "commit": sha,
@@ -71,6 +86,8 @@ def load_history(repo: str = REPO) -> list[dict]:
                 "idle": bool(payload.get("idle_at_start", False)),
                 "sf": float(payload.get("sf", 0.1)),
                 "reps": int(payload.get("reps", 1)),
+                "canary_sha": float(c_sha) if c_sha else None,
+                "canary_noop": float(c_noop) if c_noop else None,
                 "queries": {str(k): float(v) for k, v in queries.items()},
             }
         )
@@ -85,7 +102,10 @@ def write_csv(snaps: list[dict], path: str = CSV_PATH) -> None:
             for q in sorted(s["queries"]):
                 w.writerow(
                     [s["commit"], s["date"], int(s["idle"]), s["sf"],
-                     s["reps"], q, s["queries"][q]]
+                     s["reps"],
+                     "" if s.get("canary_sha") is None else s["canary_sha"],
+                     "" if s.get("canary_noop") is None else s["canary_noop"],
+                     q, s["queries"][q]]
                 )
 
 
@@ -99,12 +119,17 @@ def read_csv(path: str = CSV_PATH) -> list[dict]:
         for row in csv.DictReader(fh):
             s = by_commit.get(row["commit"])
             if s is None:
+                # canary columns absent (pre-r12 CSV) or empty → None
+                c_sha = row.get("canary_sha") or None
+                c_noop = row.get("canary_noop") or None
                 s = {
                     "commit": row["commit"],
                     "date": row["date"],
                     "idle": row["idle"] == "1",
                     "sf": float(row["sf"]),
                     "reps": int(row["reps"]),
+                    "canary_sha": float(c_sha) if c_sha else None,
+                    "canary_noop": float(c_noop) if c_noop else None,
                     "queries": {},
                 }
                 by_commit[row["commit"]] = s
@@ -119,27 +144,74 @@ def flag_regressions(
     sf: float = 0.1,
     factor: float = 1.5,
     window: int = 3,
+    current_canary: float | None = None,
 ) -> dict[str, dict]:
     """Queries in ``current`` slower than factor × the min of their
     last ``window`` comparable (idle, same-sf) snapshots.
 
-    Returns {query: {sec, baseline_sec, ratio}}.  Queries with no
-    comparable history are never flagged (a new query has no
+    With ``current_canary`` (this run's sha256 canary seconds) each
+    historical time is rescaled to today's host speed —
+    ``hist_sec * current_canary / snapshot_canary`` — before the
+    factor test, and only canary-bearing snapshots are baselines (the
+    bootstrap rule in the module docstring).  Without it, the legacy
+    unnormalized rule applies (kept for pre-r12 callers/tests).
+
+    Returns {query: {sec, baseline_sec, ratio[, host_ratio]}} where
+    baseline_sec is the host-rescaled baseline and host_ratio the
+    current/baseline-snapshot canary ratio that produced it.  Queries
+    with no comparable history are never flagged (a new query has no
     baseline)."""
     comparable = [s for s in snaps if s["idle"] and s["sf"] == sf]
+    normalized = current_canary is not None and any(
+        s.get("canary_sha") for s in comparable
+    )
+    if current_canary is not None and not normalized:
+        return {}  # bootstrap: no sound baseline exists yet
+    if normalized:
+        comparable = [s for s in comparable if s.get("canary_sha")]
     flagged: dict[str, dict] = {}
     for q, sec in current.items():
-        hist = [s["queries"][q] for s in comparable if q in s["queries"]]
+        hist = [
+            (
+                s["queries"][q] * (current_canary / s["canary_sha"])
+                if normalized
+                else s["queries"][q],
+                s.get("canary_sha"),
+            )
+            for s in comparable
+            if q in s["queries"]
+        ]
         if not hist:
             continue
-        baseline = min(hist[-window:])
+        baseline, base_canary = min(hist[-window:], key=lambda t: t[0])
         if baseline > 0 and sec > factor * baseline:
             flagged[q] = {
                 "sec": round(sec, 3),
                 "baseline_sec": round(baseline, 3),
                 "ratio": round(sec / baseline, 2),
             }
+            if normalized:
+                flagged[q]["host_ratio"] = round(
+                    current_canary / base_canary, 3
+                )
     return flagged
+
+
+def flag_meta(
+    snaps: list[dict],
+    sf: float = 0.1,
+    current_canary: float | None = None,
+) -> dict:
+    """Context for a flag_regressions result: was it normalized, and
+    how many canary-bearing comparable snapshots back the baseline."""
+    comparable = [s for s in snaps if s["idle"] and s["sf"] == sf]
+    n_canary = sum(1 for s in comparable if s.get("canary_sha"))
+    return {
+        "normalized": current_canary is not None and n_canary > 0,
+        "bootstrap": current_canary is not None and n_canary == 0,
+        "n_canary_snapshots": n_canary,
+        "n_comparable_snapshots": len(comparable),
+    }
 
 
 def main() -> int:
@@ -158,9 +230,13 @@ def main() -> int:
                   file=sys.stderr)
         # exclude the newest snapshot if it IS the current payload
         hist = [s for s in snaps if s["queries"] != cur.get("queries")]
+        canary = cur.get("canary_sha256_sec")
         flagged = flag_regressions(hist, cur.get("queries", {}),
-                                   sf=float(cur.get("sf", 0.1)))
-        print(json.dumps({"regressions": flagged}, indent=2))
+                                   sf=float(cur.get("sf", 0.1)),
+                                   current_canary=canary)
+        meta = flag_meta(hist, sf=float(cur.get("sf", 0.1)),
+                         current_canary=canary)
+        print(json.dumps({"regressions": flagged, "meta": meta}, indent=2))
         return 1 if flagged else 0
     return 0
 
