@@ -295,3 +295,46 @@ def test_python_stream_source_replays_in_micro_batches(spark):
     want = spark.read.parquet(path).count()
     assert got == want
     assert n_batches >= 3, f"expected >=3 data micro-batches, saw {n_batches}"
+
+
+def test_protobuf_statemessage_roundtrip_canary():
+    """Canary for the vendored-protobuf shim (conftest.py): the TWS
+    state protocol runs a 6.32 runtime against pyspark's 6.33-stamped
+    gencode behind TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK.  Pin
+    the actual contract — serialize→parse of representative
+    StateMessage requests/responses is byte-faithful — so a future
+    pyspark gencode bump that really breaks wire compatibility fails
+    HERE, loudly, instead of obscurely inside the TWS equivalence
+    test (r11 verdict item 7)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+    # a ValueState update request, the hot-path TWS message shape
+    req = sm.StateRequest()
+    req.version = 2
+    call = req.stateVariableRequest.valueStateCall
+    call.stateName = "session_state"
+    call.valueStateUpdate.value = b"\x00\x01payload\xff"
+    wire = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(wire)
+    assert back.version == 2
+    assert back.stateVariableRequest.valueStateCall.stateName == "session_state"
+    assert (back.stateVariableRequest.valueStateCall.valueStateUpdate.value
+            == b"\x00\x01payload\xff")
+    assert back.SerializeToString() == wire
+
+    # an implicit-grouping-key request (sent per input group)
+    key_req = sm.StateRequest()
+    key_req.implicitGroupingKeyRequest.setImplicitKey.key = b"user-42"
+    back2 = sm.StateRequest()
+    back2.ParseFromString(key_req.SerializeToString())
+    assert back2.implicitGroupingKeyRequest.setImplicitKey.key == b"user-42"
+
+    # a response with a status code and inline value
+    resp = sm.StateResponse()
+    resp.statusCode = 0
+    resp.value = b"state-bytes"
+    back3 = sm.StateResponse()
+    back3.ParseFromString(resp.SerializeToString())
+    assert back3.statusCode == 0 and back3.value == b"state-bytes"
