@@ -1246,6 +1246,7 @@ def pq_dedup_cascade(
     subspaces: int = PQ_SUBSPACES,
     codes: int = PQ_CODES,
     dim: int = EMBED_DIM,
+    fast: bool = False,
 ) -> DataFrame:
     """The production two-stage near-dup pattern with a PQ prefilter:
     candidate pairs inside an IVF cell are scored by SDC — four
@@ -1259,15 +1260,26 @@ def pq_dedup_cascade(
     Scale shape: cell-blocked self-join (the d09 discipline — never
     all-pairs), SDC is a per-row projection over the code columns, and
     the exact verify re-joins the vectors ONLY for survivors.  At
-    100 TB the survivor set is the filter's whole point."""
+    100 TB the survivor set is the filter's whole point.
+
+    ``fast=True`` codes the corpus via :func:`pq_cell_codes_fast`
+    (one mapInArrow sweep) instead of the expression form — REQUIRED
+    once ``anchors`` is large (e.g. ``suggest_cells``-scaled at 100x
+    corpus): hundreds of anchors as unrolled literal dot products blow
+    up Catalyst planning (the NEXT.md dead end).  Bit-identical output
+    by the certified twin contract (pq_fuzz: expression and mapInArrow
+    corpus coding agree exactly across 5k random geometries)."""
     anchors = anchors or ivf_anchors()
-    corpus = product_quantize(
-        emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
-        subspaces,
-        codes,
-        keep_cols=("_cell",),
-        dim=dim,
-    )
+    if fast:
+        corpus = pq_cell_codes_fast(emb, anchors, subspaces, codes, dim)
+    else:
+        corpus = product_quantize(
+            emb.withColumn("_cell", ivf_cell(F.col("embedding"), anchors)),
+            subspaces,
+            codes,
+            keep_cols=("_cell",),
+            dim=dim,
+        )
     tables = pq_sdc_tables(subspaces, codes, dim)
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(

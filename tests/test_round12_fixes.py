@@ -50,3 +50,33 @@ def test_gd_values_unchanged_after_literal_n(spark):
     ).astype(np.int64)
     y = 3 * X[:, 1] - 2 * X[:, 3] + 17 * X[:, 2] + rng.integers(0, 10, 40)
     assert _spark_gd(spark, X, y, 3) == _np_gd(X, y, 3)
+
+
+def test_pq_dedup_cascade_fast_twin(spark):
+    # fast=True (mapInArrow corpus coding) must be row-identical to
+    # the expression form — including with a non-default, larger
+    # anchor set (the suggest_cells scale path it exists for)
+    import random
+
+    from tabular_to_parquet_spark.operators.similarity import (
+        ivf_anchors,
+        pq_dedup_cascade,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)
+    ]
+    # planted near-dups: clone a few vectors with tiny perturbations
+    for j in range(5):
+        base = rows[j][1]
+        rows.append((1000 + j, [x + 1e-4 for x in base]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    anchors = ivf_anchors(cells=32)
+    kw = dict(anchors=anchors)
+    slow = pq_dedup_cascade(emb, 10**13, 10**13, **kw).collect()
+    fastr = pq_dedup_cascade(emb, 10**13, 10**13, fast=True, **kw).collect()
+    assert sorted(map(tuple, slow)) == sorted(map(tuple, fastr))
+    assert len(slow) > 0  # the planted clones must survive the cascade

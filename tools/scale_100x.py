@@ -384,6 +384,55 @@ def suite(
         # scale leg generates distributed.)
         "tar_write_read": lambda: _tar_leg(spark, sf_dir, work),
         "xlsx_write_read": lambda: _xlsx_leg(spark, sf_dir, work),
+        # d20 with the PRODUCTION sizing knob (r11 verdict item 3):
+        # anchors = suggest_cells(n, 512/cell) instead of the catalog's
+        # fixed 16 — the knob that keeps Σ|cell|² bounded as the corpus
+        # grows. fast=True (mapInArrow coding) because thousands of
+        # anchors cannot ride the unrolled-literal expression path;
+        # bit-identical by the pq_fuzz twin contract. Runs the
+        # emb-salted replica like the fixed-cell row above it.
+        "pq_dedup_cascade_scaledcells": lambda: _noop(
+            __import__(
+                "tabular_to_parquet_spark.operators.similarity",
+                fromlist=["pq_dedup_cascade"],
+            ).pq_dedup_cascade(
+                spark.read.parquet(embsalt_path) if embsalt_path else emb,
+                12_000_000_000_000,
+                1_700_000_000_000,
+                anchors=ivf_anchors(
+                    cells=suggest_cells(
+                        (
+                            spark.read.parquet(embsalt_path).count()
+                            if embsalt_path
+                            else n_vec
+                        ),
+                        target_rows_per_cell=512,
+                        min_cells=16,
+                    )
+                ),
+                fast=True,
+            )
+        ),
+        # r11-new queries (r11 verdict item 4). d22 + d21 run the
+        # SALTED corpus: both are pair-emitting dedups, and the
+        # standard replica's 100 identical copies would grow
+        # seed-join/band-bucket pairs as copies² — the synthetic dup
+        # structure, not the operator. The salt token inside every
+        # window/shingle keeps cross-copy matches at zero while the
+        # corpus grows 100x. Base scale runs the plain documents
+        # (identical input to the catalog oracles).
+        "substring_dedup_salted": lambda: _noop(
+            dedup.substring_duplicate_spans(salted, k=24, max_df=6)
+        ),
+        "banding_calibration_salted": lambda: _noop(
+            dedup.banding_calibration(salted)
+        ),
+        # pl37 runs the STANDARD replica: a corpus-wide aggregate per
+        # round (no pairs), gradients grow linearly with n — measured
+        # headroom at 100x is ~4.7e14 vs the 2.25e15 envelope bound.
+        "gd_regressor": lambda: _noop(
+            _catalog()["pl37_gd_linear_regressor"].spark(spark, sf_dir)
+        ),
     }
 
 

@@ -1,0 +1,193 @@
+"""Differential fuzz for the exact-substring dedup algebra
+(r11 verdict item 5, first half).
+
+d22's `substring_duplicate_spans` is oracle-gated at the documents
+fixture only.  This fuzzer drives the SAME production function over
+random corpora with planted duplicated-span layouts and checks it
+against an INDEPENDENT pure-Python reference written from the
+definition: k-char windows, document-frequency cap in [2, max_df],
+per (pair, alignment offset) the longest run of consecutive shared
+positions certifies an exact common substring of run + k - 1 chars;
+the emitted row is the per-pair max span plus the seed-hit count.
+
+Corpus regimes stress the corners the fixture never hits: tiny
+alphabets (natural chance collisions), planted splices (one doc's
+slice inserted into another), identical documents, within-document
+repeats (a gram matching at many positions in BOTH docs — the full
+position cross-product), documents shorter than k, empty documents,
+k in 4..10, max_df in 2..8, 2..12 documents.
+
+Usage: python tools/span_fuzz.py [n_seeds] [seed0]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference (independent of the Spark plan: dict sweep,
+# longest-consecutive-run island scan — no joins, no windows)
+
+
+def ref_spans(docs: dict[int, str], k: int, max_df: int):
+    """Returns {(doc_a, doc_b): (lcs_len, n_seed_hits)} with doc_a <
+    doc_b, exactly the production row shape."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        t = docs[d]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(t[p : p + k], []).append((d, p + 1))
+    pair_off: dict[tuple[int, int, int], set[int]] = {}
+    hits: dict[tuple[int, int], int] = {}
+    for g, places in occ.items():
+        ndocs = len({d for d, _ in places})
+        if not (2 <= ndocs <= max_df):
+            continue
+        for da, pa in places:
+            for db, pb in places:
+                if da < db:
+                    pair_off.setdefault((da, db, pa - pb), set()).add(pa)
+                    hits[(da, db)] = hits.get((da, db), 0) + 1
+    lcs: dict[tuple[int, int], int] = {}
+    for (a, b, _off), pas in pair_off.items():
+        run = best = 1
+        prev = None
+        for p in sorted(pas):
+            run = run + 1 if prev is not None and p == prev + 1 else 1
+            best = max(best, run)
+            prev = p
+        span = best + k - 1
+        key = (a, b)
+        if span > lcs.get(key, 0):
+            lcs[key] = span
+    return {p: (lcs[p], hits[p]) for p in lcs}
+
+
+# ---------------------------------------------------------------------------
+# corpus generator: random base text + planted duplication layouts
+
+
+def gen_corpus(rng: random.Random):
+    k = rng.randint(4, 10)
+    max_df = rng.randint(2, 8)
+    n_docs = rng.randint(2, 12)
+    alpha = "abcdef"[: rng.randint(2, 6)]
+    docs: dict[int, str] = {}
+    for d in range(n_docs):
+        mode = rng.random()
+        if mode < 0.08:
+            docs[d] = ""  # empty
+        elif mode < 0.16:
+            docs[d] = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, k - 1))
+            )  # shorter than k: must be invisible
+        else:
+            docs[d] = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(k, 120))
+            )
+    # planted layouts
+    ids = [d for d in docs if len(docs[d]) >= k]
+    for _ in range(rng.randint(0, 4)):
+        if len(ids) < 2:
+            break
+        src, dst = rng.sample(ids, 2)
+        t = docs[src]
+        a = rng.randrange(len(t))
+        b = min(len(t), a + rng.randint(k, 3 * k))
+        x = rng.randrange(len(docs[dst]) + 1)
+        docs[dst] = docs[dst][:x] + t[a:b] + docs[dst][x:]
+    if rng.random() < 0.15 and ids:
+        # identical twin document
+        docs[max(docs) + 1] = docs[rng.choice(ids)]
+    if rng.random() < 0.15 and ids:
+        # within-document repeat: s + t + s
+        d = rng.choice(ids)
+        t = docs[d]
+        s = t[: rng.randint(k, min(len(t), 2 * k))]
+        docs[d] = s + t + s
+    return docs, k, max_df
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    n_threads = int(os.environ.get("SPAN_FUZZ_THREADS", "12"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tabular_to_parquet_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+    from tabular_to_parquet_spark.session import get_spark
+
+    spark = get_spark(
+        "span-fuzz",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # every seed is a novel tiny plan: codegen + AQE are pure overhead
+    # (the pq_fuzz rule); the codegen path stays covered by the d22
+    # catalog oracle, which runs the default config.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    failures: list[tuple[int, str]] = []
+    done = [0]
+
+    def run_seed(seed: int):
+        rng = random.Random(seed)
+        docs, k, max_df = gen_corpus(rng)
+        expected = ref_spans(docs, k, max_df)
+        # coalesce, not repartition: narrow merge of the parallelized
+        # slices into 1..4 partitions (still exercises multi-partition
+        # windows/joins) without a 32-map-task shuffle per tiny seed
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()], "doc_id long, text string"
+        ).coalesce(rng.randint(1, 4))
+        got_rows = substring_duplicate_spans(
+            df, k=k, max_df=max_df
+        ).collect()
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["lcs_len"], r["n_seed_hits"])
+            for r in got_rows
+        }
+        if len(got) != len(got_rows):
+            return f"duplicate pair rows: {len(got_rows)} rows, {len(got)} pairs"
+        if got != expected:
+            diff = {
+                p: (expected.get(p), got.get(p))
+                for p in set(expected) | set(got)
+                if expected.get(p) != got.get(p)
+            }
+            return f"k={k} max_df={max_df} diff={dict(list(diff.items())[:4])}"
+        return None
+
+    def wrapped(seed: int):
+        try:
+            r = run_seed(seed)
+        except Exception as e:  # noqa: BLE001
+            r = f"exception {e!r}"[:300]
+        done[0] += 1
+        if done[0] % 100 == 0:
+            print(f"  {done[0]}/{n_seeds} seeds, {len(failures)} failures",
+                  flush=True)
+        if r is not None:
+            failures.append((seed, r))
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        list(ex.map(wrapped, range(seed0, seed0 + n_seeds)))
+
+    print(f"span_fuzz: {n_seeds} seeds ({seed0}..{seed0 + n_seeds - 1}), "
+          f"{len(failures)} failures")
+    for seed, detail in failures[:20]:
+        print(f"  FAIL seed={seed}: {detail}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
