@@ -482,6 +482,9 @@ def main() -> None:
         "d21_banding_calibration",
         "d22_substring_dedup",
         "pl37_gd_linear_regressor",
+        # round 12: per-doc duplicated-char fraction (the Lee et al.
+        # filter metric over the d22 islands)
+        "d23_dup_char_fraction",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

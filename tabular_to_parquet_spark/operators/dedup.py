@@ -1107,6 +1107,52 @@ def containment_pairs(
     )
 
 
+def _substring_seed_hits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    max_df: int = 6,
+) -> DataFrame:
+    """Shared seed-hit derivation for the exact-substring family
+    (:func:`substring_duplicate_spans`, :func:`duplicated_char_fraction`):
+    every k-char window of every document, df-capped to [2, max_df]
+    distinct docs, equi-joined on the window STRING itself — emits one
+    (doc_a, doc_b, pa, pb) row per matched position pair, doc_a <
+    doc_b."""
+    wins = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring({text_col}, pos, {k})").alias("g"),
+        )
+    )
+    seeds = (
+        wins.groupBy("g")
+        .agg(F.countDistinct("doc").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df))
+        .select("g")
+    )
+    anchored = wins.join(seeds, "g")
+    x, y = anchored.alias("x"), anchored.alias("y")
+    return x.join(
+        y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc") < F.col("y.doc"))
+    ).select(
+        F.col("x.doc").alias("doc_a"),
+        F.col("y.doc").alias("doc_b"),
+        F.col("x.pos").alias("pa"),
+        F.col("y.pos").alias("pb"),
+    )
+
+
 def substring_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1153,37 +1199,7 @@ def substring_duplicate_spans(
     and merge by offset exactly as within a document."""
     from pyspark.sql import Window as W
 
-    wins = (
-        df.filter(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - (k - 1))
-            ).alias("pos"),
-            F.col(text_col),
-        )
-        .select(
-            "doc",
-            F.col("pos").cast("long").alias("pos"),
-            F.expr(f"substring({text_col}, pos, {k})").alias("g"),
-        )
-    )
-    seeds = (
-        wins.groupBy("g")
-        .agg(F.countDistinct("doc").alias("ndocs"))
-        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df))
-        .select("g")
-    )
-    anchored = wins.join(seeds, "g")
-    x, y = anchored.alias("x"), anchored.alias("y")
-    hits = x.join(
-        y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc") < F.col("y.doc"))
-    ).select(
-        F.col("x.doc").alias("doc_a"),
-        F.col("y.doc").alias("doc_b"),
-        F.col("x.pos").alias("pa"),
-        F.col("y.pos").alias("pb"),
-    )
+    hits = _substring_seed_hits(df, text_col, id_col, k, max_df)
     w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
     isl = hits.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
@@ -1198,3 +1214,91 @@ def substring_duplicate_spans(
         F.count(F.lit(1)).cast("long").alias("n_seed_hits")
     )
     return lcs.join(nhits, ["doc_a", "doc_b"])
+
+
+def duplicated_char_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    max_df: int = 6,
+) -> DataFrame:
+    """Per-document duplicated-character fraction — the metric Lee et
+    al. actually FILTER on once spans are found: a character position
+    counts as duplicated when it lies inside an exact >= k-char span
+    shared with another document (as witnessed by the same df-capped
+    seeds as :func:`substring_duplicate_spans`, so the two operators
+    agree on what "duplicated" means).  Emits EVERY document:
+    (doc_id, n_chars, dup_chars, dup_permille) with dup_permille =
+    floor(1000 * dup_chars / n_chars) — all-integer, value-hashable.
+
+    Derivation: each island of consecutive shared positions per (pair,
+    offset) covers [min_pa, max_pa + k - 1] on side A and the same
+    interval shifted by -offset on side B; per document the intervals
+    from all pairs/sides merge by the classic running-max sweep (new
+    run when start > max end seen so far), and the merged run lengths
+    sum to dup_chars.  Overlap double-counting is impossible by
+    construction of the merge.
+
+    Scale shape: inherits the seed-hit bounds (window explode linear
+    in corpus chars, pair fan-out <= max_df^2 per seed — and the same
+    per-row F.sequence materialization limit for huge single
+    documents); the merge is a PARTITIONED window per document; the
+    final step is a broadcast-friendly left join back to the corpus
+    keyed by document id."""
+    from pyspark.sql import Window as W
+
+    hits = _substring_seed_hits(df, text_col, id_col, k, max_df)
+    w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = hits.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    sp = isl.groupBy("doc_a", "doc_b", "off", "grp").agg(
+        F.min("pa").alias("sa"),
+        (F.max("pa") + F.lit(k - 1)).alias("ea"),
+    )
+    iv = sp.select(
+        F.col("doc_a").alias("doc"),
+        F.col("sa").alias("s"),
+        F.col("ea").alias("e"),
+    ).unionAll(
+        sp.select(
+            F.col("doc_b").alias("doc"),
+            (F.col("sa") - F.col("off")).alias("s"),
+            (F.col("ea") - F.col("off")).alias("e"),
+        )
+    )
+    wo = W.partitionBy("doc").orderBy("s", "e")
+    prev_end = F.max("e").over(wo.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "fl",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "mg", F.sum("fl").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy("doc", "mg").agg(
+        F.min("s").alias("rs"), F.max("e").alias("re")
+    )
+    dup = runs.groupBy("doc").agg(
+        F.sum(F.col("re") - F.col("rs") + 1).cast("long").alias("dup_chars")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(
+            dup.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+        )
+        .fillna(0, ["dup_chars"])
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("dup_chars").cast("long").alias("dup_chars"),
+            F.expr(
+                "CASE WHEN n_chars > 0 THEN (1000 * dup_chars) div n_chars "
+                "ELSE 0 END"
+            ).cast("long").alias("dup_permille"),
+        )
+    )

@@ -1395,6 +1395,95 @@ FROM pair_lcs JOIN pair_hits USING (doc_a, doc_b)
 register("d22_substring_dedup", _d22_oracle())(_q_substring_dedup)
 
 
+# d23 — per-document duplicated-character fraction (the Lee et al.
+# FILTER metric the d22 spans feed): islands become [start, end]
+# intervals on both sides of each pair, merged per document by the
+# running-max sweep; every document emits (n_chars, dup_chars,
+# dup_permille), all-integer.
+
+
+def _q_dup_char_fraction(spark, sf_dir):
+    """dedup.duplicated_char_fraction over documents: per-doc exact
+    duplicated-char mass under the same df-capped >= 24-char-span
+    witnessing as d22."""
+    from tabular_to_parquet_spark.operators import dedup
+
+    return dedup.duplicated_char_fraction(
+        _docs(spark, sf_dir), k=_D22_K, max_df=_D22_MAX_DF
+    )
+
+
+def _d23_oracle() -> str:
+    k, max_df = _D22_K, _D22_MAX_DF
+    return f"""
+WITH wins AS (
+  SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), {k}) AS g
+  FROM (SELECT * FROM documents WHERE length(text) >= {k}),
+       unnest(range(1, length(text) - {k} + 2)) AS t(i)
+),
+seeds AS (
+  SELECT g FROM wins GROUP BY g
+  HAVING count(DISTINCT doc) BETWEEN 2 AND {max_df}
+),
+hits AS (
+  SELECT x.doc AS doc_a, y.doc AS doc_b, x.pos AS pa, y.pos AS pb
+  FROM wins x JOIN seeds s ON x.g = s.g
+  JOIN wins y ON x.g = y.g AND x.doc < y.doc
+),
+isl AS (
+  SELECT doc_a, doc_b, pa - pb AS off, pa,
+         pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+  FROM hits
+),
+sp AS (
+  SELECT doc_a, doc_b, off, min(pa) AS sa, max(pa) + {k - 1} AS ea
+  FROM isl GROUP BY doc_a, doc_b, off, grp
+),
+iv AS (
+  SELECT doc_a AS doc, sa AS s, ea AS e FROM sp
+  UNION ALL
+  SELECT doc_b AS doc, sa - off AS s, ea - off AS e FROM sp
+),
+flagged AS (
+  SELECT doc, s, e,
+         CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS fl
+  FROM (
+    SELECT doc, s, e,
+           max(e) OVER (PARTITION BY doc ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pe
+    FROM iv
+  )
+),
+grouped AS (
+  SELECT doc, s, e,
+         sum(fl) OVER (PARTITION BY doc ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS mg
+  FROM flagged
+),
+runs AS (
+  SELECT doc, mg, min(s) AS rs, max(e) AS re FROM grouped GROUP BY doc, mg
+),
+dup AS (
+  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS dup_chars
+  FROM runs GROUP BY doc
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(dup.dup_chars, 0) AS dup_chars,
+       CAST(CASE WHEN length(d.text) > 0
+            THEN (1000 * COALESCE(dup.dup_chars, 0)) // length(d.text)
+            ELSE 0 END AS BIGINT) AS dup_permille
+FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id
+"""
+
+
+register("d23_dup_char_fraction", _d23_oracle())(_q_dup_char_fraction)
+
+
 # ---------------------------------------------------------------------------
 # pl37 — in-plan exact fixed-point gradient-descent linear regressor
 # (pipeline.gd_linear_regressor): the distributed model-training

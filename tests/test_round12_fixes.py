@@ -80,3 +80,60 @@ def test_pq_dedup_cascade_fast_twin(spark):
     fastr = pq_dedup_cascade(emb, 10**13, 10**13, fast=True, **kw).collect()
     assert sorted(map(tuple, slow)) == sorted(map(tuple, fastr))
     assert len(slow) > 0  # the planted clones must survive the cascade
+
+
+# duplicated_char_fraction (d23): per-doc interval-merge semantics
+
+
+def _dcf(spark, docs, k=8, max_df=6):
+    from tabular_to_parquet_spark.operators.dedup import (
+        duplicated_char_fraction,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_chars"], r["dup_chars"], r["dup_permille"])
+        for r in duplicated_char_fraction(df, k=k, max_df=max_df).collect()
+    }
+
+
+def test_dcf_single_shared_span(spark):
+    S = "ABCDEFGHIJKL"  # 12 distinct chars, k=8
+    got = _dcf(spark, [(1, "qrstuv" + S + "wxyz01"), (2, "mn" + S + "op")])
+    assert got == {1: (24, 12, 500), 2: (16, 12, 750)}
+
+
+def test_dcf_overlapping_intervals_merge(spark):
+    A = "ABCDEFGHIJKLMNOPQRSTUVWX"  # 24 distinct chars
+    docs = [
+        (1, A),
+        (2, "0z" + A[0:12] + "1y"),   # shares A[1..12]
+        (3, "2w" + A[8:20] + "3v"),   # shares A[9..20] -> merge [1,20]
+    ]
+    got = _dcf(spark, docs)
+    assert got[1] == (24, 20, 833)
+    assert got[2] == (16, 12, 750)
+    assert got[3] == (16, 12, 750)
+
+
+def test_dcf_identical_docs_full_coverage(spark):
+    got = _dcf(spark, [(1, "ABCDEFGHIJ"), (2, "ABCDEFGHIJ")])
+    assert got == {1: (10, 10, 1000), 2: (10, 10, 1000)}
+
+
+def test_dcf_every_doc_emitted(spark):
+    got = _dcf(spark, [(1, "ABCDEFGHIJ"), (2, "ABCDEFGHIJ"),
+                       (3, "unique!"), (4, "")])
+    assert got[3] == (7, 0, 0)   # shorter than k: invisible, still a row
+    assert got[4] == (0, 0, 0)   # empty text: permille guard, no div0
+    assert len(got) == 4
+
+
+def test_dcf_agrees_with_span_witnessing(spark):
+    # the span operator and the fraction operator must agree on what
+    # is duplicated: a df-capped (ubiquitous) window contributes to
+    # NEITHER. 7 docs share S with max_df=6 -> no pair, zero dup.
+    S = "ABCDEFGHIJKL"
+    docs = [(i, f"x{i}y" + S + f"z{i}w") for i in range(7)]
+    got = _dcf(spark, docs, max_df=6)
+    assert all(v[1] == 0 for v in got.values())

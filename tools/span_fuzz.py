@@ -1,14 +1,20 @@
 """Differential fuzz for the exact-substring dedup algebra
 (r11 verdict item 5, first half).
 
-d22's `substring_duplicate_spans` is oracle-gated at the documents
-fixture only.  This fuzzer drives the SAME production function over
-random corpora with planted duplicated-span layouts and checks it
-against an INDEPENDENT pure-Python reference written from the
-definition: k-char windows, document-frequency cap in [2, max_df],
-per (pair, alignment offset) the longest run of consecutive shared
-positions certifies an exact common substring of run + k - 1 chars;
-the emitted row is the per-pair max span plus the seed-hit count.
+d22's `substring_duplicate_spans` and d23's
+`duplicated_char_fraction` are oracle-gated at the documents fixture
+only.  This fuzzer drives the SAME production functions over random
+corpora with planted duplicated-span layouts and checks them against
+INDEPENDENT pure-Python references written from the definition —
+k-char windows, document-frequency cap in [2, max_df], per (pair,
+alignment offset) the longest run of consecutive shared positions
+certifies an exact common substring of run + k - 1 chars.  Seeds
+rotate (the pq_fuzz discipline): even seeds check the per-pair
+(lcs_len, n_seed_hits) rows; odd seeds check the per-document
+(n_chars, dup_chars, dup_permille) coverage rows against a
+position-SET reference (set union is the interval merge
+definitionally, so a sweep bug in the production merge cannot be
+mirrored).
 
 Corpus regimes stress the corners the fixture never hits: tiny
 alphabets (natural chance collisions), planted splices (one doc's
@@ -68,6 +74,49 @@ def ref_spans(docs: dict[int, str], k: int, max_df: int):
     return {p: (lcs[p], hits[p]) for p in lcs}
 
 
+def ref_dup_fraction(docs: dict[int, str], k: int, max_df: int):
+    """Independent reference for duplicated_char_fraction: per doc the
+    SET of 1-based positions covered by any island interval (set union
+    IS the interval merge, definitionally), then (n_chars, dup_chars,
+    floor(1000*dup/n)).  Shares only the window/df-cap derivation with
+    ref_spans; the coverage accounting is positional, not
+    interval-arithmetic, so a merge bug in the production sweep cannot
+    be mirrored here."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        t = docs[d]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(t[p : p + k], []).append((d, p + 1))
+    pair_off: dict[tuple[int, int, int], set[int]] = {}
+    for g, places in occ.items():
+        ndocs = len({d for d, _ in places})
+        if not (2 <= ndocs <= max_df):
+            continue
+        for da, pa in places:
+            for db, pb in places:
+                if da < db:
+                    pair_off.setdefault((da, db, pa - pb), set()).add(pa)
+    covered: dict[int, set[int]] = {d: set() for d in docs}
+    for (a, b, off), pas in pair_off.items():
+        run: list[int] = []
+        prev = None
+        for p in sorted(pas) + [None]:
+            if prev is not None and (p is None or p != prev + 1):
+                s, e = run[0], run[-1] + k - 1
+                covered[a].update(range(s, e + 1))
+                covered[b].update(range(s - off, e - off + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+            prev = p
+    out = {}
+    for d, t in docs.items():
+        n = len(t)
+        dup = len(covered[d])
+        out[d] = (n, dup, (1000 * dup) // n if n else 0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # corpus generator: random base text + planted duplication layouts
 
@@ -121,6 +170,7 @@ def main() -> int:
     from concurrent.futures import ThreadPoolExecutor
 
     from tabular_to_parquet_spark.operators.dedup import (
+        duplicated_char_fraction,
         substring_duplicate_spans,
     )
     from tabular_to_parquet_spark.session import get_spark
@@ -142,22 +192,43 @@ def main() -> int:
     def run_seed(seed: int):
         rng = random.Random(seed)
         docs, k, max_df = gen_corpus(rng)
-        expected = ref_spans(docs, k, max_df)
         # coalesce, not repartition: narrow merge of the parallelized
         # slices into 1..4 partitions (still exercises multi-partition
         # windows/joins) without a 32-map-task shuffle per tiny seed
         df = spark.createDataFrame(
             [(d, t) for d, t in docs.items()], "doc_id long, text string"
         ).coalesce(rng.randint(1, 4))
-        got_rows = substring_duplicate_spans(
-            df, k=k, max_df=max_df
-        ).collect()
-        got = {
-            (r["doc_a"], r["doc_b"]): (r["lcs_len"], r["n_seed_hits"])
-            for r in got_rows
-        }
-        if len(got) != len(got_rows):
-            return f"duplicate pair rows: {len(got_rows)} rows, {len(got)} pairs"
+        if seed % 2 == 0:
+            # even seeds: the d22 span/seed-hit algebra
+            expected = ref_spans(docs, k, max_df)
+            got_rows = substring_duplicate_spans(
+                df, k=k, max_df=max_df
+            ).collect()
+            got = {
+                (r["doc_a"], r["doc_b"]): (r["lcs_len"], r["n_seed_hits"])
+                for r in got_rows
+            }
+            if len(got) != len(got_rows):
+                return (
+                    f"duplicate pair rows: {len(got_rows)} rows, "
+                    f"{len(got)} pairs"
+                )
+        else:
+            # odd seeds: the d23 interval-merge coverage algebra
+            expected = ref_dup_fraction(docs, k, max_df)
+            got_rows = duplicated_char_fraction(
+                df, k=k, max_df=max_df
+            ).collect()
+            got = {
+                r["doc_id"]: (r["n_chars"], r["dup_chars"],
+                              r["dup_permille"])
+                for r in got_rows
+            }
+            if len(got) != len(got_rows):
+                return (
+                    f"duplicate doc rows: {len(got_rows)} rows, "
+                    f"{len(got)} docs"
+                )
         if got != expected:
             diff = {
                 p: (expected.get(p), got.get(p))
