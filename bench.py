@@ -483,8 +483,10 @@ def main() -> None:
         "d22_substring_dedup",
         "pl37_gd_linear_regressor",
         # round 12: per-doc duplicated-char fraction (the Lee et al.
-        # filter metric over the d22 islands)
+        # filter metric over the d22 islands) + exact-substring
+        # benchmark decontamination (broadcast eval side)
         "d23_dup_char_fraction",
+        "d24_substring_decontaminate",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

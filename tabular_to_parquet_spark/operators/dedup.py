@@ -1107,20 +1107,16 @@ def containment_pairs(
     )
 
 
-def _substring_seed_hits(
+def _char_windows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 24,
-    max_df: int = 6,
 ) -> DataFrame:
-    """Shared seed-hit derivation for the exact-substring family
-    (:func:`substring_duplicate_spans`, :func:`duplicated_char_fraction`):
-    every k-char window of every document, df-capped to [2, max_df]
-    distinct docs, equi-joined on the window STRING itself — emits one
-    (doc_a, doc_b, pa, pb) row per matched position pair, doc_a <
-    doc_b."""
-    wins = (
+    """Every k-char window of every document as (doc, pos, g) rows —
+    the shared scan of the exact-substring family.  pos is 1-based;
+    documents shorter than k emit nothing."""
+    return (
         df.filter(F.length(text_col) >= k)
         .select(
             F.col(id_col).alias("doc"),
@@ -1135,6 +1131,22 @@ def _substring_seed_hits(
             F.expr(f"substring({text_col}, pos, {k})").alias("g"),
         )
     )
+
+
+def _substring_seed_hits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    max_df: int = 6,
+) -> DataFrame:
+    """Shared seed-hit derivation for the exact-substring family
+    (:func:`substring_duplicate_spans`, :func:`duplicated_char_fraction`):
+    every k-char window of every document, df-capped to [2, max_df]
+    distinct docs, equi-joined on the window STRING itself — emits one
+    (doc_a, doc_b, pa, pb) row per matched position pair, doc_a <
+    doc_b."""
+    wins = _char_windows(df, text_col, id_col, k)
     seeds = (
         wins.groupBy("g")
         .agg(F.countDistinct("doc").alias("ndocs"))
@@ -1302,3 +1314,74 @@ def duplicated_char_fraction(
             ).cast("long").alias("dup_permille"),
         )
     )
+
+
+def substring_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    max_df: int = 6,
+) -> DataFrame:
+    """Exact-substring benchmark decontamination — the STRONG form of
+    what :func:`pipeline.decontaminate`'s n-gram overlap approximates:
+    flag every corpus document that shares an exact >= k-char
+    character span with ANY eval document.  Emits one row per
+    contaminated corpus doc: (doc_id, max_shared_span, n_eval_docs,
+    n_spans) — span length certifies the leak, the counts size it.
+
+    Seed discipline is ASYMMETRIC by design: corpus-side windows are
+    df-capped to <= max_df distinct corpus docs (the stop-phrase guard
+    — at 100 TB an uncapped boilerplate gram joins everything), but
+    the eval side is NEVER capped: eval sets are benchmark-sized and a
+    dropped eval gram is a missed leak.  A corpus doc whose only
+    shared grams are boilerplate above the cap is not flagged — the
+    documented trade both engines (and the oracle) share exactly.
+
+    Scale shape: corpus windows stream through one explode (linear in
+    corpus chars, same per-row F.sequence limit as the d22 family);
+    the eval window set is broadcast (benchmark-sized by contract);
+    islands are a partitioned window per (corpus doc, eval doc,
+    offset); output is per corpus doc.  Zero UDFs, all integer."""
+    from pyspark.sql import Window as W
+
+    cw = _char_windows(corpus, text_col, id_col, k)
+    ew = _char_windows(eval_df, text_col, id_col, k)
+    capped = (
+        cw.groupBy("g")
+        .agg(F.countDistinct("doc").alias("ndocs"))
+        .filter(F.col("ndocs") <= max_df)
+        .select("g")
+    )
+    hits = (
+        cw.join(capped, "g")
+        .join(
+            F.broadcast(
+                ew.select(
+                    F.col("doc").alias("e_doc"),
+                    F.col("pos").alias("pe"),
+                    "g",
+                )
+            ),
+            "g",
+        )
+        .select(
+            F.col("doc").alias("c_doc"),
+            "e_doc",
+            F.col("pos").alias("pc"),
+            "pe",
+        )
+    )
+    w = W.partitionBy("c_doc", "e_doc", "off").orderBy("pc")
+    isl = hits.withColumn("off", F.col("pc") - F.col("pe")).withColumn(
+        "grp", F.col("pc") - F.row_number().over(w)
+    )
+    spans = isl.groupBy("c_doc", "e_doc", "off", "grp").agg(
+        (F.max("pc") - F.min("pc") + F.lit(k)).alias("span")
+    )
+    return spans.groupBy("c_doc").agg(
+        F.max("span").cast("long").alias("max_shared_span"),
+        F.countDistinct("e_doc").cast("long").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    ).withColumnRenamed("c_doc", "doc_id")

@@ -1484,6 +1484,65 @@ FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id
 register("d23_dup_char_fraction", _d23_oracle())(_q_dup_char_fraction)
 
 
+# d24 — exact-substring decontamination (corpus x eval bipartite, the
+# strong form of pl-family n-gram decontamination): corpus docs
+# sharing an exact >= 24-char span with any eval doc (doc_id % 97 = 0,
+# the decontaminate convention), corpus-side df cap only.
+
+
+def _q_substring_decontaminate(spark, sf_dir):
+    """dedup.substring_decontaminate: corpus = documents with
+    doc_id % 97 != 0, eval = the % 97 == 0 holdout; emits per
+    contaminated corpus doc (max_shared_span, n_eval_docs, n_spans)."""
+    from tabular_to_parquet_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.expr("doc_id % 97 != 0"))
+    holdout = docs.filter(F.expr("doc_id % 97 = 0"))
+    return dedup.substring_decontaminate(
+        corpus, holdout, k=_D22_K, max_df=_D22_MAX_DF
+    )
+
+
+def _d24_oracle() -> str:
+    k, max_df = _D22_K, _D22_MAX_DF
+    return f"""
+WITH wins AS (
+  SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), {k}) AS g
+  FROM (SELECT * FROM documents WHERE length(text) >= {k}),
+       unnest(range(1, length(text) - {k} + 2)) AS t(i)
+),
+cw AS (SELECT * FROM wins WHERE doc % 97 != 0),
+ew AS (SELECT * FROM wins WHERE doc % 97 = 0),
+capped AS (
+  SELECT g FROM cw GROUP BY g HAVING count(DISTINCT doc) <= {max_df}
+),
+hits AS (
+  SELECT c.doc AS c_doc, e.doc AS e_doc, c.pos AS pc, e.pos AS pe
+  FROM cw c JOIN capped s ON c.g = s.g JOIN ew e ON c.g = e.g
+),
+isl AS (
+  SELECT c_doc, e_doc, pc - pe AS off, pc,
+         pc - row_number() OVER (
+             PARTITION BY c_doc, e_doc, pc - pe ORDER BY pc) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT c_doc, e_doc, max(pc) - min(pc) + {k} AS span
+  FROM isl GROUP BY c_doc, e_doc, off, grp
+)
+SELECT c_doc AS doc_id,
+       CAST(max(span) AS BIGINT) AS max_shared_span,
+       CAST(count(DISTINCT e_doc) AS BIGINT) AS n_eval_docs,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM spans GROUP BY c_doc
+"""
+
+
+register("d24_substring_decontaminate", _d24_oracle())(_q_substring_decontaminate)
+
+
 # ---------------------------------------------------------------------------
 # pl37 — in-plan exact fixed-point gradient-descent linear regressor
 # (pipeline.gd_linear_regressor): the distributed model-training

@@ -137,3 +137,49 @@ def test_dcf_agrees_with_span_witnessing(spark):
     docs = [(i, f"x{i}y" + S + f"z{i}w") for i in range(7)]
     got = _dcf(spark, docs, max_df=6)
     assert all(v[1] == 0 for v in got.values())
+
+
+# substring_decontaminate (d24): bipartite exact-span flagging
+
+
+def _sdc(spark, corpus, eval_docs, k=8, max_df=6):
+    from tabular_to_parquet_spark.operators.dedup import (
+        substring_decontaminate,
+    )
+
+    c = spark.createDataFrame(corpus, "doc_id long, text string")
+    e = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["max_shared_span"], r["n_eval_docs"], r["n_spans"])
+        for r in substring_decontaminate(c, e, k=k, max_df=max_df).collect()
+    }
+
+
+def test_sdc_flags_shared_span(spark):
+    S = "ABCDEFGHIJKL"  # 12 chars, k=8
+    got = _sdc(spark, [(1, "qq" + S + "rr"), (2, "no overlap here!")],
+               [(100, "xx" + S + "yy")])
+    assert got == {1: (12, 1, 1)}
+
+
+def test_sdc_eval_side_never_capped(spark):
+    # 6 eval docs share S; corpus df of S is 1 <= max_df=2 — the cap
+    # is corpus-side only, so ALL eval hits count
+    S = "ABCDEFGHIJKL"
+    evals = [(100 + i, f"x{i}" + S + f"y{i}") for i in range(6)]
+    got = _sdc(spark, [(1, "qq" + S + "rr")], evals, max_df=2)
+    assert got == {1: (12, 6, 6)}
+
+
+def test_sdc_corpus_df_cap_drops_boilerplate(spark):
+    # S appears in 3 corpus docs > max_df=2: the stop-phrase guard
+    # drops it even though the eval side shares it
+    S = "ABCDEFGHIJKL"
+    corpus = [(i, f"a{i}b" + S + f"c{i}d") for i in range(3)]
+    got = _sdc(spark, corpus, [(100, "xx" + S + "yy")], max_df=2)
+    assert got == {}
+
+
+def test_sdc_clean_corpus_empty(spark):
+    got = _sdc(spark, [(1, "ABCDEFGHIJKL")], [(100, "mnopqrstuvwx")])
+    assert got == {}
