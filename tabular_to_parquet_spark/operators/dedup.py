@@ -1133,20 +1133,85 @@ def _char_windows(
     )
 
 
+def _char_windows_chunked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    chunk_chars: int,
+) -> DataFrame:
+    """:func:`_char_windows` with bounded per-row arrays: documents
+    are first cut into chunks of ``chunk_chars`` stepping
+    ``chunk_chars - k + 1`` (k-1 chars of overlap, so every k-window
+    is covered by exactly one chunk), windows are emitted per chunk
+    with GLOBAL 1-based positions — the output (doc, pos, g) row set
+    is IDENTICAL to the unchunked scan, so every downstream operator
+    (spans, coverage, decontamination) is value-invariant.  What
+    changes is the F.sequence materialization: max array length drops
+    from document length to chunk_chars — the huge-single-document
+    per-row memory spike the d22 docstring documents is bounded here
+    instead of avoided by contract."""
+    if chunk_chars <= k:
+        raise ValueError(
+            f"chunk_chars ({chunk_chars}) must exceed k ({k}) — a chunk "
+            "must hold at least one window plus the k-1 overlap"
+        )
+    step = chunk_chars - k + 1
+    chunks = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.length(text_col) - k) / step).cast("long"),
+                )
+            ).alias("j"),
+            F.col(text_col),
+        )
+        .select(
+            "doc",
+            (F.col("j") * step + 1).cast("long").alias("start"),
+            F.expr(
+                f"substring({text_col}, CAST(j * {step} + 1 AS INT), "
+                f"{chunk_chars})"
+            ).alias("chunk"),
+        )
+    )
+    return chunks.select(
+        "doc",
+        F.explode(
+            F.sequence(F.lit(1), F.length("chunk") - (k - 1))
+        ).alias("lp"),
+        "start",
+        "chunk",
+    ).select(
+        "doc",
+        (F.col("start") + F.col("lp") - 1).cast("long").alias("pos"),
+        F.expr(f"substring(chunk, lp, {k})").alias("g"),
+    )
+
+
 def _substring_seed_hits(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 24,
     max_df: int = 6,
+    chunk_chars: int | None = None,
 ) -> DataFrame:
     """Shared seed-hit derivation for the exact-substring family
     (:func:`substring_duplicate_spans`, :func:`duplicated_char_fraction`):
     every k-char window of every document, df-capped to [2, max_df]
     distinct docs, equi-joined on the window STRING itself — emits one
     (doc_a, doc_b, pa, pb) row per matched position pair, doc_a <
-    doc_b."""
-    wins = _char_windows(df, text_col, id_col, k)
+    doc_b.  ``chunk_chars`` bounds per-row arrays for huge documents
+    (value-invariant; see :func:`_char_windows_chunked`)."""
+    wins = (
+        _char_windows_chunked(df, text_col, id_col, k, chunk_chars)
+        if chunk_chars
+        else _char_windows(df, text_col, id_col, k)
+    )
     seeds = (
         wins.groupBy("g")
         .agg(F.countDistinct("doc").alias("ndocs"))
@@ -1171,6 +1236,7 @@ def substring_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 24,
     max_df: int = 6,
+    chunk_chars: int | None = None,
 ) -> DataFrame:
     """EXACT longest-duplicated-substring pairs — the exact-substring
     dedup of Lee et al., "Deduplicating Training Data Makes Language
@@ -1205,13 +1271,16 @@ def substring_duplicate_spans(
     ~100M-element array (~800 MB as Catalyst longs) on one executor.
     "Linear in corpus chars" is the aggregate cost; the per-row spike
     is the binding constraint when individual documents are huge.  If
-    such documents are in scope, pre-chunk them (split on
-    ``floor(pos / chunk)`` with k-1 chars of overlap so no window is
-    lost) before calling this — islands then certify spans per chunk
-    and merge by offset exactly as within a document."""
+    such documents are in scope, pass ``chunk_chars`` (e.g. 2**20):
+    windows are then generated per overlapping chunk with GLOBAL
+    positions (:func:`_char_windows_chunked`) — output rows are
+    IDENTICAL (tested) and the max per-row array drops from document
+    length to chunk_chars."""
     from pyspark.sql import Window as W
 
-    hits = _substring_seed_hits(df, text_col, id_col, k, max_df)
+    hits = _substring_seed_hits(
+        df, text_col, id_col, k, max_df, chunk_chars=chunk_chars
+    )
     w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
     isl = hits.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
@@ -1234,6 +1303,7 @@ def duplicated_char_fraction(
     id_col: str = "doc_id",
     k: int = 24,
     max_df: int = 6,
+    chunk_chars: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-character fraction — the metric Lee et
     al. actually FILTER on once spans are found: a character position
@@ -1260,7 +1330,9 @@ def duplicated_char_fraction(
     keyed by document id."""
     from pyspark.sql import Window as W
 
-    hits = _substring_seed_hits(df, text_col, id_col, k, max_df)
+    hits = _substring_seed_hits(
+        df, text_col, id_col, k, max_df, chunk_chars=chunk_chars
+    )
     w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
     isl = hits.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
@@ -1323,6 +1395,7 @@ def substring_decontaminate(
     id_col: str = "doc_id",
     k: int = 24,
     max_df: int = 6,
+    chunk_chars: int | None = None,
 ) -> DataFrame:
     """Exact-substring benchmark decontamination — the STRONG form of
     what :func:`pipeline.decontaminate`'s n-gram overlap approximates:
@@ -1346,8 +1419,12 @@ def substring_decontaminate(
     offset); output is per corpus doc.  Zero UDFs, all integer."""
     from pyspark.sql import Window as W
 
-    cw = _char_windows(corpus, text_col, id_col, k)
-    ew = _char_windows(eval_df, text_col, id_col, k)
+    cw = (
+        _char_windows_chunked(corpus, text_col, id_col, k, chunk_chars)
+        if chunk_chars
+        else _char_windows(corpus, text_col, id_col, k)
+    )
+    ew = _char_windows(eval_df, text_col, id_col, k)  # eval: small by contract
     capped = (
         cw.groupBy("g")
         .agg(F.countDistinct("doc").alias("ndocs"))

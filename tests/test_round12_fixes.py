@@ -183,3 +183,53 @@ def test_sdc_corpus_df_cap_drops_boilerplate(spark):
 def test_sdc_clean_corpus_empty(spark):
     got = _sdc(spark, [(1, "ABCDEFGHIJKL")], [(100, "mnopqrstuvwx")])
     assert got == {}
+
+
+# chunk_chars: bounded per-row arrays, value-invariant windows
+
+
+def test_chunked_windows_value_invariant(spark):
+    # random-ish corpus incl. planted dups; chunked (tiny chunks) and
+    # unchunked paths must emit IDENTICAL rows for all three operators
+    import random
+
+    from tabular_to_parquet_spark.operators.dedup import (
+        duplicated_char_fraction,
+        substring_decontaminate,
+        substring_duplicate_spans,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcd"
+    docs = []
+    for d in range(8):
+        docs.append(
+            (d, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 90))))
+        )
+    # plant a splice so spans exist
+    docs[1] = (1, docs[1][1] + docs[0][1][:30] + docs[1][1])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 8
+    for fn in (substring_duplicate_spans, duplicated_char_fraction):
+        a = sorted(map(tuple, fn(df, k=k, max_df=6).collect()))
+        b = sorted(map(tuple, fn(df, k=k, max_df=6, chunk_chars=20).collect()))
+        assert a == b, fn.__name__
+    corpus = df.filter("doc_id != 0")
+    hold = df.filter("doc_id = 0")
+    a = sorted(map(tuple, substring_decontaminate(corpus, hold, k=k).collect()))
+    b = sorted(map(tuple,
+                   substring_decontaminate(corpus, hold, k=k,
+                                           chunk_chars=20).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_chunked_windows_rejects_tiny_chunks(spark):
+    import pytest as _pytest
+
+    from tabular_to_parquet_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    df = spark.createDataFrame([(1, "ABCDEFGHIJKL")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_chars"):
+        substring_duplicate_spans(df, k=8, chunk_chars=8).collect()
