@@ -424,6 +424,9 @@ def suite(
         "substring_dedup_salted": lambda: _noop(
             dedup.substring_duplicate_spans(salted, k=24, max_df=6)
         ),
+        "dup_char_fraction_salted": lambda: _noop(
+            dedup.duplicated_char_fraction(salted, k=24, max_df=6)
+        ),
         "banding_calibration_salted": lambda: _noop(
             dedup.banding_calibration(salted)
         ),
