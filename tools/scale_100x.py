@@ -427,6 +427,21 @@ def suite(
         "dup_char_fraction_salted": lambda: _noop(
             dedup.duplicated_char_fraction(salted, k=24, max_df=6)
         ),
+        # d24's honest scaling: the eval side is benchmark-sized and
+        # FIXED (base documents %97 holdout) while the corpus grows
+        # 100x salted — real decontamination never grows the eval set
+        # with the corpus. Copy 0 of the salted replica is unsalted,
+        # so eval hits stay at base level while corpus chars scale.
+        "substring_decontaminate_scale": lambda: _noop(
+            dedup.substring_decontaminate(
+                salted.filter(F.expr("doc_id % 97 != 0")),
+                load_table(spark, BASE, "documents").filter(
+                    F.expr("doc_id % 97 = 0")
+                ),
+                k=24,
+                max_df=6,
+            )
+        ),
         "banding_calibration_salted": lambda: _noop(
             dedup.banding_calibration(salted)
         ),
