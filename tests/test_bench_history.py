@@ -18,10 +18,10 @@ bh = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(bh)
 
 
-def _snap(commit, idle=True, sf=0.1, canary=None, **queries):
+def _snap(commit, idle=True, sf=0.1, canary=None, noop=None, **queries):
     return {"commit": commit, "date": "2026-08-01T00:00:00+00:00",
             "idle": idle, "sf": sf, "reps": 3,
-            "canary_sha": canary, "canary_noop": None,
+            "canary_sha": canary, "canary_noop": noop,
             "queries": {k: float(v) for k, v in queries.items()}}
 
 
@@ -156,3 +156,78 @@ def test_read_pre_r12_csv_without_canary_columns(tmp_path):
                  "a,2026-08-01T00:00:00+00:00,1,0.1,3,q1,1.0\n")
     back = bh.read_csv(str(p))
     assert back == [_snap("a", q1=1.0)]
+
+
+# -- r13: contention-aware normalizer + non-idle snapshot guard
+# (r12 verdict item 1) --------------------------------------------------------
+
+
+def test_noop_contention_no_false_flag():
+    # the r12 driver scenario: CPU speed unchanged (sha ratio 1.0) but
+    # co-tenant contention doubled the Spark-noop canary; queries ran
+    # 1.6x slower with ZERO code change.  max(sha, noop) normalization
+    # rescales the baseline 2x -> no flag.
+    snaps = [_snap("a", canary=0.1, noop=0.24, q1=1.0)]
+    flagged = bh.flag_regressions(
+        snaps, {"q1": 1.6}, current_canary=0.1, current_noop=0.48)
+    assert flagged == {}
+    # ...and the sha-only normalizer (pre-r13 behavior) would have
+    # fired — the blind spot this closes.
+    assert "q1" in bh.flag_regressions(snaps, {"q1": 1.6},
+                                       current_canary=0.1)
+
+
+def test_noop_normalizer_real_regression_still_fires():
+    # both canaries steady -> a 2x query slowdown is code, not host
+    snaps = [_snap("a", canary=0.1, noop=0.24, q1=1.0)]
+    flagged = bh.flag_regressions(
+        snaps, {"q1": 2.0}, current_canary=0.1, current_noop=0.24)
+    assert "q1" in flagged and flagged["q1"]["ratio"] == 2.0
+    assert flagged["q1"]["host_ratio"] == 1.0
+
+
+def test_noop_normalizer_skipped_without_history_noop():
+    # a history snapshot without a noop canary falls back to sha-only
+    snaps = [_snap("a", canary=0.1, q1=1.0)]
+    flagged = bh.flag_regressions(
+        snaps, {"q1": 1.6}, current_canary=0.1, current_noop=0.48)
+    assert "q1" in flagged  # sha ratio 1.0; noop not comparable
+
+
+def test_noop_faster_today_never_shrinks_baseline():
+    # max(sha, noop) only ever makes the baseline MORE forgiving; a
+    # less-contended host today (noop ratio < 1) must not deflate the
+    # sha-normalized baseline and manufacture flags.
+    snaps = [_snap("a", canary=0.1, noop=0.48, q1=1.0)]
+    flagged = bh.flag_regressions(
+        snaps, {"q1": 1.2}, current_canary=0.1, current_noop=0.24)
+    assert flagged == {}
+
+
+# -- bench.py run-context guards (pure helpers; no session) ------------------
+
+_BENCH_SPEC = importlib.util.spec_from_file_location(
+    "bench_mod",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "bench.py"),
+)
+bench_mod = importlib.util.module_from_spec(_BENCH_SPEC)
+_BENCH_SPEC.loader.exec_module(bench_mod)
+
+
+def test_nonidle_full_run_writes_side_file():
+    assert bench_mod._snapshot_filename(True) == "BENCH_LOCAL.json"
+    assert bench_mod._snapshot_filename(False) == "BENCH_LOCAL_nonidle.json"
+
+
+def test_loaded_run_fixture_produces_no_hard_flags():
+    # r12 verdict item 1c: a loaded-run fixture (advisory_run=True, as
+    # bench.py computes for idle_at_start=False or --only subsets)
+    # must yield zero hard flags; the findings survive as advisory.
+    found = {"event_window_stats": {"sec": 2.0, "baseline_sec": 1.0,
+                                    "ratio": 2.0}}
+    hard, advisory = bench_mod._split_flags(found, advisory_run=True)
+    assert hard == {} and advisory == found
+    # an idle full-suite run keeps them hard
+    hard, advisory = bench_mod._split_flags(found, advisory_run=False)
+    assert hard == found and advisory == {}

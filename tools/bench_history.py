@@ -145,6 +145,7 @@ def flag_regressions(
     factor: float = 1.5,
     window: int = 3,
     current_canary: float | None = None,
+    current_noop: float | None = None,
 ) -> dict[str, dict]:
     """Queries in ``current`` slower than factor × the min of their
     last ``window`` comparable (idle, same-sf) snapshots.
@@ -156,11 +157,22 @@ def flag_regressions(
     bootstrap rule in the module docstring).  Without it, the legacy
     unnormalized rule applies (kept for pre-r12 callers/tests).
 
+    With ``current_noop`` (this run's Spark-noop canary seconds) the
+    rescale factor becomes ``max(sha_ratio, noop_ratio)`` per snapshot
+    (r12 verdict item 1): the single-thread sha256 canary normalizes
+    raw CPU speed but is blind to co-tenant CONTENTION, which the
+    32-thread Spark-noop canary records — the r12 driver run at load1
+    19 doubled the noop canary (0.238 → 0.475) while the sha canary
+    held at 1.0× and shipped 3 false flags.  Using the max of both
+    ratios makes the baseline exactly as forgiving as the slowest
+    dimension of the current host state; a genuine code regression
+    still fires because it exceeds BOTH canaries' drift.
+
     Returns {query: {sec, baseline_sec, ratio[, host_ratio]}} where
     baseline_sec is the host-rescaled baseline and host_ratio the
-    current/baseline-snapshot canary ratio that produced it.  Queries
-    with no comparable history are never flagged (a new query has no
-    baseline)."""
+    rescale factor (max of the two canary ratios) that produced it.
+    Queries with no comparable history are never flagged (a new query
+    has no baseline)."""
     comparable = [s for s in snaps if s["idle"] and s["sf"] == sf]
     normalized = current_canary is not None and any(
         s.get("canary_sha") for s in comparable
@@ -169,21 +181,27 @@ def flag_regressions(
         return {}  # bootstrap: no sound baseline exists yet
     if normalized:
         comparable = [s for s in comparable if s.get("canary_sha")]
+
+    def _rescale(s: dict) -> float:
+        """hist → today multiplier: max(sha ratio, noop ratio)."""
+        r = current_canary / s["canary_sha"]
+        if current_noop and s.get("canary_noop"):
+            r = max(r, current_noop / s["canary_noop"])
+        return r
+
     flagged: dict[str, dict] = {}
     for q, sec in current.items():
         hist = [
             (
-                s["queries"][q] * (current_canary / s["canary_sha"])
-                if normalized
-                else s["queries"][q],
-                s.get("canary_sha"),
+                s["queries"][q] * (_rescale(s) if normalized else 1.0),
+                _rescale(s) if normalized else None,
             )
             for s in comparable
             if q in s["queries"]
         ]
         if not hist:
             continue
-        baseline, base_canary = min(hist[-window:], key=lambda t: t[0])
+        baseline, base_ratio = min(hist[-window:], key=lambda t: t[0])
         if baseline > 0 and sec > factor * baseline:
             flagged[q] = {
                 "sec": round(sec, 3),
@@ -191,9 +209,7 @@ def flag_regressions(
                 "ratio": round(sec / baseline, 2),
             }
             if normalized:
-                flagged[q]["host_ratio"] = round(
-                    current_canary / base_canary, 3
-                )
+                flagged[q]["host_ratio"] = round(base_ratio, 3)
     return flagged
 
 
@@ -233,7 +249,9 @@ def main() -> int:
         canary = cur.get("canary_sha256_sec")
         flagged = flag_regressions(hist, cur.get("queries", {}),
                                    sf=float(cur.get("sf", 0.1)),
-                                   current_canary=canary)
+                                   current_canary=canary,
+                                   current_noop=cur.get(
+                                       "canary_spark_noop_sec"))
         meta = flag_meta(hist, sf=float(cur.get("sf", 0.1)),
                          current_canary=canary)
         print(json.dumps({"regressions": flagged, "meta": meta}, indent=2))
