@@ -1310,7 +1310,13 @@ def duplicated_char_fraction(
     counts as duplicated when it lies inside an exact >= k-char span
     shared with another document (as witnessed by the same df-capped
     seeds as :func:`substring_duplicate_spans`, so the two operators
-    agree on what "duplicated" means).  Emits EVERY document:
+    agree on what "duplicated" means).  Scope narrowing vs the paper
+    (r12 ADVICE): only CROSS-document spans count — a >= k-char span
+    repeated within a single document contributes zero here, whereas
+    Lee et al.'s suffix-array dup-fraction also catches self-repeats
+    (that axis is covered separately by ``repetition_stats``), so
+    filter thresholds from the paper are not directly transferable.
+    Emits EVERY document:
     (doc_id, n_chars, dup_chars, dup_permille) with dup_permille =
     floor(1000 * dup_chars / n_chars) — all-integer, value-hashable.
 

@@ -1141,17 +1141,39 @@ def gd_linear_regressor(
     O(rounds^2) scans (correct, just slower) — cap ``rounds`` (~10)
     or checkpoint externally if you must run without exchange reuse.
 
-    Pre-flight guard (one driver-side aggregate before the plan is
-    built): raises ValueError on empty input (n = 0 would floor-divide
-    by zero and silently emit null weights) and when
+    Pre-flight guard (one EAGER driver-side aggregate — a full corpus
+    scan — at plan-BUILD time, before the lazy result DataFrame
+    exists): raises ValueError on empty input (n = 0 would
+    floor-divide by zero and silently emit null weights) and when
     ``n * max|x| * (max|y| << (W_SCALE - RESID_SHIFT))`` breaches
-    2^53/4 — the round-1 gradient magnitude with 4x headroom for
-    later-round residual growth.  The guard matters because the two
-    engines fail DIFFERENTLY outside the envelope: Spark's sum(long)
-    silently wraps on int64 overflow while DuckDB's SUM promotes to
-    HUGEINT and the BIGINT cast raises — an out-of-contract corpus
-    yields silently wrong weights on one engine and an error on the
-    other, with nothing else detecting the breach at runtime."""
+    2^53/4 — the round-1 gradient magnitude with 4x headroom.  Two
+    consequences of the eager scan (r12 ADVICE): building the result
+    costs one corpus pass up front, and ``n`` is frozen as a literal
+    at build time — a non-deterministic or mutated input would train
+    against a snapshot row count with no error; cache/checkpoint
+    ``feats`` first if its contents can drift between build and
+    execution.
+
+    The pre-flight bound is NECESSARY, NOT SUFFICIENT: a divergent
+    trajectory (small n, large |x|, the effective learning rate
+    overshooting) can grow residuals/gradients past 2^53 in rounds
+    >= 2.  Failure modes outside the envelope differ by magnitude:
+    a true int64 overflow (>= 2^63) raises loudly under this
+    session's ANSI mode, but the [2^53, 2^63) window raises NOTHING —
+    :func:`_pmod_floordiv`'s double division silently loses low bits
+    there, the exact silently-wrong-weights corner.  That window is
+    closed by an IN-PLAN per-round overflow sentinel: each round's
+    aggregate also computes ``max(abs(resid))``, and the weight
+    update validates ``max|resid| < 2^53`` and every ``|grad_j| <
+    2^53`` (the actual trajectory values, so certifiable corpora are
+    never falsely poisoned).  From the first breaching round onward
+    the emitted ``(w0.., sum_abs_resid_scaled)`` are NULL (poisoned —
+    a value-hash can never silently pass on inexact weights) and the
+    carried weights FREEZE at their last valid value, which keeps all
+    post-breach arithmetic inside int64 so the poisoned plan still
+    executes without raising.  Differentially fuzzed by
+    tools/gd_fuzz.py's out-of-envelope regime (exact-python breach
+    round vs the poisoned rows)."""
     pre = feats.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.max(
@@ -1181,8 +1203,10 @@ def gd_linear_regressor(
     wt = feats.sparkSession.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{j}") for j in range(len(feature_cols))],
         F.lit(n).cast("long").alias("n"),
+        F.lit(True).alias("ok"),
     )
     two_s = 1 << GD_W_SCALE
+    fdiv_exact = F.lit(1 << 53).cast("long")  # _pmod_floordiv exactness bound
     out: DataFrame | None = None
     for t in range(1, rounds + 1):
         scored = feats.crossJoin(F.broadcast(wt))
@@ -1201,28 +1225,46 @@ def gd_linear_regressor(
             F.sum(_pmod_floordiv(aresid, F.lit(two_s)))
             .cast("long")
             .alias("loss"),
+            # overflow sentinel: the round's actual max |residual| —
+            # the fdiv numerators' envelope witness (docstring)
+            F.max(aresid).alias("mr"),
         )
+        # valid iff every prior round was AND this round's actual
+        # residuals and gradients stay inside the 2^53 fdiv-exactness
+        # envelope (values in [2^53, 2^63) compute silently-wrong
+        # floor divisions; >= 2^63 raises under ANSI)
+        ok_now = F.col("ok") & (F.col("mr") < fdiv_exact)
+        for j in range(len(feature_cols)):
+            ok_now = ok_now & (F.abs(F.col(f"d{j}")) < fdiv_exact)
         new = delta.crossJoin(F.broadcast(wt)).select(
             *[
-                (
+                F.when(
+                    ok_now,
                     F.col(f"w{j}")
                     - _pmod_floordiv(
                         _pmod_floordiv(F.col(f"d{j}"), F.col("n")),
                         F.lit(1 << GD_LR_SHIFT),
-                    )
-                ).alias(f"w{j}")
+                    ),
+                    # freeze on poison: carrying the last valid weights
+                    # keeps every post-breach round's arithmetic inside
+                    # int64 (the poisoned plan must still execute)
+                ).otherwise(F.col(f"w{j}")).alias(f"w{j}")
                 for j in range(len(feature_cols))
             ],
             "loss",
             "n",
+            ok_now.alias("ok"),
         )
         row = new.select(
             F.lit(t).cast("long").alias("round"),
-            *[F.col(f"w{j}") for j in range(len(feature_cols))],
-            F.col("loss").alias("sum_abs_resid_scaled"),
+            *[
+                F.when(F.col("ok"), F.col(f"w{j}")).alias(f"w{j}")
+                for j in range(len(feature_cols))
+            ],
+            F.when(F.col("ok"), F.col("loss")).alias("sum_abs_resid_scaled"),
         )
         out = row if out is None else out.unionAll(row)
         wt = new.select(
-            *[f"w{j}" for j in range(len(feature_cols))], "n"
+            *[f"w{j}" for j in range(len(feature_cols))], "n", "ok"
         )
     return out

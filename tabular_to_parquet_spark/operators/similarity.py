@@ -159,6 +159,63 @@ def ivf_anchors(cells: int = IVF_CELLS, dim: int = EMBED_DIM) -> list[list[float
     ]
 
 
+def ivf_anchors_distributed(
+    spark,
+    cells: int,
+    dim: int = EMBED_DIM,
+    prefix: str = "ivf",
+) -> list[list[float]]:
+    """Executor-side twin of :func:`ivf_anchors` — BIT-IDENTICAL
+    anchors (test-pinned), generated by a bounded Spark job instead of
+    a driver-side Python loop.
+
+    Why it exists (r12 verdict item 4): ``suggest_cells`` doubles the
+    cell count with the corpus, so at 1000x-class vector counts (~2B
+    vectors) the anchor build wants ~65k cells x 64 dims = ~4M md5
+    evaluations — a GIL-bound serial loop on the driver.  Here the
+    cell ids fan out as ``spark.range(cells)`` partitions, each
+    executor derives its rows' anchors with the same
+    ``(md5("ivf{c}_{d}")[:15hex] % 2001 - 1000)/1000`` construction
+    (pure function of the cell id — no state, no skew), and the
+    driver collects the BOUNDED (cells x dim doubles) result.  Float64
+    values survive the Arrow round-trip exactly, so downstream plans
+    (cell assignment literals, PQ codebooks) are byte-equal either
+    way.  Keep the plain :func:`ivf_anchors` for small fixed cell
+    counts — a Spark job is pure overhead below a few thousand cells
+    (measured in SCALE.md)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            anchors = [
+                [
+                    ((int(hashlib.md5(f"{prefix}{c}_{d}".encode())
+                          .hexdigest()[:15], 16) % 2001) - 1000) / 1000.0
+                    for d in range(dim)
+                ]
+                for c in ids
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(anchors, type=pa.list_(pa.float64()))],
+                names=["cell", "anchor"],
+            )
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    rows = (
+        spark.range(0, cells, 1, min(cells, par))
+        .mapInArrow(gen, "cell long, anchor array<double>")
+        .collect()
+    )
+    out: list[list[float] | None] = [None] * cells
+    for r in rows:
+        out[r["cell"]] = [float(v) for v in r["anchor"]]
+    return out
+
+
 def _cell_scores(vec: Column, anchors: list[list[float]]) -> list[Column]:
     return [dot_product(vec, _plane_lit(a)) for a in anchors]
 

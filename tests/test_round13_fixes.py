@@ -1,0 +1,131 @@
+"""Round-13 fixes: the GD per-round overflow sentinel (r12 ADVICE
+medium — the pre-flight guard bounds only round 1; divergent
+trajectories breach 2^53 later where the fdiv double division is
+silently inexact), plus its freeze-on-poison carry semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from tabular_to_parquet_spark.operators.pipeline import (
+    GD_LR_SHIFT,
+    GD_RESID_SHIFT,
+    GD_W_SCALE,
+    gd_linear_regressor,
+)
+from tabular_to_parquet_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-round13")
+
+
+def _ref_gd_with_breach(rows, rounds):
+    """Exact-python GD twin that also reports the first round whose
+    actual max|resid| or any |grad_j| reaches 2^53 (the fdiv
+    exactness envelope).  Mirrors tools/gd_fuzz.py's reference with
+    arbitrary-precision ints — no numpy wrap."""
+    n = len(rows)
+    m = len(rows[0]) - 1
+    W = [0] * m
+    out, breach = [], None
+    for t in range(1, rounds + 1):
+        rs, mr, loss = [], 0, 0
+        for r in rows:
+            resid = sum(W[j] * r[j] for j in range(m)) - (
+                r[m] << GD_W_SCALE
+            )
+            mr = max(mr, abs(resid))
+            rs.append(resid // (1 << GD_RESID_SHIFT))  # python // = floor
+            loss += abs(resid) // (1 << GD_W_SCALE)
+        grads = [
+            sum(r[j] * rs[i] for i, r in enumerate(rows)) for j in range(m)
+        ]
+        if breach is None and (
+            mr >= (1 << 53) or any(abs(g) >= (1 << 53) for g in grads)
+        ):
+            breach = t
+        if breach is None:
+            W = [
+                W[j] - ((grads[j] // n) // (1 << GD_LR_SHIFT))
+                for j in range(m)
+            ]
+            out.append((t, *W, loss))
+        else:
+            out.append((t, *([None] * m), None))
+    return out, breach
+
+
+def test_gd_sentinel_poisons_divergent_trajectory(spark):
+    # x=1024 makes the residual multiply by (1 - x^2/2^17) = -7 each
+    # round; y=1.8e9 starts it at ~1.9e15, so round 1 passes the
+    # pre-flight guard (bound 1.89e15 < 2^53/4 = 2.25e15) and round 2
+    # breaches 2^53 while staying under 2^63 (the poisoned plan
+    # executes without an ANSI raise).  rounds stays at 4: the nested
+    # static plan's analysis cost grows steeply with rounds (the
+    # gd_fuzz cap rationale).
+    rows = [(1024, 1_800_000_000)]
+    rounds = 4
+    expected, breach = _ref_gd_with_breach(rows, rounds)
+    assert breach is not None and 2 <= breach <= rounds, (
+        "fixture must breach after round 1; got " + str(breach)
+    )
+    df = spark.createDataFrame(rows, "x0 long, y long")
+    got = [
+        (r["round"], r["w0"], r["sum_abs_resid_scaled"])
+        for r in gd_linear_regressor(df, ["x0"], rounds=rounds)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
+    # explicit shape: exact pre-breach, all-NULL from the breach on
+    assert all(g[1] is not None for g in got[: breach - 1])
+    assert all(g[1] is None and g[2] is None for g in got[breach - 1:])
+
+
+def test_gd_sentinel_quiet_on_convergent_trajectory(spark):
+    # the documented envelope: no poison, values exact vs python ref
+    rows = [(3, -1, 7), (5, 2, 11), (-4, 1, -9), (2, 2, 4)]
+    expected, breach = _ref_gd_with_breach(rows, 6)
+    assert breach is None
+    df = spark.createDataFrame(rows, "x0 long, x1 long, y long")
+    got = [
+        (r["round"], r["w0"], r["w1"], r["sum_abs_resid_scaled"])
+        for r in gd_linear_regressor(df, ["x0", "x1"], rounds=6)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_ivf_anchors_distributed_bit_identical(spark):
+    # r12 verdict item 4: the executor-side generator must reproduce
+    # the driver-side md5 construction exactly — downstream plans
+    # embed these as literals, so any drift changes cell assignments
+    from tabular_to_parquet_spark.operators.similarity import (
+        ivf_anchors,
+        ivf_anchors_distributed,
+    )
+
+    for cells, dim in ((16, 64), (64, 8)):
+        assert ivf_anchors_distributed(spark, cells, dim) == ivf_anchors(
+            cells, dim
+        )
+
+
+def test_gd_sentinel_freezes_weights_not_resurrects(spark):
+    # once poisoned, every later round is NULL (the carried ok flag
+    # can never flip back true even though frozen weights would keep
+    # later rounds inside the envelope)
+    rows = [(1024, 1_800_000_000)]
+    expected, breach = _ref_gd_with_breach(rows, 5)
+    got = (
+        gd_linear_regressor(
+            spark.createDataFrame(rows, "x0 long, y long"), ["x0"], rounds=5
+        )
+        .orderBy("round")
+        .collect()
+    )
+    nulls = [r["round"] for r in got if r["w0"] is None]
+    assert nulls == list(range(breach, 6))

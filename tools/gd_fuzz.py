@@ -81,6 +81,98 @@ def traj_in_envelope(X: np.ndarray, y: np.ndarray, rounds: int) -> bool:
     return True
 
 
+def ref_gd_poisoned(X: np.ndarray, y: np.ndarray, rounds: int):
+    """Exact-python (arbitrary precision, no numpy wrap) GD twin with
+    the production sentinel's poison semantics: from the first round
+    whose actual max|resid| or any |grad_j| reaches 2^53, every
+    emitted (w.., loss) is None and the carried weights freeze.
+    Returns (rows, breach_round_or_None, safe) where ``safe`` is True
+    iff the Spark plan is guaranteed raise-free under ANSI: every
+    exact pre-breach value stays < 2^59 and the breach-round garbage
+    gradient bound n*mx*(max|resid|//2^10 + 4) stays < 2^62 (frozen
+    weights make every post-breach round identical to the breach
+    round, so bounding that one round bounds them all)."""
+    n, m = X.shape
+    mx = max(int(np.abs(X).max()), 1)
+    W = [0] * m
+    rows, breach = [], None
+    safe = True
+    lim = 1 << 59
+    for t in range(1, rounds + 1):
+        resids = [
+            sum(W[j] * int(X[i, j]) for j in range(m))
+            - (int(y[i]) << W_SCALE)
+            for i in range(n)
+        ]
+        mr = max(abs(r) for r in resids)
+        rs = [r // (1 << RESID_SHIFT) for r in resids]
+        grads = [
+            sum(int(X[i, j]) * rs[i] for i in range(n)) for j in range(m)
+        ]
+        loss = sum(abs(r) // (1 << W_SCALE) for r in resids)
+        if breach is None and (
+            mr >= (1 << 53) or any(abs(g) >= (1 << 53) for g in grads)
+        ):
+            breach = t
+            # the only round computing garbage (weights freeze after)
+            if mr >= lim or n * mx * (mr // (1 << RESID_SHIFT) + 4) >= (
+                1 << 62
+            ):
+                safe = False
+        if breach is None:
+            if mr >= lim or any(abs(g) >= lim for g in grads):
+                safe = False
+            W = [
+                W[j] - ((grads[j] // n) // (1 << LR_SHIFT))
+                for j in range(m)
+            ]
+            rows.append((t, *W, loss))
+        else:
+            rows.append((t, *([None] * m), None))
+    return rows, breach, safe
+
+
+def gen_divergent(rng: random.Random):
+    """Random (X, y, rounds, expected_rows) whose trajectory PASSES
+    the round-1 pre-flight guard but breaches the 2^53 fdiv envelope
+    in a round >= 2 — the silently-inexact window the per-round
+    sentinel poisons (r12 ADVICE medium).  A dominant feature with
+    |x| > 512 makes the residual multiply by (1 - x^2/2^17) each
+    round; acceptance requires an exact breach round within the run
+    and raise-free magnitudes (ref_gd_poisoned's ``safe``).  rounds
+    stays <= 4 (the gd_fuzz plan-analysis cap), so the labels sit
+    near the pre-flight boundary (1e7..5e8: resid_1 ~ y*2^20 up to
+    ~5e14) and one to three amplification rounds cross 2^53."""
+    while True:
+        n = rng.randint(1, 2)
+        rounds = rng.randint(2, 4)
+        x0 = rng.choice([-1, 1]) * rng.randint(700, 1400)
+        nf = rng.randint(1, 2)
+        cols = [np.array([x0] * n, dtype=np.int64)]
+        if nf == 2:
+            cols.append(
+                np.array(
+                    [rng.randint(-3, 3) for _ in range(n)], dtype=np.int64
+                )
+            )
+        X = np.column_stack(cols)
+        y = np.array(
+            [
+                rng.choice([-1, 1]) * rng.randint(10_000_000, 500_000_000)
+                for _ in range(n)
+            ],
+            dtype=np.int64,
+        )
+        # must pass the production pre-flight (round-1 bound)
+        mx = max(int(np.abs(X).max()), 1)
+        my = max(int(np.abs(y).max()), 1)
+        if n * mx * ((my << (W_SCALE - RESID_SHIFT)) + 1) >= (1 << 53) // 4:
+            continue
+        rows, breach, safe = ref_gd_poisoned(X, y, rounds)
+        if breach is not None and breach >= 2 and safe:
+            return X, y, rounds, rows
+
+
 def gen_problem(rng: random.Random):
     """Random (X, y, rounds) inside the 2^53/4 pre-flight envelope
     whose full trajectory also stays exact (see traj_in_envelope)."""
@@ -181,8 +273,14 @@ def main() -> int:
         parts = []
         for seed in seeds:
             rng = random.Random(seed)
-            X, y, rounds = gen_problem(rng)
-            expected[seed] = ref_gd(X, y, rounds)
+            if seed % 4 == 3 and os.environ.get("GD_FUZZ_DIVERGENT", "1") == "1":
+                # out-of-envelope regime (r12 ADVICE): breach rounds
+                # >= 2 must poison, not silently lose fdiv bits
+                X, y, rounds, exp = gen_divergent(rng)
+                expected[seed] = exp
+            else:
+                X, y, rounds = gen_problem(rng)
+                expected[seed] = ref_gd(X, y, rounds)
             nf = X.shape[1]
             cols = [f"x{j}" for j in range(nf)]
             rows = [

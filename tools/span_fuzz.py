@@ -9,12 +9,20 @@ INDEPENDENT pure-Python references written from the definition —
 k-char windows, document-frequency cap in [2, max_df], per (pair,
 alignment offset) the longest run of consecutive shared positions
 certifies an exact common substring of run + k - 1 chars.  Seeds
-rotate (the pq_fuzz discipline): even seeds check the per-pair
-(lcs_len, n_seed_hits) rows; odd seeds check the per-document
-(n_chars, dup_chars, dup_permille) coverage rows against a
-position-SET reference (set union is the interval merge
-definitionally, so a sweep bug in the production merge cannot be
-mirrored).
+rotate (the pq_fuzz discipline), seed % 3 since r13 (pre-r13 ranges
+< 206000 rotated % 2 over the first two legs):
+  0 -> d22 per-pair (lcs_len, n_seed_hits) rows;
+  1 -> d23 per-document (n_chars, dup_chars, dup_permille) coverage
+       rows against a position-SET reference (set union is the
+       interval merge definitionally, so a sweep bug in the
+       production merge cannot be mirrored);
+  2 -> d24 corpus x eval decontamination rows (max_shared_span,
+       n_eval_docs, n_spans) over a random corpus/eval split — the
+       bipartite corner the first two legs never see: the df cap
+       counts CORPUS docs only (single-corpus-doc grams pass, unlike
+       d22's >= 2 floor) and the eval side is never capped; the leg
+       also randomly engages chunk_chars, fuzzing the
+       value-invariance contract of the chunked window generator.
 
 Corpus regimes stress the corners the fixture never hits: tiny
 alphabets (natural chance collisions), planted splices (one doc's
@@ -117,6 +125,53 @@ def ref_dup_fraction(docs: dict[int, str], k: int, max_df: int):
     return out
 
 
+def ref_decontaminate(
+    corpus: dict[int, str], evals: dict[int, str], k: int, max_df: int
+):
+    """Independent reference for substring_decontaminate: corpus grams
+    kept when <= max_df DISTINCT CORPUS docs carry them (no lower
+    bound — a single-corpus-doc gram still hits eval; the eval side is
+    never capped), islands per (c_doc, e_doc, offset) by consecutive
+    corpus positions, then per corpus doc (max island span, distinct
+    eval docs, island count)."""
+    cocc: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(corpus):
+        t = corpus[d]
+        for p in range(len(t) - k + 1):
+            cocc.setdefault(t[p : p + k], []).append((d, p + 1))
+    kept = {
+        g for g, pl in cocc.items() if len({d for d, _ in pl}) <= max_df
+    }
+    eocc: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(evals):
+        t = evals[d]
+        for p in range(len(t) - k + 1):
+            eocc.setdefault(t[p : p + k], []).append((d, p + 1))
+    trip: dict[tuple[int, int, int], set[int]] = {}
+    for g in kept:
+        if g not in eocc:
+            continue
+        for cd, pc in cocc[g]:
+            for ed, pe in eocc[g]:
+                trip.setdefault((cd, ed, pc - pe), set()).add(pc)
+    out: dict[int, list] = {}
+    for (cd, ed, _off), pcs in trip.items():
+        start = prev = None
+        for p in sorted(pcs) + [None]:
+            if prev is not None and (p is None or p != prev + 1):
+                rec = out.setdefault(cd, [0, set(), 0])
+                rec[0] = max(rec[0], prev - start + k)
+                rec[1].add(ed)
+                rec[2] += 1
+                start = None
+            if p is None:
+                break
+            if start is None:
+                start = p
+            prev = p
+    return {cd: (r[0], len(r[1]), r[2]) for cd, r in out.items()}
+
+
 # ---------------------------------------------------------------------------
 # corpus generator: random base text + planted duplication layouts
 
@@ -162,6 +217,40 @@ def gen_corpus(rng: random.Random):
     return docs, k, max_df
 
 
+def gen_split(rng: random.Random):
+    """Random corpus/eval split for the d24 leg: a gen_corpus corpus
+    with 1..3 docs moved to the eval side (gen_corpus's planted
+    splices become cross-split leaks), an occasional fresh clean eval
+    doc (must emit nothing), and an occasional explicitly planted
+    corpus-slice-into-eval leak."""
+    docs, k, max_df = gen_corpus(rng)
+    ids = sorted(docs)
+    n_eval = rng.randint(1, max(1, min(3, len(ids) - 1)))
+    evals = {
+        1000 + i: docs.pop(d)
+        for i, d in enumerate(rng.sample(ids, n_eval))
+    }
+    alpha = "abcdef"
+    if rng.random() < 0.3:
+        evals[1999] = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 60))
+        )
+    if not docs:
+        docs[0] = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(k, 80))
+        )
+    cands = [d for d in docs if len(docs[d]) >= k]
+    if cands and rng.random() < 0.6:
+        src = rng.choice(cands)
+        t = docs[src]
+        a = rng.randrange(len(t))
+        b = min(len(t), a + rng.randint(k, 3 * k))
+        ed = rng.choice(sorted(evals))
+        x = rng.randrange(len(evals[ed]) + 1)
+        evals[ed] = evals[ed][:x] + t[a:b] + evals[ed][x:]
+    return docs, evals, k, max_df
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -171,6 +260,7 @@ def main() -> int:
 
     from tabular_to_parquet_spark.operators.dedup import (
         duplicated_char_fraction,
+        substring_decontaminate,
         substring_duplicate_spans,
     )
     from tabular_to_parquet_spark.session import get_spark
@@ -191,6 +281,43 @@ def main() -> int:
 
     def run_seed(seed: int):
         rng = random.Random(seed)
+        if seed % 3 == 2:
+            # d24 leg: corpus x eval bipartite decontamination
+            docs, evals, k, max_df = gen_split(rng)
+            chunk = rng.choice([None, None, rng.randint(2 * k, 4 * k)])
+            expected = ref_decontaminate(docs, evals, k, max_df)
+            cdf = spark.createDataFrame(
+                [(d, t) for d, t in docs.items()],
+                "doc_id long, text string",
+            ).coalesce(rng.randint(1, 4))
+            edf = spark.createDataFrame(
+                [(d, t) for d, t in evals.items()],
+                "doc_id long, text string",
+            ).coalesce(1)
+            got_rows = substring_decontaminate(
+                cdf, edf, k=k, max_df=max_df, chunk_chars=chunk
+            ).collect()
+            got = {
+                r["doc_id"]: (r["max_shared_span"], r["n_eval_docs"],
+                              r["n_spans"])
+                for r in got_rows
+            }
+            if len(got) != len(got_rows):
+                return (
+                    f"duplicate doc rows: {len(got_rows)} rows, "
+                    f"{len(got)} docs"
+                )
+            if got != expected:
+                diff = {
+                    p: (expected.get(p), got.get(p))
+                    for p in set(expected) | set(got)
+                    if expected.get(p) != got.get(p)
+                }
+                return (
+                    f"k={k} max_df={max_df} chunk={chunk} "
+                    f"diff={dict(list(diff.items())[:4])}"
+                )
+            return None
         docs, k, max_df = gen_corpus(rng)
         # coalesce, not repartition: narrow merge of the parallelized
         # slices into 1..4 partitions (still exercises multi-partition
@@ -198,8 +325,8 @@ def main() -> int:
         df = spark.createDataFrame(
             [(d, t) for d, t in docs.items()], "doc_id long, text string"
         ).coalesce(rng.randint(1, 4))
-        if seed % 2 == 0:
-            # even seeds: the d22 span/seed-hit algebra
+        if seed % 3 == 0:
+            # the d22 span/seed-hit algebra
             expected = ref_spans(docs, k, max_df)
             got_rows = substring_duplicate_spans(
                 df, k=k, max_df=max_df
@@ -214,7 +341,7 @@ def main() -> int:
                     f"{len(got)} pairs"
                 )
         else:
-            # odd seeds: the d23 interval-merge coverage algebra
+            # the d23 interval-merge coverage algebra
             expected = ref_dup_fraction(docs, k, max_df)
             got_rows = duplicated_char_fraction(
                 df, k=k, max_df=max_df
