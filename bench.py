@@ -527,6 +527,9 @@ def main() -> None:
         # benchmark decontamination (broadcast eval side)
         "d23_dup_char_fraction",
         "d24_substring_decontaminate",
+        # round 13: within-document self-repeat fraction (the axis
+        # d23 scopes out, turned into its own column)
+        "d25_self_repeat_fraction",
         # ipc2_string_inference is fixture-dominated (600k-row pandas
         # materialization + container write per rep) — a fixture cost
         # benchmark, not an engine one; avro2/orc2 are likewise

@@ -1297,6 +1297,33 @@ def substring_duplicate_spans(
     return lcs.join(nhits, ["doc_a", "doc_b"])
 
 
+def _merged_interval_chars(iv: DataFrame) -> DataFrame:
+    """Per-doc total chars covered by the UNION of [s, e] intervals —
+    the classic running-max sweep (new run when s exceeds the max end
+    seen so far), shared by :func:`duplicated_char_fraction` (cross-
+    document intervals) and :func:`self_repeated_char_fraction`
+    (within-document intervals).  Input columns (doc, s, e); output
+    (doc, dup_chars).  The window is PARTITIONED per doc — bounded
+    state at any corpus size."""
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("doc").orderBy("s", "e")
+    prev_end = F.max("e").over(wo.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "fl",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "mg", F.sum("fl").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy("doc", "mg").agg(
+        F.min("s").alias("rs"), F.max("e").alias("re")
+    )
+    return runs.groupBy("doc").agg(
+        F.sum(F.col("re") - F.col("rs") + 1).cast("long").alias("dup_chars")
+    )
+
+
 def duplicated_char_fraction(
     df: DataFrame,
     text_col: str = "text",
@@ -1314,7 +1341,8 @@ def duplicated_char_fraction(
     (r12 ADVICE): only CROSS-document spans count — a >= k-char span
     repeated within a single document contributes zero here, whereas
     Lee et al.'s suffix-array dup-fraction also catches self-repeats
-    (that axis is covered separately by ``repetition_stats``), so
+    (that axis is its own column: :func:`self_repeated_char_fraction`,
+    with ``repetition_stats`` owning the degenerate-run corner), so
     filter thresholds from the paper are not directly transferable.
     Emits EVERY document:
     (doc_id, n_chars, dup_chars, dup_permille) with dup_permille =
@@ -1358,21 +1386,7 @@ def duplicated_char_fraction(
             (F.col("ea") - F.col("off")).alias("e"),
         )
     )
-    wo = W.partitionBy("doc").orderBy("s", "e")
-    prev_end = F.max("e").over(wo.rowsBetween(W.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "fl",
-        F.when(prev_end.isNull() | (F.col("s") > prev_end), F.lit(1))
-        .otherwise(F.lit(0)),
-    ).withColumn(
-        "mg", F.sum("fl").over(wo.rowsBetween(W.unboundedPreceding, 0))
-    )
-    runs = flagged.groupBy("doc", "mg").agg(
-        F.min("s").alias("rs"), F.max("e").alias("re")
-    )
-    dup = runs.groupBy("doc").agg(
-        F.sum(F.col("re") - F.col("rs") + 1).cast("long").alias("dup_chars")
-    )
+    dup = _merged_interval_chars(iv)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("long").alias("n_chars"),
@@ -1390,6 +1404,105 @@ def duplicated_char_fraction(
                 "CASE WHEN n_chars > 0 THEN (1000 * dup_chars) div n_chars "
                 "ELSE 0 END"
             ).cast("long").alias("dup_permille"),
+        )
+    )
+
+
+def self_repeated_char_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    max_occ: int = 8,
+    chunk_chars: int | None = None,
+) -> DataFrame:
+    """Per-document SELF-duplicated character fraction — the
+    within-document axis :func:`duplicated_char_fraction` explicitly
+    scopes out: a character position counts when it lies inside an
+    exact >= k-char span that occurs AGAIN elsewhere in the SAME
+    document (boilerplate headers pasted twice, tandem repeats,
+    templated sections — the self-repeat signal Lee et al.'s
+    suffix-array dup-fraction folds into one number; here it is its
+    own column so corpus-level and self-level duplication filter
+    independently).  Emits EVERY document: (doc_id, n_chars,
+    self_dup_chars, self_dup_permille), all-integer.
+
+    Witness algebra (the d22 family, turned inward): within-doc gram
+    occurrence pairs (pa < pb) at offset off = pb - pa; islands of
+    consecutive pa per (doc, off) certify a span [sa, ea] recurring
+    at +off; BOTH copies' intervals enter the per-doc merge
+    (:func:`_merged_interval_chars` — overlapping copies, e.g.
+    period-p tandem repeats with p < k, union correctly).
+
+    Stop-gram guard: grams occurring more than ``max_occ`` times in
+    the document are dropped — the within-document analog of d22's
+    corpus df cap, bounding pair fan-out at max_occ^2 per gram.  The
+    documented trade: a document that is ONE degenerate run (e.g.
+    "aaaa...") has every gram above the cap and scores 0 here —
+    ``repetition_stats`` owns that degenerate axis; this metric
+    targets structural >= k-char repeats.
+
+    Scale shape: window explode linear in corpus chars (same per-row
+    F.sequence bound, same ``chunk_chars`` mechanism for huge single
+    documents); the occurrence self-join is keyed (doc, g) so it
+    never crosses documents; islands and the merge are partitioned
+    windows per document."""
+    from pyspark.sql import Window as W
+
+    wnd = (
+        _char_windows_chunked(df, text_col, id_col, k, chunk_chars)
+        if chunk_chars
+        else _char_windows(df, text_col, id_col, k)
+    )
+    capped = (
+        wnd.groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= max_occ))
+        .select("doc", "g")
+    )
+    occ = wnd.join(capped, ["doc", "g"])
+    pairs = (
+        occ.select("doc", "g", F.col("pos").alias("pa"))
+        .join(
+            occ.select("doc", "g", F.col("pos").alias("pb")),
+            ["doc", "g"],
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("doc", (F.col("pb") - F.col("pa")).alias("off"), "pa")
+    )
+    w = W.partitionBy("doc", "off").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    sp = isl.groupBy("doc", "off", "grp").agg(
+        F.min("pa").alias("sa"),
+        (F.max("pa") + F.lit(k - 1)).alias("ea"),
+    )
+    iv = sp.select(
+        "doc", F.col("sa").alias("s"), F.col("ea").alias("e")
+    ).unionAll(
+        sp.select(
+            "doc",
+            (F.col("sa") + F.col("off")).alias("s"),
+            (F.col("ea") + F.col("off")).alias("e"),
+        )
+    )
+    dup = _merged_interval_chars(iv)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(
+            dup.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+        )
+        .fillna(0, ["dup_chars"])
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("dup_chars").cast("long").alias("self_dup_chars"),
+            F.expr(
+                "CASE WHEN n_chars > 0 THEN (1000 * dup_chars) div n_chars "
+                "ELSE 0 END"
+            ).cast("long").alias("self_dup_permille"),
         )
     )
 

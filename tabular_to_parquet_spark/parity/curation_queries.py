@@ -1543,6 +1543,96 @@ FROM spans GROUP BY c_doc
 register("d24_substring_decontaminate", _d24_oracle())(_q_substring_decontaminate)
 
 
+# d25 — per-document SELF-duplicated character fraction (the
+# within-document axis d23 scopes out): within-doc gram occurrence
+# pairs at offset pb - pa, islands per (doc, off), BOTH copies'
+# intervals merged per document.  Stop-gram guard is per-document
+# occurrence count (max_occ), the within-doc analog of d22's df cap.
+
+_D25_MAX_OCC = 8
+
+
+def _q_self_repeated_char_fraction(spark, sf_dir):
+    """dedup.self_repeated_char_fraction over documents: per-doc
+    exact self-duplicated char mass from >= 24-char spans repeated
+    within the same document."""
+    from tabular_to_parquet_spark.operators import dedup
+
+    return dedup.self_repeated_char_fraction(
+        _docs(spark, sf_dir), k=_D22_K, max_occ=_D25_MAX_OCC
+    )
+
+
+def _d25_oracle() -> str:
+    k, max_occ = _D22_K, _D25_MAX_OCC
+    return f"""
+WITH wins AS (
+  SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), {k}) AS g
+  FROM (SELECT * FROM documents WHERE length(text) >= {k}),
+       unnest(range(1, length(text) - {k} + 2)) AS t(i)
+),
+seeds AS (
+  SELECT doc, g FROM wins GROUP BY doc, g
+  HAVING count(*) BETWEEN 2 AND {max_occ}
+),
+hits AS (
+  SELECT x.doc AS doc, y.pos - x.pos AS off, x.pos AS pa
+  FROM wins x JOIN seeds s ON x.doc = s.doc AND x.g = s.g
+  JOIN wins y ON y.doc = x.doc AND y.g = x.g AND x.pos < y.pos
+),
+isl AS (
+  SELECT doc, off, pa,
+         pa - row_number() OVER (PARTITION BY doc, off ORDER BY pa) AS grp
+  FROM hits
+),
+sp AS (
+  SELECT doc, off, min(pa) AS sa, max(pa) + {k - 1} AS ea
+  FROM isl GROUP BY doc, off, grp
+),
+iv AS (
+  SELECT doc, sa AS s, ea AS e FROM sp
+  UNION ALL
+  SELECT doc, sa + off AS s, ea + off AS e FROM sp
+),
+flagged AS (
+  SELECT doc, s, e,
+         CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS fl
+  FROM (
+    SELECT doc, s, e,
+           max(e) OVER (PARTITION BY doc ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pe
+    FROM iv
+  )
+),
+grouped AS (
+  SELECT doc, s, e,
+         sum(fl) OVER (PARTITION BY doc ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS mg
+  FROM flagged
+),
+runs AS (
+  SELECT doc, mg, min(s) AS rs, max(e) AS re FROM grouped GROUP BY doc, mg
+),
+dup AS (
+  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS self_dup_chars
+  FROM runs GROUP BY doc
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(dup.self_dup_chars, 0) AS self_dup_chars,
+       CAST(CASE WHEN length(d.text) > 0
+            THEN (1000 * COALESCE(dup.self_dup_chars, 0)) // length(d.text)
+            ELSE 0 END AS BIGINT) AS self_dup_permille
+FROM documents d LEFT JOIN dup ON dup.doc = d.doc_id
+"""
+
+
+register("d25_self_repeat_fraction", _d25_oracle())(_q_self_repeated_char_fraction)
+
+
 # ---------------------------------------------------------------------------
 # pl37 — in-plan exact fixed-point gradient-descent linear regressor
 # (pipeline.gd_linear_regressor): the distributed model-training

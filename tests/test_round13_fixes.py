@@ -99,6 +99,48 @@ def test_gd_sentinel_quiet_on_convergent_trajectory(spark):
     assert got == expected
 
 
+def test_self_repeat_fraction_planted(spark):
+    # d25: a doc with one planted self-repeated span, one clean doc,
+    # one degenerate run above the occurrence cap (scores 0), one
+    # sub-k-period tandem repeat (overlapping island copies)
+    from tabular_to_parquet_spark.operators.dedup import (
+        self_repeated_char_fraction,
+    )
+
+    k = 6
+    span = "xqzwvu"  # unique 6-gram span, repeated in doc 0
+    d0 = "abcdef" + span + "ghijkl" + span + "mnopqr"
+    d1 = "abcdefghijklmnopqrstuvwx"  # clean: no repeated 6-gram
+    d2 = "a" * 30  # single gram at 25 occurrences > max_occ -> 0
+    d3 = "abcd" * 5  # period 4 < k: overlapping copies
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["self_dup_chars"],
+                      r["self_dup_permille"])
+        for r in self_repeated_char_fraction(df, k=k, max_occ=8).collect()
+    }
+    # positional reference (the span_fuzz ref, inlined)
+    def ref(t):
+        occ = {}
+        for p in range(len(t) - k + 1):
+            occ.setdefault(t[p : p + k], []).append(p + 1)
+        cov = set()
+        for ps in occ.values():
+            if 2 <= len(ps) <= 8:
+                for i, pa in enumerate(ps):
+                    for pb in ps[i + 1 :]:
+                        cov.update(range(pa, pa + k))
+                        cov.update(range(pb, pb + k))
+        return (len(t), len(cov), (1000 * len(cov)) // len(t))
+
+    assert got == {i: ref(t) for i, t in enumerate((d0, d1, d2, d3))}
+    assert got[0][1] == 2 * k  # exactly the two planted span copies
+    assert got[1][1] == 0 and got[2][1] == 0
+    assert got[3][1] == len(d3)  # tandem repeat: fully covered
+
+
 def test_ivf_anchors_distributed_bit_identical(spark):
     # r12 verdict item 4: the executor-side generator must reproduce
     # the driver-side md5 construction exactly — downstream plans

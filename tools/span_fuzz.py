@@ -23,6 +23,11 @@ rotate (the pq_fuzz discipline), seed % 3 since r13 (pre-r13 ranges
        d22's >= 2 floor) and the eval side is never capped; the leg
        also randomly engages chunk_chars, fuzzing the
        value-invariance contract of the chunked window generator.
+Seeds >= 1,000,000 run the d25 leg instead: within-document
+self-repeat coverage (self_repeated_char_fraction) over corpora with
+slice re-insertions, sub-k-period tandem repeats (overlapping island
+copies — the merge corner) and degenerate runs above the occurrence
+cap, vs a positional reference.
 
 Corpus regimes stress the corners the fixture never hits: tiny
 alphabets (natural chance collisions), planted splices (one doc's
@@ -123,6 +128,65 @@ def ref_dup_fraction(docs: dict[int, str], k: int, max_df: int):
         dup = len(covered[d])
         out[d] = (n, dup, (1000 * dup) // n if n else 0)
     return out
+
+
+def ref_self_dup(docs: dict[int, str], k: int, max_occ: int):
+    """Independent reference for self_repeated_char_fraction:
+    positional — for every within-doc gram kept by the occurrence cap
+    (2..max_occ), each matched pair contributes BOTH k-windows to the
+    doc's covered-position set (a union of consecutive k-windows IS
+    the island interval, so an island-arithmetic bug cannot be
+    mirrored here)."""
+    out = {}
+    for d, t in docs.items():
+        occ: dict[str, list[int]] = {}
+        for p in range(len(t) - k + 1):
+            occ.setdefault(t[p : p + k], []).append(p + 1)
+        cov: set[int] = set()
+        for ps in occ.values():
+            if not (2 <= len(ps) <= max_occ):
+                continue
+            for i, pa in enumerate(ps):
+                for pb in ps[i + 1 :]:
+                    cov.update(range(pa, pa + k))
+                    cov.update(range(pb, pb + k))
+        n = len(t)
+        out[d] = (n, len(cov), (1000 * len(cov)) // n if n else 0)
+    return out
+
+
+def gen_self_repeat_corpus(rng: random.Random):
+    """Corpus regimes for the d25 leg: gen_corpus's layouts PLUS
+    aggressive self-repeat plants — slice re-insertions (s..s), tandem
+    repeats with period below AND above k (period < k makes the two
+    island copies overlap — the merge corner), and fully periodic
+    documents whose every gram breaches the occurrence cap (must
+    score 0)."""
+    docs, k, max_df = gen_corpus(rng)
+    max_occ = rng.randint(2, 8)
+    ids = [d for d in docs if len(docs[d]) >= k]
+    for _ in range(rng.randint(0, 3)):
+        if not ids:
+            break
+        d = rng.choice(ids)
+        t = docs[d]
+        a = rng.randrange(len(t))
+        b = min(len(t), a + rng.randint(k, 3 * k))
+        x = rng.randrange(len(t) + 1)
+        docs[d] = t[:x] + t[a:b] + t[x:]
+    if rng.random() < 0.25 and ids:
+        # tandem repeat: period may sit below k (overlapping copies)
+        period = rng.randint(max(1, k // 3), 2 * k)
+        reps = rng.randint(2, 6)
+        unit = "".join(rng.choice("abcdef") for _ in range(period))
+        docs[max(docs) + 1] = unit * reps
+    if rng.random() < 0.15:
+        # degenerate run long enough that its single gram exceeds any
+        # cap in 2..8 (len - k + 1 >= 9 occurrences) -> must emit 0
+        docs[max(docs) + 1] = rng.choice("abcdef") * rng.randint(
+            k + 8, 5 * k + 8
+        )
+    return docs, k, max_occ
 
 
 def ref_decontaminate(
@@ -260,6 +324,7 @@ def main() -> int:
 
     from tabular_to_parquet_spark.operators.dedup import (
         duplicated_char_fraction,
+        self_repeated_char_fraction,
         substring_decontaminate,
         substring_duplicate_spans,
     )
@@ -281,6 +346,40 @@ def main() -> int:
 
     def run_seed(seed: int):
         rng = random.Random(seed)
+        if seed >= 1_000_000:
+            # d25 leg (seeds >= 1e6 by convention): within-document
+            # self-repeat coverage vs the positional reference
+            docs, k, max_occ = gen_self_repeat_corpus(rng)
+            expected = ref_self_dup(docs, k, max_occ)
+            df = spark.createDataFrame(
+                [(d, t) for d, t in docs.items()],
+                "doc_id long, text string",
+            ).coalesce(rng.randint(1, 4))
+            chunk = rng.choice([None, None, rng.randint(2 * k, 4 * k)])
+            got_rows = self_repeated_char_fraction(
+                df, k=k, max_occ=max_occ, chunk_chars=chunk
+            ).collect()
+            got = {
+                r["doc_id"]: (r["n_chars"], r["self_dup_chars"],
+                              r["self_dup_permille"])
+                for r in got_rows
+            }
+            if len(got) != len(got_rows):
+                return (
+                    f"duplicate doc rows: {len(got_rows)} rows, "
+                    f"{len(got)} docs"
+                )
+            if got != expected:
+                diff = {
+                    p: (expected.get(p), got.get(p))
+                    for p in set(expected) | set(got)
+                    if expected.get(p) != got.get(p)
+                }
+                return (
+                    f"k={k} max_occ={max_occ} chunk={chunk} "
+                    f"diff={dict(list(diff.items())[:4])}"
+                )
+            return None
         if seed % 3 == 2:
             # d24 leg: corpus x eval bipartite decontamination
             docs, evals, k, max_df = gen_split(rng)
