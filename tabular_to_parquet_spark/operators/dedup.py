@@ -1139,46 +1139,95 @@ def _char_windows_chunked(
     id_col: str,
     k: int,
     chunk_chars: int,
+    macro_chars: int = 1 << 20,
 ) -> DataFrame:
-    """:func:`_char_windows` with bounded per-row arrays: documents
-    are first cut into chunks of ``chunk_chars`` stepping
-    ``chunk_chars - k + 1`` (k-1 chars of overlap, so every k-window
-    is covered by exactly one chunk), windows are emitted per chunk
-    with GLOBAL 1-based positions — the output (doc, pos, g) row set
-    is IDENTICAL to the unchunked scan, so every downstream operator
-    (spans, coverage, decontamination) is value-invariant.  What
-    changes is the F.sequence materialization: max array length drops
-    from document length to chunk_chars — the huge-single-document
-    per-row memory spike the d22 docstring documents is bounded here
-    instead of avoided by contract."""
+    """:func:`_char_windows` for huge documents: a TWO-LEVEL chunked
+    scan whose output (doc, pos, g) row set is IDENTICAL to the
+    unchunked scan (every k-window appears exactly once, with global
+    1-based positions), so every downstream operator (spans,
+    coverage, decontamination) is value-invariant.
+
+    Why two levels (r13 measurement): Spark's ``substring`` walks the
+    string from byte 0 to the start offset on EVERY call (UTF8String
+    has no character index), so the unchunked per-window
+    ``substring(text, pos, k)`` is O(pos) — quadratic in document
+    length, ~3e14 byte-steps for one 24 MB document.  Chunking must
+    therefore bound the WALK, not just the per-row F.sequence array:
+    level 1 cuts ~``macro_chars`` (1 MiB) macro-chunks from the
+    document (few substring calls, each O(offset) over the full text
+    — Σ ≈ len²/(2·macro_chars), negligible up to GB-scale docs);
+    level 2 cuts ``chunk_chars``-sized sub-chunks within each
+    macro-chunk; per-window substrings then walk at most
+    ``chunk_chars`` bytes.  Total scan cost ≈ len · chunk_chars/2 —
+    linear with a small constant (keep ``chunk_chars`` in the
+    KB range, e.g. 4096; 2^20 as the WINDOW chunk re-creates the
+    quadratic one level down).
+
+    Both levels step ``size - k + 1`` (k-1 chars of overlap) so every
+    window is covered by exactly one chunk at each level, and the
+    last chunk at each level is always >= k chars by the step
+    arithmetic.  The macro-chunk rows are REPARTITIONED before level
+    2: a huge document lives in one input partition, so without
+    redistribution its tens of millions of windows — and the df-cap
+    groupBy's partial aggregation over them — all funnel through ONE
+    task (measured r13: 4-task partial agg over 52 M near-unique
+    grams spill-sorted for >10 min).  Chunking bounds memory and the
+    substring walk; the repartition bounds SKEW — one ~1 MiB row per
+    shuffle record, trivially cheap relative to the window stream it
+    unlocks."""
     if chunk_chars <= k:
         raise ValueError(
             f"chunk_chars ({chunk_chars}) must exceed k ({k}) — a chunk "
             "must hold at least one window plus the k-1 overlap"
         )
-    step = chunk_chars - k + 1
-    chunks = (
+    macro_chars = max(macro_chars, chunk_chars)
+    mstep = macro_chars - k + 1
+    sstep = chunk_chars - k + 1
+    macro = (
         df.filter(F.length(text_col) >= k)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    ((F.length(text_col) - k) / step).cast("long"),
+                    ((F.length(text_col) - k) / mstep).cast("long"),
                 )
-            ).alias("j"),
+            ).alias("mj"),
             F.col(text_col),
         )
         .select(
             "doc",
-            (F.col("j") * step + 1).cast("long").alias("start"),
+            (F.col("mj") * mstep + 1).cast("long").alias("mstart"),
             F.expr(
-                f"substring({text_col}, CAST(j * {step} + 1 AS INT), "
+                f"substring({text_col}, CAST(mj * {mstep} + 1 AS INT), "
+                f"{macro_chars})"
+            ).alias("mc"),
+        )
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sub = (
+        macro.repartition(max(par, 8))
+        .select(
+            "doc",
+            "mstart",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.length("mc") - k) / sstep).cast("long"),
+                )
+            ).alias("sj"),
+            "mc",
+        )
+        .select(
+            "doc",
+            (F.col("mstart") + F.col("sj") * sstep).cast("long").alias("start"),
+            F.expr(
+                f"substring(mc, CAST(sj * {sstep} + 1 AS INT), "
                 f"{chunk_chars})"
             ).alias("chunk"),
         )
     )
-    return chunks.select(
+    return sub.select(
         "doc",
         F.explode(
             F.sequence(F.lit(1), F.length("chunk") - (k - 1))
@@ -1205,8 +1254,16 @@ def _substring_seed_hits(
     every k-char window of every document, df-capped to [2, max_df]
     distinct docs, equi-joined on the window STRING itself — emits one
     (doc_a, doc_b, pa, pb) row per matched position pair, doc_a <
-    doc_b.  ``chunk_chars`` bounds per-row arrays for huge documents
-    (value-invariant; see :func:`_char_windows_chunked`)."""
+    doc_b.  ``chunk_chars`` bounds the per-window substring walk, the
+    per-row arrays AND the per-task skew for huge documents
+    (value-invariant; see :func:`_char_windows_chunked`).  DEFAULT
+    KNOB (r13 hugedoc measurement): pass ``chunk_chars=4096``
+    whenever any document can exceed ~1 MB — the unchunked scan's
+    per-window ``substring(text, pos, k)`` walks O(pos) bytes, i.e.
+    quadratic in document length (a 24 MB document alone is ~3e14
+    byte-steps; the 4096-chunk scan does the same corpus in tens of
+    seconds).  For benchmark-shaped corpora (KB documents) leave it
+    None: the extra exchange is pure overhead."""
     wins = (
         _char_windows_chunked(df, text_col, id_col, k, chunk_chars)
         if chunk_chars
@@ -1358,8 +1415,9 @@ def duplicated_char_fraction(
 
     Scale shape: inherits the seed-hit bounds (window explode linear
     in corpus chars, pair fan-out <= max_df^2 per seed — and the same
-    per-row F.sequence materialization limit for huge single
-    documents); the merge is a PARTITIONED window per document; the
+    huge-document rule: pass ``chunk_chars=4096`` when any document
+    can exceed ~1 MB, see :func:`substring_duplicate_spans`); the
+    merge is a PARTITIONED window per document; the
     final step is a broadcast-friendly left join back to the corpus
     keyed by document id."""
     from pyspark.sql import Window as W
@@ -1442,9 +1500,10 @@ def self_repeated_char_fraction(
     ``repetition_stats`` owns that degenerate axis; this metric
     targets structural >= k-char repeats.
 
-    Scale shape: window explode linear in corpus chars (same per-row
-    F.sequence bound, same ``chunk_chars`` mechanism for huge single
-    documents); the occurrence self-join is keyed (doc, g) so it
+    Scale shape: window explode linear in corpus chars (same
+    huge-document rule as the d22 family — pass ``chunk_chars=4096``
+    when any document can exceed ~1 MB); the occurrence self-join is
+    keyed (doc, g) so it
     never crosses documents; islands and the merge are partitioned
     windows per document."""
     from pyspark.sql import Window as W
@@ -1532,7 +1591,8 @@ def substring_decontaminate(
     documented trade both engines (and the oracle) share exactly.
 
     Scale shape: corpus windows stream through one explode (linear in
-    corpus chars, same per-row F.sequence limit as the d22 family);
+    corpus chars; same huge-document rule as the d22 family — pass
+    ``chunk_chars=4096`` when any corpus document can exceed ~1 MB);
     the eval window set is broadcast (benchmark-sized by contract);
     islands are a partitioned window per (corpus doc, eval doc,
     offset); output is per corpus doc.  Zero UDFs, all integer."""

@@ -13,10 +13,13 @@ array per row — was unmeasured.  This tool:
    ~4/8/16/24 MB of unique sha2-chain text, two of which carry an
    identical planted 312-char span (so the span algebra has real
    cross-huge-doc work to do);
-2. runs d22 `substring_duplicate_spans` over the mixture WITH and
-   WITHOUT ``chunk_chars=2**20``, recording wall seconds and peak
-   process-tree RSS (the cli_soak poller methodology — local mode, so
-   the tree is the python driver + the executor JVM);
+2. runs d22 `substring_duplicate_spans` over the mixture WITH
+   ``chunk_chars=4096`` (the two-level scan's recommended knob —
+   KB-scale, because Spark's substring walks O(offset) so the chunk
+   size bounds the per-window scan cost, not just the per-row array)
+   and WITHOUT chunking, recording wall seconds and peak process-tree
+   RSS (the cli_soak poller methodology — local mode, so the tree is
+   the python driver + the executor JVM);
 3. asserts the two runs' pair rows are IDENTICAL (the value-invariance
    contract, now exercised at the tail, not just at fixture size);
 4. prints one JSON line per run for the SCALE.md ledger.
@@ -92,12 +95,22 @@ def build_corpus(spark, sizes_mb: list[int]) -> str:
     return out
 
 
-def measured(label: str, fn):
+def measured(label: str, fn, spark=None, timeout_sec: int | None = None):
     """Run fn, sampling peak tree RSS at 0.25 s (cli_soak methodology
     applied to the CURRENT process tree — local mode: python driver +
-    executor JVM child)."""
+    executor JVM child).  With ``timeout_sec`` + ``spark``, a timer
+    cancels all Spark jobs at the deadline — a leg that cannot finish
+    (the unchunked scan's single-task skew) is recorded as an error
+    row instead of eating the harness."""
     peak = {"kb": 0}
     stop = threading.Event()
+    timer = None
+    if timeout_sec and spark is not None:
+        timer = threading.Timer(
+            timeout_sec, lambda: spark.sparkContext.cancelAllJobs()
+        )
+        timer.daemon = True
+        timer.start()
 
     def poll():
         me = os.getpid()
@@ -118,6 +131,8 @@ def measured(label: str, fn):
     wall = round(time.monotonic() - t0, 1)
     stop.set()
     th.join(timeout=2)
+    if timer is not None:
+        timer.cancel()
     print(
         json.dumps(
             {
@@ -150,7 +165,7 @@ def main() -> int:
           f"(huge sizes {sizes} MB)", file=sys.stderr)
 
     results = {}
-    for label, chunk in (("d22_chunked_1m", 1 << 20), ("d22_unchunked", None)):
+    for label, chunk in (("d22_chunked_4k", 4096), ("d22_unchunked", None)):
         rows, err = measured(
             label,
             lambda c=chunk: sorted(
@@ -159,6 +174,8 @@ def main() -> int:
                     docs, k=24, max_df=6, chunk_chars=c
                 ).collect()
             ),
+            spark=spark,
+            timeout_sec=int(os.environ.get("HUGEDOC_TIMEOUT", "1500")),
         )
         if err is None:
             results[label] = rows
