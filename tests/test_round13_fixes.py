@@ -141,6 +141,31 @@ def test_self_repeat_fraction_planted(spark):
     assert got[3][1] == len(d3)  # tandem repeat: fully covered
 
 
+def test_chunked_windows_spread_across_partitions(spark):
+    # the macro-chunk repartition must spread a single huge document's
+    # windows across many tasks — without it the df-cap groupBy's
+    # partial agg funnels through ONE task (the r13 hugedoc stall).
+    # Pins the behavior against any future AQE coalescing of the
+    # explicit round-robin exchange.
+    from pyspark.sql import functions as F
+
+    from tabular_to_parquet_spark.operators.dedup import (
+        _char_windows_chunked,
+    )
+
+    one_huge = spark.createDataFrame(
+        [(1, "ab" * 300_000)], "doc_id long, text string"
+    ).coalesce(1)
+    n_parts = (
+        _char_windows_chunked(one_huge, "text", "doc_id", 24, 4096,
+                              macro_chars=65536)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts >= 8, f"huge doc's windows in only {n_parts} partitions"
+
+
 def test_ivf_anchors_distributed_bit_identical(spark):
     # r12 verdict item 4: the executor-side generator must reproduce
     # the driver-side md5 construction exactly — downstream plans
