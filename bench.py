@@ -165,6 +165,11 @@ def main() -> None:
     timings_mean: dict[str, float] = {}
     timings_spread: dict[str, float] = {}
     timings_load1: dict[str, float] = {}
+    # per-query effective rep protocol (r13 ADVICE): min-of-REPS vs the
+    # SUBSEC_LIFT warm-up-discarded min-of-5 change what a committed
+    # minimum MEANS; the snapshot records which protocol produced each
+    # number so the history walker can tell them apart
+    timings_protocol: dict[str, str] = {}
 
     # -- setup (untimed, LAZY): materialize lineitem as a CSV file on
     # first need.  The need is declared at each consumer's @timed site
@@ -211,8 +216,10 @@ def main() -> None:
                     fn()
                     runs.append(time.monotonic() - t0)
                 stable = runs[1:]
+                timings_protocol[name] = "min5_warmup_discarded"
             else:
                 stable = runs
+                timings_protocol[name] = f"min{len(stable)}"
             timings[name] = round(min(stable), 3)
             timings_mean[name] = round(sum(stable) / len(stable), 3)
             # per-query run-to-run spread (max - min) so a reader can
@@ -614,6 +621,10 @@ def main() -> None:
             "load_before": [round(x, 2) for x in load_before],
             "load_after": [round(x, 2) for x in load_after],
             "queries_load1": timings_load1,
+            # rep protocol per query (r13 ADVICE): "minN" = plain
+            # min-of-N; "min5_warmup_discarded" = the SUBSEC_LIFT path
+            "queries_protocol": timings_protocol,
+            "subsec_lift_sec": SUBSEC_LIFT,
             "idle_at_start": idle_now,
             "idle_load1_threshold": IDLE_LOAD1,
             "cpus": os.cpu_count(),

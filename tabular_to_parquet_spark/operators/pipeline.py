@@ -1111,6 +1111,7 @@ def gd_linear_regressor(
     feature_cols: list[str],
     label_col: str = "y",
     rounds: int = 5,
+    sentinel: bool = True,
 ) -> DataFrame:
     """Train a linear regressor by batch gradient descent ENTIRELY
     in-plan — the distributed model-training primitive of a curation
@@ -1165,15 +1166,34 @@ def gd_linear_regressor(
     closed by an IN-PLAN per-round overflow sentinel: each round's
     aggregate also computes ``max(abs(resid))``, and the weight
     update validates ``max|resid| < 2^53`` and every ``|grad_j| <
-    2^53`` (the actual trajectory values, so certifiable corpora are
-    never falsely poisoned).  From the first breaching round onward
-    the emitted ``(w0.., sum_abs_resid_scaled)`` are NULL (poisoned —
-    a value-hash can never silently pass on inexact weights) and the
-    carried weights FREEZE at their last valid value, which keeps all
-    post-breach arithmetic inside int64 so the poisoned plan still
-    executes without raising.  Differentially fuzzed by
-    tools/gd_fuzz.py's out-of-envelope regime (exact-python breach
-    round vs the poisoned rows)."""
+    2^53 - n`` (the actual trajectory values, so certifiable corpora
+    are never falsely poisoned).  The gradient bound subtracts ``n``
+    (r13 ADVICE): the ``grad_j / n`` fdiv's numerator is ``d_j - pm``
+    with ``pm`` in ``[0, n)``, so a negative ``d_j`` within ``n`` of
+    ``-2^53`` makes the numerator's magnitude exceed 2^53 and (being
+    odd) round on the double conversion — ``|d_j| < 2^53 - n`` keeps
+    every numerator strictly exact.  The residual check needs no
+    slack: its divisors are powers of two, so ``a - pm`` just clears
+    low bits and the division is exact scaling.  From the first
+    breaching round onward the emitted ``(w0..,
+    sum_abs_resid_scaled)`` are NULL (poisoned — a value-hash can
+    never silently pass on inexact weights) and the carried weights
+    FREEZE at their last valid value, which keeps all post-breach
+    arithmetic inside int64 so the poisoned plan still executes
+    without raising.  Differentially fuzzed by tools/gd_fuzz.py's
+    out-of-envelope regime (exact-python breach round vs the
+    poisoned rows).
+
+    ``sentinel=False`` (r13 verdict item 7) is the pre-certified-
+    corpus fast path: it drops the per-round ``max(abs(resid))``
+    aggregate column and every ok/poison projection (the r12 plan
+    shape, ~30% cheaper on pl37).  CONTRACT: the caller has already
+    certified — e.g. via tools/gd_fuzz.traj_in_envelope or a domain
+    bound — that the corpus's ACTUAL trajectory keeps every
+    ``|resid| < 2^53`` and every ``|grad_j| < 2^53 - n`` for all
+    ``rounds``; outside that envelope this path recreates the silent
+    [2^53, 2^63) wrong-weights window the sentinel exists to close.
+    Inside the envelope both paths are bit-identical (test-pinned)."""
     pre = feats.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.max(
@@ -1203,7 +1223,7 @@ def gd_linear_regressor(
     wt = feats.sparkSession.range(1).select(
         *[F.lit(0).cast("long").alias(f"w{j}") for j in range(len(feature_cols))],
         F.lit(n).cast("long").alias("n"),
-        F.lit(True).alias("ok"),
+        *([F.lit(True).alias("ok")] if sentinel else []),
     )
     two_s = 1 << GD_W_SCALE
     fdiv_exact = F.lit(1 << 53).cast("long")  # _pmod_floordiv exactness bound
@@ -1227,44 +1247,70 @@ def gd_linear_regressor(
             .alias("loss"),
             # overflow sentinel: the round's actual max |residual| —
             # the fdiv numerators' envelope witness (docstring)
-            F.max(aresid).alias("mr"),
+            *([F.max(aresid).alias("mr")] if sentinel else []),
         )
-        # valid iff every prior round was AND this round's actual
-        # residuals and gradients stay inside the 2^53 fdiv-exactness
-        # envelope (values in [2^53, 2^63) compute silently-wrong
-        # floor divisions; >= 2^63 raises under ANSI)
-        ok_now = F.col("ok") & (F.col("mr") < fdiv_exact)
-        for j in range(len(feature_cols)):
-            ok_now = ok_now & (F.abs(F.col(f"d{j}")) < fdiv_exact)
-        new = delta.crossJoin(F.broadcast(wt)).select(
-            *[
-                F.when(
-                    ok_now,
-                    F.col(f"w{j}")
-                    - _pmod_floordiv(
-                        _pmod_floordiv(F.col(f"d{j}"), F.col("n")),
-                        F.lit(1 << GD_LR_SHIFT),
-                    ),
+
+        def upd(j: int) -> Column:
+            return F.col(f"w{j}") - _pmod_floordiv(
+                _pmod_floordiv(F.col(f"d{j}"), F.col("n")),
+                F.lit(1 << GD_LR_SHIFT),
+            )
+
+        if sentinel:
+            # valid iff every prior round was AND this round's actual
+            # residuals and gradients stay inside the 2^53
+            # fdiv-exactness envelope (values in [2^53, 2^63) compute
+            # silently-wrong floor divisions; >= 2^63 raises under
+            # ANSI).  The gradient bound is 2^53 - n, not 2^53: the
+            # /n fdiv's numerator d_j - pm exceeds |d_j| by up to
+            # n - 1 for negative d_j (docstring, r13 ADVICE)
+            ok_now = F.col("ok") & (F.col("mr") < fdiv_exact)
+            for j in range(len(feature_cols)):
+                ok_now = ok_now & (
+                    F.abs(F.col(f"d{j}")) < fdiv_exact - F.col("n")
+                )
+            new = delta.crossJoin(F.broadcast(wt)).select(
+                *[
                     # freeze on poison: carrying the last valid weights
                     # keeps every post-breach round's arithmetic inside
                     # int64 (the poisoned plan must still execute)
-                ).otherwise(F.col(f"w{j}")).alias(f"w{j}")
-                for j in range(len(feature_cols))
-            ],
-            "loss",
-            "n",
-            ok_now.alias("ok"),
-        )
-        row = new.select(
-            F.lit(t).cast("long").alias("round"),
-            *[
-                F.when(F.col("ok"), F.col(f"w{j}")).alias(f"w{j}")
-                for j in range(len(feature_cols))
-            ],
-            F.when(F.col("ok"), F.col("loss")).alias("sum_abs_resid_scaled"),
-        )
+                    F.when(ok_now, upd(j))
+                    .otherwise(F.col(f"w{j}"))
+                    .alias(f"w{j}")
+                    for j in range(len(feature_cols))
+                ],
+                "loss",
+                "n",
+                ok_now.alias("ok"),
+            )
+            row = new.select(
+                F.lit(t).cast("long").alias("round"),
+                *[
+                    F.when(F.col("ok"), F.col(f"w{j}")).alias(f"w{j}")
+                    for j in range(len(feature_cols))
+                ],
+                F.when(F.col("ok"), F.col("loss")).alias(
+                    "sum_abs_resid_scaled"
+                ),
+            )
+            wt = new.select(
+                *[f"w{j}" for j in range(len(feature_cols))], "n", "ok"
+            )
+        else:
+            # pre-certified fast path (docstring contract): no mr
+            # aggregate, no ok algebra — the exact r12 plan shape
+            new = delta.crossJoin(F.broadcast(wt)).select(
+                *[upd(j).alias(f"w{j}") for j in range(len(feature_cols))],
+                "loss",
+                "n",
+            )
+            row = new.select(
+                F.lit(t).cast("long").alias("round"),
+                *[f"w{j}" for j in range(len(feature_cols))],
+                F.col("loss").alias("sum_abs_resid_scaled"),
+            )
+            wt = new.select(
+                *[f"w{j}" for j in range(len(feature_cols))], "n"
+            )
         out = row if out is None else out.unionAll(row)
-        wt = new.select(
-            *[f"w{j}" for j in range(len(feature_cols))], "n", "ok"
-        )
     return out

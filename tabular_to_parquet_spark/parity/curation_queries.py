@@ -1684,13 +1684,20 @@ def _pl37_oracle() -> str:
     x_cols = ", ".join(
         f"CAST({x} AS BIGINT) AS x{j}" for j, x in enumerate(_PL37_XS)
     )
+    # the engine's per-round overflow sentinel, mirrored (r13 ADVICE):
+    # ok_t = ok_{t-1} AND max|resid| < 2^53 AND every |d_j| < 2^53 - n
+    # (the /n fdiv numerator can exceed |d_j| by n-1); a breach
+    # freezes carried weights and NULL-poisons emitted rows, so
+    # engine/oracle parity holds on ANY trajectory, not just the
+    # pinned corpus's breach-free one
+    exact = str(1 << 53)
     ctes = [
         f"f AS (SELECT {x_cols}, CAST({_PL37_Y} AS BIGINT) AS y"
         " FROM documents)",
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
         "r0 AS (SELECT "
         + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nx))
-        + ")",
+        + ", TRUE AS ok)",
     ]
     for t in range(1, _PL37_ROUNDS + 1):
         pred = " + ".join(f"p.w{j} * x{j}" for j in range(nx))
@@ -1705,22 +1712,36 @@ def _pl37_oracle() -> str:
         loss = fd("abs(resid)", str(two_s))
         ctes.append(
             f"a{t} AS (SELECT {d_cols},"
-            f" CAST(SUM({loss}) AS BIGINT) AS loss FROM s{t})"
+            f" CAST(SUM({loss}) AS BIGINT) AS loss,"
+            f" CAST(MAX(abs(resid)) AS BIGINT) AS mr FROM s{t})"
         )
-        w_cols = ", ".join(
-            f"p.w{j} - "
+        ok_terms = " AND ".join(
+            ["p.ok", f"a.mr < {exact}"]
+            + [f"abs(a.d{j}) < {exact} - nn.n" for j in range(nx)]
+        )
+        inner_cols = ", ".join(
+            f"p.w{j} AS wo{j}, p.w{j} - "
             + fd(fd(f"a.d{j}", "nn.n"), str(1 << GD_LR_SHIFT))
-            + f" AS w{j}"
+            + f" AS wn{j}"
+            for j in range(nx)
+        )
+        outer_cols = ", ".join(
+            f"CASE WHEN ok THEN wn{j} ELSE wo{j} END AS w{j}"
             for j in range(nx)
         )
         ctes.append(
-            f"r{t} AS (SELECT {w_cols}, a.loss AS loss"
-            f" FROM a{t} a, r{t - 1} p, nn)"
+            f"r{t} AS (SELECT {outer_cols}, loss, ok FROM"
+            f" (SELECT {inner_cols}, a.loss AS loss,"
+            f" ({ok_terms}) AS ok"
+            f" FROM a{t} a, r{t - 1} p, nn))"
         )
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS BIGINT) AS round, "
-        + ", ".join(f"w{j}" for j in range(nx))
-        + f", loss AS sum_abs_resid_scaled FROM r{t}"
+        + ", ".join(
+            f"CASE WHEN ok THEN w{j} END AS w{j}" for j in range(nx)
+        )
+        + f", CASE WHEN ok THEN loss END AS sum_abs_resid_scaled"
+        f" FROM r{t}"
         for t in range(1, _PL37_ROUNDS + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions

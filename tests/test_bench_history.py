@@ -231,3 +231,25 @@ def test_loaded_run_fixture_produces_no_hard_flags():
     # an idle full-suite run keeps them hard
     hard, advisory = bench_mod._split_flags(found, advisory_run=False)
     assert hard == found and advisory == {}
+
+
+def test_zero_or_junk_canary_snapshot_never_crashes(ahem=None):
+    # r13 ADVICE: a malformed snapshot carrying canary_sha 0.0 (or a
+    # junk type) must neither divide-by-zero inside _rescale nor
+    # become a baseline; the valid-canary snapshot still flags
+    snaps = [
+        _snap("bad0", canary=0.0, noop=0.0, q1=0.1),
+        _snap("badt", q1=0.1) | {"canary_sha": "oops"},
+        _snap("good", canary=0.06, noop=0.2, q1=1.0),
+    ]
+    flagged = bh.flag_regressions(
+        snaps, {"q1": 1.8}, current_canary=0.06, current_noop=0.2
+    )
+    assert "q1" in flagged and flagged["q1"]["baseline_sec"] == 1.0
+
+
+def test_all_canaries_zero_is_bootstrap_quiet():
+    snaps = [_snap("bad", canary=0.0, q1=0.1)]
+    assert (
+        bh.flag_regressions(snaps, {"q1": 9.9}, current_canary=0.06) == {}
+    )

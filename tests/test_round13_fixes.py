@@ -23,9 +23,9 @@ def spark():
 
 def _ref_gd_with_breach(rows, rounds):
     """Exact-python GD twin that also reports the first round whose
-    actual max|resid| or any |grad_j| reaches 2^53 (the fdiv
-    exactness envelope).  Mirrors tools/gd_fuzz.py's reference with
-    arbitrary-precision ints — no numpy wrap."""
+    actual max|resid| reaches 2^53 or any |grad_j| reaches 2^53 - n
+    (the fdiv exactness envelope).  Mirrors tools/gd_fuzz.py's
+    reference with arbitrary-precision ints — no numpy wrap."""
     n = len(rows)
     m = len(rows[0]) - 1
     W = [0] * m
@@ -43,7 +43,10 @@ def _ref_gd_with_breach(rows, rounds):
             sum(r[j] * rs[i] for i, r in enumerate(rows)) for j in range(m)
         ]
         if breach is None and (
-            mr >= (1 << 53) or any(abs(g) >= (1 << 53) for g in grads)
+            # grad bound 2^53 - n mirrors the r14-tightened sentinel:
+            # the /n fdiv numerator can exceed |grad| by up to n - 1
+            mr >= (1 << 53)
+            or any(abs(g) >= (1 << 53) - n for g in grads)
         ):
             breach = t
         if breach is None:

@@ -173,28 +173,37 @@ def flag_regressions(
     rescale factor (max of the two canary ratios) that produced it.
     Queries with no comparable history are never flagged (a new query
     has no baseline)."""
+    def _pos(v) -> bool:
+        # a malformed snapshot can carry canary 0.0 (or a junk type);
+        # a strict > 0 gate keeps _rescale division-safe (r13 ADVICE)
+        return isinstance(v, (int, float)) and v > 0
+
     comparable = [s for s in snaps if s["idle"] and s["sf"] == sf]
     normalized = current_canary is not None and any(
-        s.get("canary_sha") for s in comparable
+        _pos(s.get("canary_sha")) for s in comparable
     )
     if current_canary is not None and not normalized:
         return {}  # bootstrap: no sound baseline exists yet
     if normalized:
-        comparable = [s for s in comparable if s.get("canary_sha")]
+        comparable = [s for s in comparable if _pos(s.get("canary_sha"))]
 
     def _rescale(s: dict) -> float:
         """hist → today multiplier: max(sha ratio, noop ratio)."""
         r = current_canary / s["canary_sha"]
-        if current_noop and s.get("canary_noop"):
+        if current_noop and _pos(s.get("canary_noop")):
             r = max(r, current_noop / s["canary_noop"])
         return r
 
+    # one rescale per snapshot, not two per (query, snapshot)
+    rescale = (
+        {id(s): _rescale(s) for s in comparable} if normalized else {}
+    )
     flagged: dict[str, dict] = {}
     for q, sec in current.items():
         hist = [
             (
-                s["queries"][q] * (_rescale(s) if normalized else 1.0),
-                _rescale(s) if normalized else None,
+                s["queries"][q] * (rescale[id(s)] if normalized else 1.0),
+                rescale[id(s)] if normalized else None,
             )
             for s in comparable
             if q in s["queries"]

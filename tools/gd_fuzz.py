@@ -16,6 +16,21 @@ features, 1..6 rounds, magnitudes up to the 2^53/4 pre-flight
 envelope boundary (seeds that would breach it are regenerated — the
 guard itself has dedicated tests).
 
+RANGES (r13 verdict item 8 — campaigns use disjoint fresh
+intervals; every 4th seed runs the divergent out-of-envelope regime
+since r13 unless GD_FUZZ_DIVERGENT=0):
+
+  ======================  ==========================================
+  seed interval           campaign
+  ======================  ==========================================
+  [0, 204999]             r11–r12 envelope-only campaigns (~5,048)
+  [205000, 206199]        r13 on pre-sentinel code, 1,200 seeds
+  [206200, 207399]        r13 sentinel code + divergent regime, 1,200
+  [208000, 208002]        r13 judge spot-seeds
+  [220000, 220063]        r14 smoke on the tightened 2^53 - n bound
+  [221000, ...)           r14+: reserved next interval
+  ======================  ==========================================
+
 Usage: python tools/gd_fuzz.py [n_seeds] [seed0]
 """
 
@@ -74,7 +89,10 @@ def traj_in_envelope(X: np.ndarray, y: np.ndarray, rounds: int) -> bool:
         new_w = []
         for j in range(m):
             d = sum(int(X[i, j]) * rs[i] for i in range(n))
-            if abs(d) >= (1 << 53):
+            # grad bound mirrors the engine sentinel: 2^53 - n, since
+            # the /n fdiv numerator d - pm can exceed |d| by up to
+            # n - 1 for negative d (r13 ADVICE)
+            if abs(d) >= (1 << 53) - n:
                 return False
             new_w.append(W[j] - (d // n) // (1 << LR_SHIFT))
         W = new_w
@@ -84,8 +102,9 @@ def traj_in_envelope(X: np.ndarray, y: np.ndarray, rounds: int) -> bool:
 def ref_gd_poisoned(X: np.ndarray, y: np.ndarray, rounds: int):
     """Exact-python (arbitrary precision, no numpy wrap) GD twin with
     the production sentinel's poison semantics: from the first round
-    whose actual max|resid| or any |grad_j| reaches 2^53, every
-    emitted (w.., loss) is None and the carried weights freeze.
+    whose actual max|resid| reaches 2^53 or any |grad_j| reaches
+    2^53 - n, every emitted (w.., loss) is None and the carried
+    weights freeze.
     Returns (rows, breach_round_or_None, safe) where ``safe`` is True
     iff the Spark plan is guaranteed raise-free under ANSI: every
     exact pre-breach value stays < 2^59 and the breach-round garbage
@@ -111,7 +130,10 @@ def ref_gd_poisoned(X: np.ndarray, y: np.ndarray, rounds: int):
         ]
         loss = sum(abs(r) // (1 << W_SCALE) for r in resids)
         if breach is None and (
-            mr >= (1 << 53) or any(abs(g) >= (1 << 53) for g in grads)
+            # grad bound 2^53 - n mirrors the engine sentinel (r13
+            # ADVICE): the /n fdiv numerator can exceed |grad| by n-1
+            mr >= (1 << 53)
+            or any(abs(g) >= (1 << 53) - n for g in grads)
         ):
             breach = t
             # the only round computing garbage (weights freeze after)

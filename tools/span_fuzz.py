@@ -36,6 +36,25 @@ repeats (a gram matching at many positions in BOTH docs — the full
 position cross-product), documents shorter than k, empty documents,
 k in 4..10, max_df in 2..8, 2..12 documents.
 
+RANGES (r13 verdict item 8 — the per-range rotation convention,
+machine-checkable; new campaigns MUST start a fresh interval and add
+a row here):
+
+  ======================  =========  ==============================
+  seed interval           rotation   campaign
+  ======================  =========  ==============================
+  [200000, 204999]        % 2        r12: d22/d23 legs, 5,000 seeds
+  [210000, 215999]        % 3        r13: +d24 bipartite leg, 6,000
+  [216500, 216502]        % 3        r13 judge spot-seeds
+  [1000100, 1001299]      d25-only   r13: d25 leg, 1,200 seeds
+  [1002000, 1002002]      d25-only   r13 judge spot-seeds
+  [230000, ...)           % 3        r14+: reserved next interval
+  [1010000, ...)          d25-only   r14+: reserved next interval
+  ======================  =========  ==============================
+
+  (< 206000 is pre-r13 %2; [210000, 1e6) is %3; >= 1e6 is the d25
+  leg — the three regimes never share an interval.)
+
 Usage: python tools/span_fuzz.py [n_seeds] [seed0]
 """
 
