@@ -119,7 +119,20 @@ def _canary_spark_noop(spark, reps: int = 3) -> float:
     """JVM-side canary: 1M-row range scan + agg to the noop sink,
     min-of-reps seconds.  Captures Spark scheduling/codegen overhead
     under the current host state (context column; the sha256 canary
-    is the normalizer)."""
+    is the normalizer).
+
+    The first call runs as a DISCARDED warm-up (r13 verdict item 1):
+    on a cold JVM the very first noop job pays context/codegen
+    start-up (measured 1.14 s vs 0.24 s warm in the r13 snapshot),
+    and since flag_regressions normalizes by max(sha, noop) ratio, a
+    cold-JVM canary would make the whole run's baseline rescale
+    lenient — exactly the leniency that suppressed (correctly, but
+    for the wrong reason) the decontaminate near-flag in r13."""
+    _noop(
+        spark.range(0, 1_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s", "count(*) AS n"
+        )
+    )
     best = float("inf")
     for _ in range(reps):
         t0 = time.monotonic()
@@ -146,6 +159,15 @@ def main() -> None:
         "NEVER write BENCH_LOCAL.json — the committed full-suite "
         "snapshot is the only regression baseline.",
     )
+    ap.add_argument(
+        "--out",
+        metavar="FILE",
+        default=None,
+        help="also write the FULL payload (every query, not the "
+        "10-slowest stdout summary) to FILE — the adjudication "
+        "side-channel for subset runs, which never touch "
+        "BENCH_LOCAL.json",
+    )
     cli = ap.parse_args()
     only_re = re.compile(cli.only) if cli.only else None
     # Load stamp BEFORE the session starts: the 1-min average at this
@@ -154,6 +176,18 @@ def main() -> None:
     # numbers drift −17% while idle min-of-3 stayed flat.
     load_before = os.getloadavg()
     canary_sha = _canary_sha256()  # before the session: pure host CPU
+    # host scheduling-latency stamp (r14 adjudication): p90 of 1 ms
+    # sleep overshoot.  The host can enter a multi-ms-wakeup regime
+    # (p90 4.2 ms vs healthy ~0.1 ms) that inflates tiny-task Spark
+    # jobs 2-4x while sha256 and bulk scans stay flat — the exact
+    # signature behind the r13 "advisory flag" wash; recording it per
+    # run makes that state machine-checkable instead of forensic.
+    _over = []
+    for _ in range(200):
+        _t0 = time.monotonic()
+        time.sleep(0.001)
+        _over.append((time.monotonic() - _t0 - 0.001) * 1e6)
+    sched_latency_p90_us = round(sorted(_over)[180])
     spark = get_spark("bench")
     canary_noop = _canary_spark_noop(spark)
     print(
@@ -582,8 +616,12 @@ def main() -> None:
         regressions = _bh.flag_regressions(
             _hist, timings, sf=_sf(), current_canary=canary_sha,
             current_noop=canary_noop,
+            current_noop_protocol="warmed_min3",
         )
-        flagmeta = _bh.flag_meta(_hist, sf=_sf(), current_canary=canary_sha)
+        flagmeta = _bh.flag_meta(
+            _hist, sf=_sf(), current_canary=canary_sha,
+            current_noop_protocol="warmed_min3",
+        )
         if regressions:
             kind = "ADVISORY (non-idle/subset run)" if advisory_run else \
                 "REGRESSIONS"
@@ -638,6 +676,12 @@ def main() -> None:
             # JVM-overhead context column
             "canary_sha256_sec": canary_sha,
             "canary_spark_noop_sec": canary_noop,
+            # noop canary protocol (r13 verdict item 1): "warmed_min3"
+            # = one discarded warm-up call before min-of-3; absent =
+            # pre-r14 cold min-of-3 (the r13 snapshot's 1.14 s cold
+            # reading vs its 0.24 s warm floor is the difference)
+            "canary_noop_protocol": "warmed_min3",
+            "sched_latency_p90_us": sched_latency_p90_us,
             "regressions": hard_flags,
             "regressions_advisory": advisory_flags,
             "advisory_run": advisory_run,
@@ -652,6 +696,14 @@ def main() -> None:
     # there), and stdout ends with a compact (<2 KB) summary holding
     # the headline metric, machine-state stamps, and the 10 slowest
     # queries.
+    if cli.out:
+        # full payload to an explicit side file (adjudication runs —
+        # works for subsets, which have no other full-payload outlet)
+        try:
+            with open(cli.out, "w") as fh:
+                fh.write(payload + "\n")
+        except OSError:
+            pass
     if cli.only is None:
         # subset runs NEVER overwrite the committed full-suite
         # snapshot — it is the only sound regression baseline.  A

@@ -22,6 +22,7 @@ def _snap(commit, idle=True, sf=0.1, canary=None, noop=None, **queries):
     return {"commit": commit, "date": "2026-08-01T00:00:00+00:00",
             "idle": idle, "sf": sf, "reps": 3,
             "canary_sha": canary, "canary_noop": noop,
+            "noop_proto": "",
             "queries": {k: float(v) for k, v in queries.items()}}
 
 
@@ -253,3 +254,65 @@ def test_all_canaries_zero_is_bootstrap_quiet():
     assert (
         bh.flag_regressions(snaps, {"q1": 9.9}, current_canary=0.06) == {}
     )
+
+
+def _psnap(commit, proto="warmed_min3", **kw):
+    s = _snap(commit, **kw)
+    s["noop_proto"] = proto
+    return s
+
+
+def test_noop_protocol_supersession():
+    # r14: the r13 snapshot's COLD noop canary (1.14 s vs its ~0.24 s
+    # warm floor) under-rescaled its baselines on a latency-degraded
+    # day and fired 21 hard flags on unchanged code.  Once a snapshot
+    # with the current protocol exists, protocol-mismatched snapshots
+    # are never baselines.
+    snaps = [
+        _psnap("cold", proto="", canary=0.06, noop=1.14, q1=0.5),
+        _psnap("warm", canary=0.06, noop=0.9, q1=1.6),
+    ]
+    flagged = bh.flag_regressions(
+        snaps, {"q1": 1.7}, current_canary=0.06, current_noop=0.9,
+        current_noop_protocol="warmed_min3",
+    )
+    # vs the cold snapshot 1.7/0.5 = 3.4x would flag; vs the warmed
+    # baseline 1.7/1.6 = 1.06x must not
+    assert flagged == {}
+    # a real regression vs the warmed baseline still fires
+    assert "q1" in bh.flag_regressions(
+        snaps, {"q1": 2.9}, current_canary=0.06, current_noop=0.9,
+        current_noop_protocol="warmed_min3",
+    )
+
+
+def test_noop_protocol_bootstrap_quiet():
+    snaps = [_psnap("cold", proto="", canary=0.06, noop=1.14, q1=0.5)]
+    assert bh.flag_regressions(
+        snaps, {"q1": 9.9}, current_canary=0.06, current_noop=0.9,
+        current_noop_protocol="warmed_min3",
+    ) == {}
+    meta = bh.flag_meta(
+        snaps, current_canary=0.06, current_noop_protocol="warmed_min3"
+    )
+    assert meta["noop_protocol_bootstrap"] is True
+    assert meta["n_noop_protocol_snapshots"] == 0
+
+
+def test_no_protocol_param_keeps_legacy_behavior():
+    snaps = [_psnap("cold", proto="", canary=0.06, noop=0.24, q1=0.5)]
+    assert "q1" in bh.flag_regressions(
+        snaps, {"q1": 1.2}, current_canary=0.06, current_noop=0.24
+    )
+
+
+def test_csv_roundtrip_with_noop_proto(tmp_path):
+    p = str(tmp_path / "h.csv")
+    snaps = [
+        _psnap("a", canary=0.06, noop=0.9, q1=1.0),
+        _psnap("b", proto="", canary=0.06, noop=0.2, q1=1.1),
+    ]
+    bh.write_csv(snaps, p)
+    back = bh.read_csv(p)
+    assert [s["noop_proto"] for s in back] == ["warmed_min3", ""]
+    assert back[0]["queries"] == {"q1": 1.0}

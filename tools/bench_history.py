@@ -26,6 +26,18 @@ comparable snapshot exists, canary-less snapshots are NEVER baselines
 normalized flagging is impossible and the flag reports
 ``bootstrap: true`` with an empty set rather than 65 noise entries.
 
+Noop-protocol supersession (r14): the same bootstrap shape one level
+up.  bench.py's noop canary gained a discarded warm-up in r14
+(``canary_noop_protocol: "warmed_min3"``); a PRE-protocol snapshot's
+cold/contended noop reading can OVERSTATE its own host's JVM time —
+the r13 snapshot recorded 1.14 s against a ~0.24 s same-day warm
+floor, so on a day whose JVM-side latency was genuinely 3.7× worse
+its baselines rescaled by ~1× and 21 hard flags fired on unchanged
+code (the r14 adjudication, NEXT.md).  Rule: once any comparable
+snapshot carries the current noop protocol, protocol-mismatched
+snapshots are never baselines; until one exists, the flag reports a
+protocol bootstrap with an empty set.
+
 Usage:
     python tools/bench_history.py            # rebuild BENCH_HISTORY.csv
     python tools/bench_history.py --check    # rebuild + flag current
@@ -43,7 +55,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CSV_PATH = os.path.join(REPO, "BENCH_HISTORY.csv")
 FIELDS = ["commit", "date", "idle", "sf", "reps", "canary_sha",
-          "canary_noop", "query", "sec"]
+          "canary_noop", "noop_proto", "query", "sec"]
 
 
 def load_history(repo: str = REPO) -> list[dict]:
@@ -79,6 +91,7 @@ def load_history(repo: str = REPO) -> list[dict]:
             continue
         c_sha = payload.get("canary_sha256_sec")
         c_noop = payload.get("canary_spark_noop_sec")
+        noop_proto = payload.get("canary_noop_protocol") or ""
         snaps.append(
             {
                 "commit": sha,
@@ -88,6 +101,7 @@ def load_history(repo: str = REPO) -> list[dict]:
                 "reps": int(payload.get("reps", 1)),
                 "canary_sha": float(c_sha) if c_sha else None,
                 "canary_noop": float(c_noop) if c_noop else None,
+                "noop_proto": noop_proto,
                 "queries": {str(k): float(v) for k, v in queries.items()},
             }
         )
@@ -105,6 +119,7 @@ def write_csv(snaps: list[dict], path: str = CSV_PATH) -> None:
                      s["reps"],
                      "" if s.get("canary_sha") is None else s["canary_sha"],
                      "" if s.get("canary_noop") is None else s["canary_noop"],
+                     s.get("noop_proto") or "",
                      q, s["queries"][q]]
                 )
 
@@ -122,6 +137,7 @@ def read_csv(path: str = CSV_PATH) -> list[dict]:
                 # canary columns absent (pre-r12 CSV) or empty → None
                 c_sha = row.get("canary_sha") or None
                 c_noop = row.get("canary_noop") or None
+                noop_proto = row.get("noop_proto") or ""
                 s = {
                     "commit": row["commit"],
                     "date": row["date"],
@@ -130,6 +146,7 @@ def read_csv(path: str = CSV_PATH) -> list[dict]:
                     "reps": int(row["reps"]),
                     "canary_sha": float(c_sha) if c_sha else None,
                     "canary_noop": float(c_noop) if c_noop else None,
+                    "noop_proto": noop_proto,
                     "queries": {},
                 }
                 by_commit[row["commit"]] = s
@@ -146,6 +163,7 @@ def flag_regressions(
     window: int = 3,
     current_canary: float | None = None,
     current_noop: float | None = None,
+    current_noop_protocol: str | None = None,
 ) -> dict[str, dict]:
     """Queries in ``current`` slower than factor × the min of their
     last ``window`` comparable (idle, same-sf) snapshots.
@@ -186,6 +204,26 @@ def flag_regressions(
         return {}  # bootstrap: no sound baseline exists yet
     if normalized:
         comparable = [s for s in comparable if _pos(s.get("canary_sha"))]
+        # noop-protocol supersession (r14, the r13-item-1 adjudication
+        # finding): a snapshot whose noop canary was taken under a
+        # DIFFERENT protocol (pre-warm-up cold min-of-3) can carry a
+        # reading that mismeasures its own host's JVM speed — the r13
+        # snapshot's 1.14 s cold canary made its baselines rescale by
+        # ~1x on a day the host's JVM-latency was genuinely 3.7x
+        # worse, manufacturing 21 hard flags on unchanged code.  Same
+        # shape as the canary bootstrap rule one level up: once any
+        # comparable snapshot carries the CURRENT noop protocol,
+        # protocol-mismatched snapshots are never baselines; until
+        # one exists, normalized flagging is unsound and the flag
+        # reports empty (protocol bootstrap).
+        if current_noop_protocol:
+            protoed = [
+                s for s in comparable
+                if s.get("noop_proto") == current_noop_protocol
+            ]
+            if not protoed:
+                return {}  # noop-protocol bootstrap
+            comparable = protoed
 
     def _rescale(s: dict) -> float:
         """hist → today multiplier: max(sha ratio, noop ratio)."""
@@ -226,17 +264,28 @@ def flag_meta(
     snaps: list[dict],
     sf: float = 0.1,
     current_canary: float | None = None,
+    current_noop_protocol: str | None = None,
 ) -> dict:
     """Context for a flag_regressions result: was it normalized, and
     how many canary-bearing comparable snapshots back the baseline."""
     comparable = [s for s in snaps if s["idle"] and s["sf"] == sf]
     n_canary = sum(1 for s in comparable if s.get("canary_sha"))
-    return {
+    meta = {
         "normalized": current_canary is not None and n_canary > 0,
         "bootstrap": current_canary is not None and n_canary == 0,
         "n_canary_snapshots": n_canary,
         "n_comparable_snapshots": len(comparable),
     }
+    if current_noop_protocol:
+        n_proto = sum(
+            1 for s in comparable
+            if s.get("noop_proto") == current_noop_protocol
+        )
+        meta["n_noop_protocol_snapshots"] = n_proto
+        meta["noop_protocol_bootstrap"] = (
+            meta["normalized"] and n_proto == 0
+        )
+    return meta
 
 
 def main() -> int:
@@ -260,9 +309,13 @@ def main() -> int:
                                    sf=float(cur.get("sf", 0.1)),
                                    current_canary=canary,
                                    current_noop=cur.get(
-                                       "canary_spark_noop_sec"))
+                                       "canary_spark_noop_sec"),
+                                   current_noop_protocol=cur.get(
+                                       "canary_noop_protocol"))
         meta = flag_meta(hist, sf=float(cur.get("sf", 0.1)),
-                         current_canary=canary)
+                         current_canary=canary,
+                         current_noop_protocol=cur.get(
+                             "canary_noop_protocol"))
         print(json.dumps({"regressions": flagged, "meta": meta}, indent=2))
         return 1 if flagged else 0
     return 0

@@ -25,6 +25,8 @@ array per row — was unmeasured.  This tool:
 4. prints one JSON line per run for the SCALE.md ledger.
 
 Usage: python tools/hugedoc_scale.py [sizes_mb="4,8,16,24"]
+       python tools/hugedoc_scale.py --d25 [sizes_mb]   # d25 leg
+                                                         (r13 item 3)
 """
 
 from __future__ import annotations
@@ -95,6 +97,80 @@ def build_corpus(spark, sizes_mb: list[int]) -> str:
     return out
 
 
+def build_corpus_d25(spark, sizes_mb: list[int]) -> str:
+    """d25 mixture (r13 verdict item 3): the d22 corpus's huge
+    unique-text docs PLUS the two within-document repetition shapes
+    the self-repeat operator must survive at huge-doc scale:
+
+    - 900000101 — ~8 MB of ONE ~1 KB block repeated ~8000x: every
+      gram occurs ~8000 times, far above max_occ=8, so the occurrence
+      cap must drop them all (score 0) INSTEAD of generating the
+      ~8000^2/2 within-doc pair explosion — the cap's stress case;
+    - 900000102 — ~4 MB of 500 distinct ~4 KB blocks, each appearing
+      exactly twice in shuffled order: occurrences of 2 sit inside
+      the cap, so essentially every char is self-duplicated
+      (permille ≈ 1000) with bounded pair volume.
+    """
+    import hashlib
+    import random as _random
+
+    out = os.path.join(CORPUS_DIR + "_d25", "documents.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    from tabular_to_parquet_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE, "documents").select("doc_id", "text")
+    parts = [base]
+    for i, mb in enumerate(sizes_mb):
+        n_chunks = (mb * 1_000_000) // 65
+        huge = (
+            spark.range(n_chunks)
+            .select(
+                F.lit(900_000_001 + i).alias("doc_id"),
+                F.struct(
+                    F.col("id"),
+                    F.sha2(
+                        F.concat(F.lit(f"hd{i}_"),
+                                 F.col("id").cast("string")),
+                        256,
+                    ).alias("c"),
+                ).alias("s"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list("s")),
+                        lambda s: s["c"],
+                    ),
+                ).alias("text")
+            )
+        )
+        parts.append(huge)
+
+    def blk(tag: str, n: int) -> str:
+        h = [hashlib.md5(f"{tag}{j}".encode()).hexdigest() for j in range(n)]
+        return " ".join(h)  # n * 33 - 1 chars
+
+    tandem = (blk("cap", 31) + " ") * 8000  # ~1 KB block x 8000 = ~8.2 MB
+    blocks = [blk(f"dup{b}_", 124) for b in range(500)]  # ~4 KB each
+    order = blocks * 2
+    _random.Random(42).shuffle(order)
+    moderate = " ".join(order)  # ~4 MB, every block exactly twice
+    parts.append(
+        spark.createDataFrame(
+            [(900_000_101, tandem), (900_000_102, moderate)],
+            "doc_id long, text string",
+        )
+    )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
 def measured(label: str, fn, spark=None, timeout_sec: int | None = None):
     """Run fn, sampling peak tree RSS at 0.25 s (cli_soak methodology
     applied to the CURRENT process tree — local mode: python driver +
@@ -148,7 +224,79 @@ def measured(label: str, fn, spark=None, timeout_sec: int | None = None):
     return result, err
 
 
+def main_d25(sizes: list[int]) -> int:
+    """d25 huge-doc leg (r13 verdict item 3): self_repeated_char_
+    fraction over the mixture with the two repetition stress docs;
+    chunk_chars=4096 is the measured production knob, a 16384 leg
+    checks value-invariance across chunk sizes at the tail (the
+    unchunked quadratic is already §20-established on d22 — same
+    window generator — so no canceled leg is repeated here)."""
+    from tabular_to_parquet_spark.operators.dedup import (
+        self_repeated_char_fraction,
+    )
+    from tabular_to_parquet_spark.session import get_spark
+
+    spark = get_spark(
+        "hugedoc-scale-d25",
+        extra_conf=(
+            {"spark.ui.enabled": "true"}
+            if os.environ.get("HUGEDOC_UI") == "1"
+            else None
+        ),
+    )
+    path = build_corpus_d25(spark, sizes)
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+    n_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+    print(f"[hugedoc-d25] corpus: {n_docs} docs, {n_chars / 1e6:.0f} M "
+          f"chars (huge sizes {sizes} MB + 8MB tandem + 4MB dup-blocks)",
+          file=sys.stderr)
+
+    results = {}
+    for label, chunk in (("d25_chunked_4k", 4096),
+                         ("d25_chunked_16k", 16384)):
+        rows, err = measured(
+            label,
+            lambda c=chunk: sorted(
+                (r["doc_id"], r["n_chars"], r["self_dup_chars"],
+                 r["self_dup_permille"])
+                for r in self_repeated_char_fraction(
+                    docs, k=24, max_occ=8, chunk_chars=c
+                ).collect()
+            ),
+            spark=spark,
+            timeout_sec=int(os.environ.get("HUGEDOC_TIMEOUT", "1500")),
+        )
+        if err is None:
+            results[label] = rows
+    if len(results) == 2:
+        a, b = results.values()
+        rows = next(iter(results.values()))
+        by_id = {r[0]: r for r in rows}
+        checks = {
+            "value_invariant": a == b,
+            "n_docs": len(rows),
+            # the cap stress doc must score 0 (all grams above max_occ)
+            "tandem_doc": by_id.get(900_000_101),
+            # the in-cap doc must be essentially fully self-duplicated
+            "dup_blocks_doc": by_id.get(900_000_102),
+        }
+        print(json.dumps(checks), flush=True)
+        ok = (
+            a == b
+            and by_id[900_000_101][3] == 0
+            and by_id[900_000_102][3] >= 990
+        )
+        return 0 if ok else 1
+    return 0
+
+
 def main() -> int:
+    if "--d25" in sys.argv:
+        sys.argv.remove("--d25")
+        sizes = [int(s) for s in (sys.argv[1] if len(sys.argv) > 1
+                                  else "4,8,16,24").split(",")]
+        return main_d25(sizes)
     sizes = [int(s) for s in (sys.argv[1] if len(sys.argv) > 1
                               else "4,8,16,24").split(",")]
     from tabular_to_parquet_spark.operators.dedup import (
@@ -156,7 +304,17 @@ def main() -> int:
     )
     from tabular_to_parquet_spark.session import get_spark
 
-    spark = get_spark("hugedoc-scale")
+    # HUGEDOC_UI=1 turns the Spark UI on (port 4040) for the stall
+    # investigation (r13 NEXT queue): stage/task state and GC time
+    # are visible while a leg runs
+    spark = get_spark(
+        "hugedoc-scale",
+        extra_conf=(
+            {"spark.ui.enabled": "true"}
+            if os.environ.get("HUGEDOC_UI") == "1"
+            else None
+        ),
+    )
     path = build_corpus(spark, sizes)
     docs = spark.read.parquet(path)
     n_docs = docs.count()
