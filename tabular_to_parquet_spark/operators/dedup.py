@@ -1241,6 +1241,42 @@ def _char_windows_chunked(
     )
 
 
+def _df_capped_windows(
+    wins: DataFrame,
+    min_df: int,
+    max_df: int,
+) -> DataFrame:
+    """(doc, pos, g) windows whose gram occurs in ``[min_df, max_df]``
+    DISTINCT docs — the df-cap computed as two window functions over
+    ONE hash exchange on ``g`` instead of a separate
+    ``groupBy(g).agg(countDistinct(doc))`` + join back (r14
+    optimization, guide §2.4): the old shape recomputed the whole
+    window scan once for the aggregate and once per join side (the
+    d22 static plan scanned the corpus 16×), and paid two aggregate
+    exchanges on top of the join's.  Here the scan runs ONCE into a
+    single Exchange(g); within each g-partition a ``lag(doc)`` over
+    (g, doc) order marks each doc's first occurrence and a
+    full-frame sum counts distinct docs — both windows share the one
+    sort, and WindowExec's buffer SPILLS to disk, so a stop-phrase
+    gram (millions of docs before the cap drops it) degrades to disk
+    instead of OOM — the same bound the old join probe side had.
+    Output multiset is IDENTICAL to the agg+join form (the filter is
+    on the same per-gram distinct-doc count)."""
+    from pyspark.sql import Window as W
+
+    wgo = W.partitionBy("g").orderBy("doc")
+    prev = F.lag("doc").over(wgo)
+    marked = wins.withColumn(
+        "_new", F.when(prev.isNull() | (prev != F.col("doc")), 1).otherwise(0)
+    )
+    nd = F.sum("_new").over(W.partitionBy("g"))
+    return (
+        marked.withColumn("_nd", nd)
+        .filter((F.col("_nd") >= min_df) & (F.col("_nd") <= max_df))
+        .select("doc", "pos", "g")
+    )
+
+
 def _substring_seed_hits(
     df: DataFrame,
     text_col: str = "text",
@@ -1263,19 +1299,19 @@ def _substring_seed_hits(
     quadratic in document length (a 24 MB document alone is ~3e14
     byte-steps; the 4096-chunk scan does the same corpus in tens of
     seconds).  For benchmark-shaped corpora (KB documents) leave it
-    None: the extra exchange is pure overhead."""
+    None: the extra exchange is pure overhead.
+
+    Plan shape (r14): the window scan runs ONCE into one Exchange(g)
+    (:func:`_df_capped_windows`); the pair self-join is a sort-merge
+    join whose two sides re-read that exchange (ReusedExchange under
+    AQE), sorted (g, doc) once — no broadcast of a corpus-sized side,
+    no recomputation of the scan per branch."""
     wins = (
         _char_windows_chunked(df, text_col, id_col, k, chunk_chars)
         if chunk_chars
         else _char_windows(df, text_col, id_col, k)
     )
-    seeds = (
-        wins.groupBy("g")
-        .agg(F.countDistinct("doc").alias("ndocs"))
-        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df))
-        .select("g")
-    )
-    anchored = wins.join(seeds, "g")
+    anchored = _df_capped_windows(wins, 2, max_df)
     x, y = anchored.alias("x"), anchored.alias("y")
     return x.join(
         y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc") < F.col("y.doc"))
@@ -1342,16 +1378,20 @@ def substring_duplicate_spans(
     isl = hits.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
     )
+    # per-island span AND hit count in one agg (in place — the island
+    # keys extend the window's partition keys, no exchange), then one
+    # per-pair agg: every hit row belongs to exactly one island, so
+    # sum(island sizes) IS count(hits) — the r14 single-branch shape
+    # that replaces the old second full recomputation of the seed-hit
+    # pipeline for n_seed_hits plus the lcs⋈nhits join (guide §2.4)
     spans = isl.groupBy("doc_a", "doc_b", "off", "grp").agg(
-        (F.max("pa") - F.min("pa") + F.lit(k)).alias("span")
+        (F.max("pa") - F.min("pa") + F.lit(k)).alias("span"),
+        F.count(F.lit(1)).alias("n_in_island"),
     )
-    lcs = spans.groupBy("doc_a", "doc_b").agg(
-        F.max("span").cast("long").alias("lcs_len")
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.max("span").cast("long").alias("lcs_len"),
+        F.sum("n_in_island").cast("long").alias("n_seed_hits"),
     )
-    nhits = hits.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_seed_hits")
-    )
-    return lcs.join(nhits, ["doc_a", "doc_b"])
 
 
 def _merged_interval_chars(iv: DataFrame) -> DataFrame:
@@ -1433,17 +1473,26 @@ def duplicated_char_fraction(
         F.min("pa").alias("sa"),
         (F.max("pa") + F.lit(k - 1)).alias("ea"),
     )
+    # both sides' intervals from ONE explode instead of a unionAll of
+    # two projections — the union's branches each re-executed the
+    # whole hits→islands subtree (r14, guide §2.4); row multiset is
+    # identical (side A: [sa, ea]; side B shifted by -off)
     iv = sp.select(
-        F.col("doc_a").alias("doc"),
-        F.col("sa").alias("s"),
-        F.col("ea").alias("e"),
-    ).unionAll(
-        sp.select(
-            F.col("doc_b").alias("doc"),
-            (F.col("sa") - F.col("off")).alias("s"),
-            (F.col("ea") - F.col("off")).alias("e"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc"),
+                    F.col("sa").alias("s"),
+                    F.col("ea").alias("e"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc"),
+                    (F.col("sa") - F.col("off")).alias("s"),
+                    (F.col("ea") - F.col("off")).alias("e"),
+                ),
+            )
+        ).alias("_iv")
+    ).select("_iv.doc", "_iv.s", "_iv.e")
     dup = _merged_interval_chars(iv)
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1513,13 +1562,19 @@ def self_repeated_char_fraction(
         if chunk_chars
         else _char_windows(df, text_col, id_col, k)
     )
-    capped = (
-        wnd.groupBy("doc", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # occurrence cap as ONE window count over a single Exchange(doc, g)
+    # instead of groupBy+join-back (r14, guide §2.4 — the old shape
+    # recomputed the window scan once for the cap aggregate and once
+    # per self-join side); the multiset surviving the filter is
+    # identical, and the self-join's sort-merge sides re-read the same
+    # exchange (ReusedExchange under AQE)
+    occ = (
+        wnd.withColumn(
+            "cnt", F.count(F.lit(1)).over(W.partitionBy("doc", "g"))
+        )
         .filter((F.col("cnt") >= 2) & (F.col("cnt") <= max_occ))
-        .select("doc", "g")
+        .select("doc", "g", "pos")
     )
-    occ = wnd.join(capped, ["doc", "g"])
     pairs = (
         occ.select("doc", "g", F.col("pos").alias("pa"))
         .join(
@@ -1535,15 +1590,20 @@ def self_repeated_char_fraction(
         F.min("pa").alias("sa"),
         (F.max("pa") + F.lit(k - 1)).alias("ea"),
     )
+    # both copies' intervals from ONE explode (not unionAll — see
+    # duplicated_char_fraction; identical row multiset, single branch)
     iv = sp.select(
-        "doc", F.col("sa").alias("s"), F.col("ea").alias("e")
-    ).unionAll(
-        sp.select(
-            "doc",
-            (F.col("sa") + F.col("off")).alias("s"),
-            (F.col("ea") + F.col("off")).alias("e"),
-        )
-    )
+        "doc",
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("s"), F.col("ea").alias("e")),
+                F.struct(
+                    (F.col("sa") + F.col("off")).alias("s"),
+                    (F.col("ea") + F.col("off")).alias("e"),
+                ),
+            )
+        ).alias("_iv"),
+    ).select("doc", "_iv.s", "_iv.e")
     dup = _merged_interval_chars(iv)
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1604,14 +1664,13 @@ def substring_decontaminate(
         else _char_windows(corpus, text_col, id_col, k)
     )
     ew = _char_windows(eval_df, text_col, id_col, k)  # eval: small by contract
-    capped = (
-        cw.groupBy("g")
-        .agg(F.countDistinct("doc").alias("ndocs"))
-        .filter(F.col("ndocs") <= max_df)
-        .select("g")
-    )
+    # corpus-side df-cap as window functions over ONE Exchange(g)
+    # (:func:`_df_capped_windows` with min_df=1 — the ndocs >= 1 arm is
+    # vacuous) instead of groupBy+join-back, which recomputed the
+    # corpus window scan twice (r14, guide §2.4); the broadcast of the
+    # (uncapped, benchmark-sized) eval windows is unchanged
     hits = (
-        cw.join(capped, "g")
+        _df_capped_windows(cw, 1, max_df)
         .join(
             F.broadcast(
                 ew.select(

@@ -486,16 +486,23 @@ def bpe_learn_merges(
     ``marker`` must not occur in the normalized text (audited cheaply
     by callers; '@@' is the wordpiece convention)."""
     work = df.select(normalized_text(F.col(text_col)).alias("t"))
+    # token array materialized ONCE per row; the old form embedded
+    # split(t, ' ') inside the transform LAMBDA, where higher-order
+    # functions re-evaluate the body per element — two full re-splits
+    # of the document per pair position, O(tokens · len) per row per
+    # round (the word_ngrams O(n²) trap; guide §1.2 "per-task work").
+    # zip_with over two slices of the one materialized array emits the
+    # identical pair strings (concat(tok_i, ' ', tok_i+1)).
     pairs_expr = (
-        "CASE WHEN size(split(t, ' ')) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(split(t, ' ')) - 1), "
-        "i -> concat(element_at(split(t, ' '), i), ' ', "
-        "element_at(split(t, ' '), i + 1))) END"
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) END"
     )
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
         counts = (
-            work.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+            work.select(F.split("t", " ").alias("toks"))
+            .select(F.explode(F.expr(pairs_expr)).alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )

@@ -1446,30 +1446,19 @@ iv AS (
   UNION ALL
   SELECT doc_b AS doc, sa - off AS s, ea - off AS e FROM sp
 ),
-flagged AS (
-  SELECT doc, s, e,
-         CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS fl
-  FROM (
-    SELECT doc, s, e,
-           max(e) OVER (PARTITION BY doc ORDER BY s, e
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING) AS pe
-    FROM iv
-  )
-),
-grouped AS (
-  SELECT doc, s, e,
-         sum(fl) OVER (PARTITION BY doc ORDER BY s, e
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS mg
-  FROM flagged
-),
-runs AS (
-  SELECT doc, mg, min(s) AS rs, max(e) AS re FROM grouped GROUP BY doc, mg
-),
+-- |union of intervals| as COUNT(DISTINCT covered position): identical
+-- to the running-max merge by definition, with NO window function.
+-- The old windowed merge (max(e) OVER ... ROWS ... 1 PRECEDING) was
+-- intermittently computed WRONG by DuckDB 1.0.0's parallel window
+-- operator when fed by this pipelined UNION (r14 finding: ~1/3 of
+-- multithreaded runs over-counted a duplicated interval; SET
+-- threads=1 was 100% stable, engine values unchanged throughout —
+-- the flake was purely oracle-side).  Bounded: positions <= corpus
+-- chars, and the oracle only runs at correctness-check SFs.
 dup AS (
-  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS dup_chars
-  FROM runs GROUP BY doc
+  SELECT doc, CAST(count(DISTINCT t.p) AS BIGINT) AS dup_chars
+  FROM iv, unnest(range(iv.s, iv.e + 1)) AS t(p)
+  GROUP BY doc
 )
 SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
@@ -1595,30 +1584,14 @@ iv AS (
   UNION ALL
   SELECT doc, sa + off AS s, ea + off AS e FROM sp
 ),
-flagged AS (
-  SELECT doc, s, e,
-         CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS fl
-  FROM (
-    SELECT doc, s, e,
-           max(e) OVER (PARTITION BY doc ORDER BY s, e
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING) AS pe
-    FROM iv
-  )
-),
-grouped AS (
-  SELECT doc, s, e,
-         sum(fl) OVER (PARTITION BY doc ORDER BY s, e
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS mg
-  FROM flagged
-),
-runs AS (
-  SELECT doc, mg, min(s) AS rs, max(e) AS re FROM grouped GROUP BY doc, mg
-),
+-- window-free interval-union mass (count of distinct covered
+-- positions) — same values as the old running-max merge, immune to
+-- the DuckDB 1.0.0 parallel-window flake found on the d23 twin of
+-- this block (r14; see _d23_oracle)
 dup AS (
-  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS self_dup_chars
-  FROM runs GROUP BY doc
+  SELECT doc, CAST(count(DISTINCT t.p) AS BIGINT) AS self_dup_chars
+  FROM iv, unnest(range(iv.s, iv.e + 1)) AS t(p)
+  GROUP BY doc
 )
 SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
