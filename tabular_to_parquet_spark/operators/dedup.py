@@ -714,7 +714,13 @@ def semantic_dup_pairs(
         cols.append(
             F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("nrm")
         )
-    docs = df.select(*cols)
+    # one explicit hash exchange on the join key so the pair self-join
+    # reads ONE materialized shuffle stage from both sides
+    # (ReusedExchange under AQE) instead of evaluating the 16-anchor
+    # cell projection + norm fold once per side (r14, guide §2.4); the
+    # old plan's small-side alternative was broadcasting a CORPUS-sized
+    # side, which cannot survive 100 TB
+    docs = df.select(*cols).repartition("cell")
     a, b = docs.alias("a"), docs.alias("b")
     if fast:
         # Arrow-vectorized numpy scorer: the 100 TB path (last-ulp sum

@@ -165,11 +165,17 @@ def kcore(edges: DataFrame, k: int = 3, max_iters: int = 40) -> DataFrame:
     e = edges.select("src", "dst").localCheckpoint()
     prev = -1
     for _ in range(max_iters):
+        # checkpoint the (small) survivor set once per round: the lazy
+        # form recomputed this degree aggregation three times per round
+        # (the convergence count plus both semi-join sides) — r14,
+        # guide §1.2 "don't compute things you throw away"; the count
+        # over the checkpointed frame is then nearly free
         core = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("src")
+            .localCheckpoint()
         )
         n = core.count()
         if n == prev:
@@ -234,9 +240,13 @@ def bfs_hops(edges: DataFrame, seed: int | None = None, max_hops: int = 12) -> D
         )
         if nxt.count() == 0:
             break
+        # no checkpoint on dist: it is a union of already-checkpointed
+        # per-level frontiers (depth <= max_hops, each node
+        # materialized), so re-checkpointing it only added one extra
+        # materialization job per level (r14; results identical)
         dist = dist.union(
             nxt.select("node", F.lit(h).cast("long").alias("hop"))
-        ).localCheckpoint()
+        )
         frontier = nxt.select("node")
     return dist
 

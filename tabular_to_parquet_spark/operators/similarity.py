@@ -569,7 +569,15 @@ def knn_graph(
     trade; raise cells' probe overlap or re-rank offline where that
     matters). At 100 TB use ``vectorized=True`` + ``suggest_cells`` so
     cells stay executor-sized."""
-    c = ivf_corpus_frame(df, vec_col, id_col, anchors, vectorized=vectorized)
+    # one explicit hash exchange on the cell id: both self-join sides
+    # read the SAME materialized shuffle stage (ReusedExchange under
+    # AQE), so the 16-anchor cell assignment + norm fold are evaluated
+    # once instead of once per side (r14, guide §2.4) — and at corpus
+    # scale the alternative the planner picked from tiny-SF stats was
+    # broadcasting a corpus-sized side, which cannot survive 100 TB
+    c = ivf_corpus_frame(
+        df, vec_col, id_col, anchors, vectorized=vectorized
+    ).repartition("cell")
     a = c.select(
         F.col("neighbor_id").alias("src_id"),
         F.col("cv").alias("av"),
@@ -1338,6 +1346,14 @@ def pq_dedup_cascade(
             dim=dim,
         )
     tables = pq_sdc_tables(subspaces, codes, dim)
+    # NOTE (r14): a shared .repartition("_cell") exchange (the s06 /
+    # d09 fix) was tried here and REVERTED: with the oracle's fixed 16
+    # cells it caps the pair-scoring stage at 16 tasks (measured 7.2 →
+    # 12.5 s at sf0.1), while the planner's broadcast keeps scoring on
+    # the scan's full parallelism.  The double PQ-coding this leaves is
+    # an oracle-form artifact only — the 100 TB path is fast=True with
+    # suggest_cells-scaled anchors, where the cell count (not 16)
+    # provides the parallelism and no side can be broadcast anyway.
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = a.join(
         b,
