@@ -281,6 +281,11 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col),
         F.col("_pos"),
         md5_i64(F.expr(f"substring(_norm, _pos, {WINNOW_K})")).alias("_h"),
+        # the last full-window start is known from the document length
+        # (explode emits the complete 1..len-k+1 sequence), so carrying
+        # it as a projection replaces a second full-frame MAX window
+        # over every per-doc partition (r14; value-identical)
+        (F.length("_norm") - (WINNOW_K - 1)).cast("int").alias("_max_pos"),
     )
     w = (
         W.partitionBy(id_col)
@@ -291,7 +296,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col),
         F.min("_h").over(w).alias("fingerprint"),
         F.col("_pos"),
-        F.max("_pos").over(W.partitionBy(id_col)).alias("_max_pos"),
+        F.col("_max_pos"),
     )
     # keep full windows only: positions past (n_grams - w + 1) would
     # emit partial-window minima

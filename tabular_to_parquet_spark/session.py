@@ -116,6 +116,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # deployment-specific conf without code edits (r14): e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false,
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes=256m" — the knob
+    # a cluster submit script owns; local defaults stay untouched so
+    # bench runs remain comparable across rounds
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(","))):
+        k, _, v = item.partition("=")
+        if k and v:
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
