@@ -328,7 +328,13 @@ def banding_calibration(
         "id_b",
         (F.col("est_jaccard") * MINHASH_K).cast("long").alias("_matches"),
     )
-    sh = corpus.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    # one hash exchange on doc_id so BOTH verify-join sides read the
+    # same materialized shuffle stage (ReusedExchange under AQE)
+    # instead of re-deriving the planted corpus + shingle projection
+    # once per side (r14, guide §2.4 — the d22/s06 discipline)
+    sh = corpus.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    ).repartition("doc_id")
     truth = corpus.filter(F.col("doc_id") < 0).select(
         F.col("doc_id").alias("id_a"),
         F.expr("(-doc_id) div 1000").cast("long").alias("id_b"),
