@@ -48,8 +48,12 @@ a row here):
   [216500, 216502]        % 3        r13 judge spot-seeds
   [1000100, 1001299]      d25-only   r13: d25 leg, 1,200 seeds
   [1002000, 1002002]      d25-only   r13 judge spot-seeds
-  [230000, ...)           % 3        r14+: reserved next interval
-  [1010000, ...)          d25-only   r14+: reserved next interval
+  [230000, 230299]        % 3        r14: post-restructure (one-pass
+                                     df-cap windows, single-branch
+                                     aggs), 300 seeds clean
+  [1010000, 1010099]      d25-only   r14: post-restructure, 100 clean
+  [231000, ...)           % 3        r15+: reserved next interval
+  [1011000, ...)          d25-only   r15+: reserved next interval
   ======================  =========  ==============================
 
   (< 206000 is pre-r13 %2; [210000, 1e6) is %3; >= 1e6 is the d25
