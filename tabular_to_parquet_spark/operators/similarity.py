@@ -94,12 +94,33 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def shared_corpus_frame(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Corpus ``(neighbor_id, cv, cn)`` projection materialized behind
+    ONE hash exchange on the id — the frame an audit shares across an
+    exact and an ANN leg (s07): pass it as ``corpus=`` to BOTH
+    :func:`knn_bruteforce` and :func:`knn_ivf` and the two legs read
+    the SAME shuffle stage (ReusedExchange under AQE), so the corpus
+    scan + norm fold run once instead of once per leg (r15, guide
+    §2.4).  Keyed on the high-cardinality id — NOT the IVF cell — so
+    post-shuffle parallelism is never capped by the anchor count (the
+    d20 lesson); the IVF cell assignment is computed ABOVE the
+    exchange by the consumer that needs it."""
+    return df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col))).alias("cn"),
+    ).repartition("neighbor_id")
+
+
 def knn_bruteforce(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -107,13 +128,19 @@ def knn_bruteforce(
     corpus scan never shuffles; the only shuffle is the windowed
     top-k on query_id — bounded by |Q|·|C| rows pre-filtered to
     k per query by the rank.
+
+    ``corpus`` (optional) is a pre-built :func:`shared_corpus_frame`;
+    callers that also run an ANN leg over the same vectors (s07) pass
+    the same frame to both so the projection is evaluated once.  The
+    scoring expressions are identical either way — results are
+    bit-identical (test-pinned).
     """
     nrm = lambda col: F.sqrt(dot_product(F.col(col), F.col(col)))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         nrm(vec_col).alias("qn"),
     )
-    c = df.select(
+    c = corpus if corpus is not None else df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         nrm(vec_col).alias("cn"),
     )
@@ -344,10 +371,17 @@ def knn_ivf(
     anchors: list[list[float]] | None = None,
     probes: int = IVF_PROBES,
     vectorized: bool = False,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is bucketed by nearest
     anchor (one projection); each query probes its IVF_PROBES best
     cells; candidates = equi-join on the cell id.
+
+    ``corpus`` (optional) is a pre-built :func:`shared_corpus_frame`
+    over the same vectors; the cell assignment (with THIS call's
+    ``anchors``) is added above its exchange, so an audit running an
+    exact leg next to this one (s07) evaluates the corpus projection
+    once.  Results are bit-identical either way (test-pinned).
 
     ``anchors`` defaults to the md5-derived set (oracle-reproducible);
     pass :func:`kmeans_anchors` output for trained centroids — the
@@ -366,9 +400,22 @@ def knn_ivf(
     vectors IVF is already 2.3x faster (10.2 s vs 4.5 s warm), and
     the gap widens linearly in |C| from there.
     """
+    if corpus is not None:
+        cell_fn = ivf_cell_vectorized if vectorized else ivf_cell
+        # coalesce makes the join key provably NON-nullable (the cell
+        # expression never actually yields null — element_at over a
+        # 16-element literal array), so the probe join's implied
+        # isnotnull(cell) folds away instead of being pushed below the
+        # shared exchange into the scan — which would make the two
+        # legs' exchange subtrees differ and defeat ReusedExchange
+        # (observed on the first s07 restructure attempt, r15)
+        cframe = corpus.withColumn(
+            "cell", F.coalesce(cell_fn(F.col("cv"), anchors), F.lit(0))
+        )
+    else:
+        cframe = ivf_corpus_frame(df, vec_col, id_col, anchors, vectorized=vectorized)
     return _ivf_probe_join(
-        ivf_corpus_frame(df, vec_col, id_col, anchors, vectorized=vectorized),
-        queries, k, vec_col, id_col, anchors, probes=probes,
+        cframe, queries, k, vec_col, id_col, anchors, probes=probes,
     )
 
 

@@ -7125,28 +7125,38 @@ def _q_ann_recall_audit(spark, sf_dir):
     recall row. Plan: both sides are the certified s01/s03 plans; the
     audit adds one (query_id, neighbor_id) equi-join and a bounded
     per-query agg — at 100 TB both inputs are top-k frames, k·|queries|
-    rows, never corpus-sized."""
+    rows, never corpus-sized.
+
+    r15 (guide §2.4): both legs consume ONE
+    :func:`similarity.shared_corpus_frame` exchange (ReusedExchange
+    under AQE) so the corpus scan + norm fold run once instead of once
+    per leg, and the audit is a single pass — bt LEFT JOIN iv marks
+    hits, one groupBy emits (n_true, n_hits) together.  Equivalent to
+    the old base⋈hits form because iv has no duplicate (query_id,
+    neighbor_id) pairs (each corpus vector lives in exactly one cell)
+    and every hits key is a base key (hits ⊆ iv⋈bt ⊆ bt) —
+    parity-checked exact against the unchanged oracle."""
     emb = _emb(spark, sf_dir)
     q = _queries_frame(emb)
-    bt = similarity.knn_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
-    iv = similarity.knn_ivf(emb, q, k=5).select("query_id", "neighbor_id")
-    hits = (
-        iv.join(bt, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    shared = similarity.shared_corpus_frame(emb)
+    bt = similarity.knn_bruteforce(emb, q, k=5, corpus=shared).select(
+        "query_id", "neighbor_id"
     )
-    base = bt.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    return (
-        base.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_true",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / F.col("n_true")
-            ).alias("recall"),
-        )
+    iv = similarity.knn_ivf(emb, q, k=5, corpus=shared).select(
+        "query_id", "neighbor_id"
+    )
+    marked = bt.join(
+        iv.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    agg = marked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        "query_id",
+        "n_true",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall"),
     )
 
 
