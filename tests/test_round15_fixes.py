@@ -42,6 +42,37 @@ def test_knn_ivf_corpus_param_bit_identical(embeddings, queries):
     assert _rows(base) == _rows(via)
 
 
+def test_bench_stamps_effective_cpus_and_runs_scale_probe():
+    # r14 verdict item 2: the payload must stamp the core count
+    # get_spark actually used (SPARK_GRAFT_CPUS), not os.cpu_count() —
+    # the driver's 8-core run printing "cpus": 32 is what voided its
+    # scaling comparison — and the scaling probe entry must run and be
+    # force-included in the stdout summary at any rank
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"),
+         "--only", "^(dedup_exact|scaleprobe_minhash_sig_32x)$"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["cpus"] == 4
+    assert payload["cpus_host"] == os.cpu_count()
+    assert payload["queries"]["scaleprobe_minhash_sig_32x"] > 0
+    assert payload["queries"]["dedup_exact"] > 0
+
+
 def test_s07_shared_corpus_exchange_reused_at_runtime(spark):
     # executed-plan pin for the r15 s07 restructure: ONE corpus-frame
     # exchange feeds both the exact and the ANN leg (ReusedExchange),
