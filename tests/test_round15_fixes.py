@@ -42,6 +42,27 @@ def test_knn_ivf_corpus_param_bit_identical(embeddings, queries):
     assert _rows(base) == _rows(via)
 
 
+def test_oracle_rewrite_requeues_query_at_sweep_head():
+    # r14 verdict item 3: d23/d25's oracles were rewritten window-free
+    # in r14; their pre-rewrite green rows (r12/r13) must not count as
+    # passes, so both re-queue at the sweep head until a driver row
+    # lands on the new oracle SQL
+    import __spark_entry__ as entry_mod
+
+    assert entry_mod._ORACLE_REWRITTEN_AT == {
+        "d23_dup_char_fraction": 14,
+        "d25_self_repeat_fraction": 14,
+    }
+    # no post-rewrite driver row exists yet -> treated as never-passed
+    assert "d23_dup_char_fraction" not in entry_mod._LAST_PASS
+    assert "d25_self_repeat_fraction" not in entry_mod._LAST_PASS
+    ordered = [n for n, _ in entry_mod._catalog_ordered()]
+    assert ordered.index("d23_dup_char_fraction") < 50
+    assert ordered.index("d25_self_repeat_fraction") < 50
+    # once a round >= 14 row lands, the requeue self-retires: the rule
+    # compares the row's round against the rewrite round, nothing else
+
+
 def test_bench_stamps_effective_cpus_and_runs_scale_probe():
     # r14 verdict item 2: the payload must stamp the core count
     # get_spark actually used (SPARK_GRAFT_CPUS), not os.cpu_count() —
