@@ -42,6 +42,61 @@ def test_knn_ivf_corpus_param_bit_identical(embeddings, queries):
     assert _rows(base) == _rows(via)
 
 
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_d22_window_exchange_reused_at_runtime(spark):
+    # r14 verdict item 4a: d22's df-cap + pair self-join consume ONE
+    # Exchange(g) over the window scan (ReusedExchange in the executed
+    # plan) and the static plan stays at <=4 parquet scans — the r14
+    # restructure must not silently regress to the 16-scan shape
+    from tabular_to_parquet_spark.parity import curation_queries  # noqa: F401
+    from tabular_to_parquet_spark.parity.catalog import CATALOG
+
+    spark.catalog.clearCache()
+    df = CATALOG["d22_substring_dedup"].spark(spark, SF)
+    final = _final_plan(df)
+    assert "ReusedExchange" in final
+    assert final.count("Scan parquet") <= 4
+
+
+def test_s06_and_d09_share_one_cell_exchange(spark):
+    # r14 verdict item 4b: both self-join sides of knn_graph and
+    # semantic_dup_pairs read ONE materialized cell exchange — exactly
+    # one corpus scan in the executed plan, no corpus-sized broadcast
+    from tabular_to_parquet_spark.operators import dedup as dd
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (
+        sim.knn_graph(emb, k=3),
+        dd.semantic_dup_pairs(emb, threshold=0.4),
+    ):
+        final = _final_plan(df)
+        assert "ReusedExchange" in final
+        assert final.count("Scan parquet") == 1, final.count("Scan parquet")
+
+
+def test_suggest_cells_production_floor():
+    # r14 verdict item 4c / ADVICE: repartition("cell") caps the pair
+    # stage at |cells| tasks, so the production contract is that
+    # anchors come from suggest_cells with an executor-task-sized
+    # rows-per-cell target — then cells >> cores and the cap is moot.
+    # Pin the arithmetic: at the SCALE §18 production target (512
+    # rows/cell), any corpus >= 32k rows yields >= 64 cells (>= every
+    # local[N] slot count this repo benches), and cells grow
+    # monotonically with the corpus.
+    last = 0
+    for n in (32_000, 128_000, 2_000_000, 1_000_000_000):
+        cells = sim.suggest_cells(n, target_rows_per_cell=512)
+        assert cells >= 64
+        assert cells >= last
+        last = cells
+    assert sim.suggest_cells(1_000_000_000, target_rows_per_cell=512) >= 1 << 20
+
+
 def test_oracle_rewrite_requeues_query_at_sweep_head():
     # r14 verdict item 3: d23/d25's oracles were rewritten window-free
     # in r14; their pre-rewrite green rows (r12/r13) must not count as
