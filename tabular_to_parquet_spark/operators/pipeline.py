@@ -1112,6 +1112,7 @@ def gd_linear_regressor(
     label_col: str = "y",
     rounds: int = 5,
     sentinel: bool = True,
+    checkpoint_rounds: int = 0,
 ) -> DataFrame:
     """Train a linear regressor by batch gradient descent ENTIRELY
     in-plan — the distributed model-training primitive of a curation
@@ -1183,6 +1184,24 @@ def gd_linear_regressor(
     without raising.  Differentially fuzzed by tools/gd_fuzz.py's
     out-of-envelope regime (exact-python breach round vs the
     poisoned rows).
+
+    ``checkpoint_rounds=N`` (r15, opt-in, default off) truncates the
+    O(rounds²) STATIC plan: every N rounds the 1-row carried state is
+    ``localCheckpoint``-ed, so later rounds (and the emitted per-round
+    rows) read a materialized 1-row RDD instead of re-nesting every
+    prior round's aggregate subtree — plan size O(rounds·N), and each
+    corpus aggregate executes exactly once (during the eager
+    checkpoint cascade) instead of relying on exchange reuse across a
+    rounds²-node tree.  Output is bit-identical (test-pinned; the
+    weights are deterministic integers).  The trades, and why the
+    default stays off: building the result frame becomes EAGER (the
+    checkpointed rounds execute at call time), and localCheckpoint is
+    executor-local — a lost executor cannot replay it, so the
+    one-lazy-plan/no-materialization contract of the default remains
+    the right shape for fault-tolerant clusters at small ``rounds``.
+    Reach for the knob when rounds ≳ 10 and Catalyst planning time or
+    driver memory on the nested tree becomes measurable (r14 verdict
+    item 7).
 
     ``sentinel=False`` (r13 verdict item 7) is the pre-certified-
     corpus fast path: it drops the per-round ``max(abs(resid))``
@@ -1283,6 +1302,10 @@ def gd_linear_regressor(
                 "n",
                 ok_now.alias("ok"),
             )
+            if checkpoint_rounds and t % checkpoint_rounds == 0 and t < rounds:
+                # 1-row state: truncates the static plan (docstring);
+                # values unchanged, the weights are deterministic ints
+                new = new.localCheckpoint()
             row = new.select(
                 F.lit(t).cast("long").alias("round"),
                 *[
@@ -1304,6 +1327,8 @@ def gd_linear_regressor(
                 "loss",
                 "n",
             )
+            if checkpoint_rounds and t % checkpoint_rounds == 0 and t < rounds:
+                new = new.localCheckpoint()
             row = new.select(
                 F.lit(t).cast("long").alias("round"),
                 *[f"w{j}" for j in range(len(feature_cols))],
