@@ -1454,7 +1454,13 @@ iv AS (
 -- multithreaded runs over-counted a duplicated interval; SET
 -- threads=1 was 100% stable, engine values unchanged throughout —
 -- the flake was purely oracle-side).  Bounded: positions <= corpus
--- chars, and the oracle only runs at correctness-check SFs.
+-- chars, and the oracle only runs at correctness-check SFs.  NOTE
+-- (r14 ADVICE): unnest expands one row per covered char per interval
+-- BEFORE the DISTINCT — sum-of-span-lengths rows, which on heavily
+-- overlapping spans exceeds the merged length the old run-merge
+-- touched.  Fine at oracle SFs; if a huge-doc fixture is ever run
+-- through this oracle, fall back to the running-max merge under
+-- SET threads=1 (100% stable in the r14 campaign).
 dup AS (
   SELECT doc, CAST(count(DISTINCT t.p) AS BIGINT) AS dup_chars
   FROM iv, unnest(range(iv.s, iv.e + 1)) AS t(p)

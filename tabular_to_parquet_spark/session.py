@@ -76,6 +76,25 @@ def warm_codegen(*frames) -> float:
     return time.monotonic() - t0
 
 
+def parse_extra_conf(env_conf: str) -> tuple[dict[str, str], list[str]]:
+    """Parse ``SPARK_GRAFT_EXTRA_CONF`` into ``(confs, malformed)``.
+
+    Entries split on ';' when one is present, else ',' (r14 ADVICE:
+    conf values like ``extraJavaOptions`` legitimately contain commas —
+    spell those with ';'). Malformed (non-``k=v``) entries are returned
+    for loud reporting instead of being silently dropped."""
+    sep = ";" if ";" in env_conf else ","
+    confs: dict[str, str] = {}
+    bad: list[str] = []
+    for item in filter(None, (s.strip() for s in env_conf.split(sep))):
+        k, _, v = item.partition("=")
+        if k and v:
+            confs[k] = v
+        else:
+            bad.append(item)
+    return confs, bad
+
+
 def get_spark(
     app_name: str = "tabular_to_parquet_spark",
     master: str | None = None,
@@ -120,12 +139,22 @@ def get_spark(
     # SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false,
     # spark.sql.adaptive.advisoryPartitionSizeInBytes=256m" — the knob
     # a cluster submit script owns; local defaults stay untouched so
-    # bench runs remain comparable across rounds
-    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for item in filter(None, (s.strip() for s in env_conf.split(","))):
-        k, _, v = item.partition("=")
-        if k and v:
-            builder = builder.config(k, v)
+    # bench runs remain comparable across rounds.  ';'-separated when
+    # a ';' is present, else ','; malformed items are reported loudly
+    # instead of silently dropped (r14 ADVICE — parse_extra_conf).
+    env_confs, env_bad = parse_extra_conf(
+        os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    )
+    if env_bad:
+        import sys
+
+        print(
+            f"[get_spark] SPARK_GRAFT_EXTRA_CONF entries not k=v — "
+            f"IGNORED: {env_bad}",
+            file=sys.stderr,
+        )
+    for k, v in env_confs.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -97,6 +97,32 @@ def test_suggest_cells_production_floor():
     assert sim.suggest_cells(1_000_000_000, target_rows_per_cell=512) >= 1 << 20
 
 
+def test_parse_extra_conf_separators_and_malformed():
+    # r14 ADVICE: ';' separator for comma-bearing values; malformed
+    # entries surface instead of being silently dropped
+    from tabular_to_parquet_spark.session import parse_extra_conf
+
+    confs, bad = parse_extra_conf(
+        "spark.sql.join.preferSortMergeJoin=false,"
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes=256m"
+    )
+    assert confs == {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+    } and bad == []
+    # ';' separator preserves commas inside values
+    confs, bad = parse_extra_conf(
+        "spark.executor.extraJavaOptions=-XX:+UseG1GC,-verbose:gc;"
+        "spark.io.compression.codec=zstd"
+    )
+    assert confs["spark.executor.extraJavaOptions"] == "-XX:+UseG1GC,-verbose:gc"
+    assert confs["spark.io.compression.codec"] == "zstd" and bad == []
+    # malformed entries are REPORTED, valid siblings still apply
+    confs, bad = parse_extra_conf("novalue,k=v,=bare")
+    assert confs == {"k": "v"} and bad == ["novalue", "=bare"]
+    assert parse_extra_conf("") == ({}, [])
+
+
 def test_gd_checkpoint_rounds_bit_identical(spark):
     # r14 verdict item 7: the opt-in plan-truncation knob must not
     # change a single emitted value, in either sentinel mode

@@ -45,7 +45,8 @@ def main() -> int:
         if name_filter and not re.search(name_filter, name):
             continue
         n += 1
-        hashes = set()
+        hashes = set()        # raw (row-order-sensitive) hashes
+        value_hashes = set()  # canonical row-sorted hashes — the finding
         t0 = time.monotonic()
         err = None
         for _ in range(reps):
@@ -57,6 +58,15 @@ def main() -> int:
                     )
                 df = con.sql(sql).df()
                 hashes.add(hashlib.md5(df.to_csv().encode()).hexdigest())
+                # VALUE instability is the bug class this tool hunts;
+                # an oracle without a total ORDER BY may legitimately
+                # reorder rows run to run (r14 ADVICE) — hash the
+                # sorted line set so order-only drift is reported
+                # separately instead of flagged UNSTABLE
+                lines = sorted(df.to_csv(index=False).splitlines())
+                value_hashes.add(
+                    hashlib.md5("\n".join(lines).encode()).hexdigest()
+                )
             except Exception as exc:  # noqa: BLE001 - fixture-dependent oracles
                 err = f"{type(exc).__name__}: {exc}"
                 break
@@ -67,10 +77,13 @@ def main() -> int:
             # fixture-dependent oracles (temp-table queries etc.) cannot
             # run standalone — not a determinism finding
             print(f"skip {name}: {err[:100]} ({dt:.1f}s)", flush=True)
-        elif len(hashes) > 1:
+        elif len(value_hashes) > 1:
             unstable.append(name)
-            print(f"UNSTABLE {name}: {len(hashes)} distinct outputs over "
-                  f"{reps} runs ({dt:.1f}s)", flush=True)
+            print(f"UNSTABLE {name}: {len(value_hashes)} distinct sorted "
+                  f"outputs over {reps} runs ({dt:.1f}s)", flush=True)
+        elif len(hashes) > 1:
+            print(f"ok   {name} (ORDER-only instability: values stable "
+                  f"sorted, {len(hashes)} row orders; {dt:.1f}s)", flush=True)
         else:
             print(f"ok   {name} ({dt:.1f}s)", flush=True)
     print(f"\n{n - len(unstable)}/{n} oracles stable over {reps} runs; "
