@@ -781,7 +781,7 @@ def main() -> None:
             "unit": "sec",
             "queries": slowest,
             "queries_note": (
-                f"10 slowest of {len(timings)}; "
+                f"10 slowest (+ scaling probes) of {len(timings)}; "
                 + ("subset run — BENCH_LOCAL.json untouched"
                    if cli.only
                    else f"full set in {_snapshot_filename(idle_now)}")
